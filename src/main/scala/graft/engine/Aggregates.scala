@@ -1,0 +1,268 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import graft.engine.{Tables => T}
+import graft.engine.Exact._
+
+/** Aggregation / window / set-op operator surface (SURVEY.md §2.4, §2.8).
+  *
+  * The reference never issues GROUP BY — it aggregates by mutation
+  * (`balance += amount`, render-complete-deploy.js:226-230,:285-289).
+  * Here every such mutable accumulation is recomputed as a pure,
+  * scalable aggregation: hash agg with map-side partials, window
+  * functions for running state, rollup/cube/grouping-sets for the
+  * intended-but-unbuilt reporting surface (the reference imports
+  * drizzle `sum`/`count` and never calls them, render-complete-deploy.js:16).
+  *
+  * Scale posture: groupBy keys here are low-cardinality → partial agg
+  * collapses almost everything map-side; windows partition by user/
+  * customer keys (hash-shuffled once, sorted within partitions — the
+  * canonical distributed sessionization layout).
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact weighted average as a typed Aggregator (UDAF surface,
+    * SURVEY.md §2.9). Buffer is a pair of exact scaled longs so the
+    * merge is associative/commutative — safe under any partitioning. */
+  class WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) =
+      (b._1 + math.round(in._1 * in._2 * 10000), b._2 + math.round(in._2))
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Long, Long)): Double = b._1.toDouble / 10000.0 / b._2.toDouble
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Full scalar-aggregate battery incl. DISTINCT aggregation.
+    "q10_multi_agg" -> ((s, dir) => {
+      import s.implicits._
+      T.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_extendedprice").as("max_price"),
+          avg($"l_quantity").as("avg_qty"), // integer-valued doubles: exact
+          msum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ROLLUP — hierarchical subtotals (region > nation > grand total).
+    "q11_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val c = T.customer(s, dir)
+      val n = T.nation(s, dir)
+      val r = T.region(s, dir)
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), msum($"c_acctbal").as("total_bal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // CUBE — all grouping combinations.
+    "q12_cube" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), msum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // GROUPING SETS + grouping() marker — SQL-only surface in Spark,
+    // issued through the engine's SQL entry point.
+    "q13_grouping_sets" -> ((s, dir) => {
+      T.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               count(1) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+    }),
+
+    // Ranking windows: row_number (total-ordered), rank/dense_rank
+    // (gap semantics on value ties) — top-3 orders per customer.
+    "q14_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val byPrice = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val tiesOk = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      T.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(byPrice).cast("long").as("rn"),
+          rank().over(tiesOk).cast("long").as("rnk"),
+          dense_rank().over(tiesOk).cast("long").as("drnk"))
+        .filter($"rn" <= 3)
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Running balance per user — the pure-dataflow version of the
+    // reference's mutable commission_balance (render-complete-deploy.js:228).
+    // Exact scaled-long window sum → deterministic at any parallelism.
+    "q15_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value",
+          (sum(scaled($"value")).over(w).cast("double") / 10000.0).as("running_balance"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
+    // lag/lead/first_value frame navigation per customer order history.
+    "q16_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first($"o_totalprice").over(w).as("first_price"),
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics) + UNION ALL.
+    "q17_setops" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val f = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("k")).distinct()
+      val p = o.filter($"o_orderstatus" === "O").select($"o_custkey".as("k")).distinct()
+      val both  = f.intersect(p).withColumn("tag", lit("both"))
+      val fOnly = f.except(p).withColumn("tag", lit("f_only"))
+      val pOnly = p.except(f).withColumn("tag", lit("o_only"))
+      both.unionByName(fOnly).unionByName(pOnly)
+        .select($"tag", $"k")
+        .orderBy($"tag", $"k")
+    }),
+
+    // UDAF: exact weighted average via typed Aggregator.
+    "q25_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      val wavg = udaf(new WeightedAvg)
+      T.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Generator/UDTF surface: explode word tokens → top-20 counts.
+    "q26_explode_tokens" -> ((s, dir) => {
+      import s.implicits._
+      T.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    }),
+
+    // DISTINCT projection (dropDuplicates surface).
+    "q27_distinct_pairs" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .select($"user_id", $"event_type")
+        .distinct()
+        .orderBy($"user_id", $"event_type")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q10_multi_agg" ->
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  min(l_quantity) AS min_qty,
+         |  max(l_extendedprice) AS max_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  ${msumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |  ${msumSql("c_acctbal")} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q12_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${msumSql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q15_window_running" ->
+      s"""SELECT user_id, event_id, ts, value,
+         |  CAST(sum(${scaledSql("value")}) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/10000.0
+         |    AS running_balance
+         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q16_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q17_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     p AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM f INTERSECT SELECT k FROM p) t1
+        |UNION ALL
+        |SELECT 'f_only' AS tag, k FROM (SELECT k FROM f EXCEPT SELECT k FROM p) t2
+        |UNION ALL
+        |SELECT 'o_only' AS tag, k FROM (SELECT k FROM p EXCEPT SELECT k FROM f) t3
+        |ORDER BY tag, k""".stripMargin,
+
+    "q25_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice*l_quantity*10000) AS BIGINT)) AS DOUBLE)
+        |    /10000.0/CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q26_explode_tokens" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q27_distinct_pairs" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
+}

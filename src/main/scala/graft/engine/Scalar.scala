@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables => T}
+import graft.engine.Exact._
+
+/** Scalar-function and subquery surface — the reference's complete F1-F15
+  * function list (SURVEY.md §2.7: parseFloat/parseInt casts, toFixed
+  * formatting, capitalization, template-string concat, date arithmetic,
+  * Math.max clamps, JSON-in-text reads) plus the subquery shapes the
+  * engine must support beyond it.
+  *
+  * All functions are Spark built-ins (`org.apache.spark.sql.functions`),
+  * i.e. codegen'd expressions inside WholeStageCodegen — no UDFs in
+  * scalar paths, which is the 100 TB-safe default.
+  */
+object Scalar {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // String functions: capitalization (F7, render-complete-deploy.js:741),
+    // concat (F8 :237), regex extraction (F2 :190-191), casts (F4/F6).
+    "q18_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      T.part(s, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("upper_name"),
+          // single-token capitalization, the reference's charAt(0).toUpperCase + slice(1)
+          concat(upper(substring($"p_name", 1, 1)), substring($"p_name", 2, 1000)).as("cap_name"),
+          concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+          length($"p_name").cast("long").as("name_len"),
+          regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+          element_at(split($"p_name", " "), 1).as("first_word"),
+          regexp_extract($"p_brand", "#([0-9]+)", 1).cast("long").as("brand_num"),
+          format_string("$%.2f", $"p_retailprice").as("price_label"),
+          $"p_size".cast("string").as("size_str"))
+        .orderBy($"p_partkey")
+    }),
+
+    // Math / conditional scalars: clamp (F13 :307), floor/ceil, abs,
+    // greatest/least, arithmetic (AG3 :216 price × rate).
+    "q19_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      T.part(s, dir)
+        .select(
+          $"p_partkey",
+          ($"p_retailprice" * 0.10).as("direct_commission"),
+          ($"p_retailprice" * 0.05).as("passive_commission"),
+          greatest(lit(0.0), $"p_retailprice" - lit(1000.0)).as("clamped_margin"),
+          least($"p_retailprice", lit(950.0)).as("capped"),
+          floor($"p_retailprice").cast("long").as("floor_price"),
+          ceil($"p_retailprice").cast("long").as("ceil_price"),
+          abs($"p_size" - 20).cast("long").as("size_dist"),
+          pmod($"p_partkey", lit(7L)).as("bucket"),
+          sqrt($"p_retailprice").as("sqrt_price"))
+        .orderBy($"p_partkey")
+    }),
+
+    // Date/time functions: current-ts stamping analog (F9), +1 month
+    // subscription expiry (F10 :786-787), display formatting (F11),
+    // extraction and day arithmetic.
+    "q20_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mo"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          (dayofweek($"o_orderdate") - 1).cast("long").as("dow"), // 0=Sunday, DuckDB convention
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          add_months($"o_orderdate", 1).as("expires_at"),          // F10
+          last_day($"o_orderdate").as("month_end"),
+          datediff(lit("2002-01-01").cast("date"), $"o_orderdate").cast("long").as("days_to_2002"),
+          date_format($"o_orderdate", "MM/dd/yyyy").as("display_date")) // F11
+        .orderBy($"o_orderkey")
+    }),
+
+    // CASE/WHEN, null handling, JSON-in-text extraction (F12/§1.3:
+    // payment_details stringified JSON, render-complete-deploy.js:552).
+    "q21_case_json" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .select(
+          $"event_id",
+          $"event_type",
+          when($"event_type".isin("click", "view"), "engagement")
+            .when($"event_type" === "purchase", "revenue")
+            .otherwise("other").as("category"),
+          coalesce(nullif($"event_type", lit("error")), lit("unknown")).as("safe_type"),
+          get_json_object($"props", "$.k").cast("long").as("prop_k"),
+          when($"value" < 5.0, "low").when($"value" < 20.0, "mid")
+            .otherwise("high").as("value_bucket"))
+        .orderBy($"event_id")
+    }),
+
+    // Scalar subquery: rows above the (exactly computed) global average —
+    // broadcast of a 1-row aggregate against the fact scan.
+    "q22_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val thresh = o.agg(mavg($"o_totalprice").as("avg_price"))
+      o.join(broadcast(thresh))
+        .filter($"o_totalprice" > $"avg_price")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Correlated EXISTS with extra predicate (beyond q07's plain semi).
+    "q23_correlated_exists" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val big = T.lineitem(s, dir).filter($"l_quantity" >= 49.0)
+      o.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q18_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  concat(upper(substr(p_name,1,1)), substr(p_name,2,1000)) AS cap_name,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |  printf('$%.2f', p_retailprice) AS price_label,
+        |  CAST(p_size AS VARCHAR) AS size_str
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q19_math_funcs" ->
+      """SELECT p_partkey,
+        |  p_retailprice * 0.10 AS direct_commission,
+        |  p_retailprice * 0.05 AS passive_commission,
+        |  greatest(0.0, p_retailprice - 1000.0) AS clamped_margin,
+        |  least(p_retailprice, 950.0) AS capped,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  CAST(abs(p_size - 20) AS BIGINT) AS size_dist,
+        |  p_partkey % 7 AS bucket,
+        |  sqrt(p_retailprice) AS sqrt_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS expires_at,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  strftime(o_orderdate, '%m/%d/%Y') AS display_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_case_json" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type IN ('click','view') THEN 'engagement'
+        |       WHEN event_type = 'purchase' THEN 'revenue'
+        |       ELSE 'other' END AS category,
+        |  coalesce(nullif(event_type, 'error'), 'unknown') AS safe_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        |  CASE WHEN value < 5.0 THEN 'low' WHEN value < 20.0 THEN 'mid'
+        |       ELSE 'high' END AS value_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${mavgSql("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q23_correlated_exists" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin)
+}
