@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.engine.Exact._
+
+/** Structured Streaming surface (SURVEY.md §2.8): the reference's
+  * event-shaped writes (notification fan-out, `defaultNow()` stamping)
+  * re-expressed as streaming dataflows over the events table.
+  *
+  * Every streaming computation here has a batch-equivalent in
+  * `graft.engine.Windows`, so correctness is oracle-checkable; the
+  * functions below run the REAL `readStream → writeStream` pipeline
+  * (file source → memory sink, `processAllAvailable` for synchronous
+  * drain). On a cluster the memory sink becomes a Kafka/Delta sink and
+  * the file source a log-backed source; the plan in between is
+  * identical.
+  */
+object Streams {
+
+  /** Raw event-typed record (ts in epoch micros for the typed demo). */
+  case class Event(event_id: Long, tsUs: Long, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+                        session_end_us: Long, n_events: Long)
+
+  /** Streaming read of the events parquet (nanos ts → micros, same as
+    * the batch loader). */
+  def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // glob (not the bare file path): FileStreamSource requires its
+    // basePath to be a directory, which the glob's parent provides
+    s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation as a true streaming query,
+    * drained synchronously into a memory sink and returned as a batch
+    * DataFrame (verified against the same oracle as the batch variant). */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    val qn = "stream_tumbling_" + math.abs(dir.hashCode)
+    val q = eventStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), msum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("window_start", "event_type")
+  }
+
+  /** Watermarked sliding-window aggregation (late data beyond 2 hours
+    * dropped) — append-mode demo; in a bounded replay all windows close,
+    * so the final table matches the batch computation. */
+  def watermarkedSliding(s: SparkSession, dir: String): DataFrame = {
+    val qn = "stream_sliding_" + math.abs(dir.hashCode)
+    val q = eventStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("window_start")
+  }
+
+  /** Stateful streaming dedup on event_id with a watermark bound on
+    * state retention. */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val qn = "stream_dedup_" + math.abs(dir.hashCode)
+    val q = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_type")
+  }
+
+  /** Custom-state sessionization with flatMapGroupsWithState — the
+    * §2.9 "UDF with state" extension point. Emits a session row when a
+    * 30-minute gap closes it; `GroupState` holds the open session.
+    * (Used by the streaming spec on a MemoryStream; batch-oracle
+    * equivalence is covered by q42's window construction.) */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          // state = (session_start_us, session_end_us, n_events)
+          val sorted = it.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur = cur match {
+              case Some((st, en, n)) if e.tsUs - en <= gapUs => Some((st, e.tsUs, n + 1))
+              case Some((st, en, n)) =>
+                out = SessionOut(uid, st, en, n) :: out
+                Some((e.tsUs, e.tsUs, 1L))
+              case None => Some((e.tsUs, e.tsUs, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionOut}
+
+/** Structured Streaming specs: incremental MemoryStream feed through
+  * the real streaming plans (SURVEY.md §2.8). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val MIN = 60L * 1000000 // one minute in micros
+
+  test("stateful sessionization closes a session after a 30-min gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStateful(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_test").start()
+
+    // batch 1: two events 5 min apart (one open session)
+    input.addData(Event(1, 0, 7, "click", 1.0), Event(2, 5 * MIN, 7, "view", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_test").count() == 0) // still open
+
+    // batch 2: event 40 min later → closes session 1, opens session 2
+    input.addData(Event(3, 45 * MIN, 7, "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_test").as[SessionOut].collect()
+    assert(closed.toSeq == Seq(SessionOut(7, 0, 5 * MIN, 2)))
+    q.stop()
+  }
+
+  test("streaming dedup + tumbling counts match batch semantics on replay") {
+    val dir = "/root/testdata/sf0.001"
+    val dedup = Streams.streamingDedup(spark, dir).collect()
+    val batch = graft.engine.Tables.events(spark, dir)
+      .groupBy("event_type").count().orderBy("event_type").collect()
+    assert(dedup.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("watermarked sliding windows emit all windows on bounded replay") {
+    val out = Streams.watermarkedSliding(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+  }
+}
