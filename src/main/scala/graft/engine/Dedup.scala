@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Tables => T}
+
+/** Near-duplicate detection operators (SURVEY.md §2.10): MinHash+LSH
+  * banding, SimHash fingerprints, and n-gram Jaccard verification —
+  * the holy trinity of large-corpus dedup.
+  *
+  * Scale design: every stage is shingle-parallel (explode → hash →
+  * groupBy doc) and the only all-pairs work happens INSIDE an LSH
+  * band bucket (q51) or on shared-shingle matches (q53) — never a
+  * corpus cross join. Hashes are md5-derived so the DuckDB oracle can
+  * reproduce them bit-for-bit (xxhash64 exists in both engines but
+  * with different seeds/variants).
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, sh): distinct 3-token shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"ord")
+    T.documents(s, dir)
+      .select($"doc_id", posexplode(split(trim($"text"), "\\s+")).as(Seq("ord", "w")))
+      .withColumn("w1", lead($"w", 1).over(w))
+      .withColumn("w2", lead($"w", 2).over(w))
+      .filter($"w1".isNotNull && $"w2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("sh"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MinHash signatures (8 hashes) → LSH bands (4 bands × 2 rows) →
+    // candidate pairs where any band collides.
+    "q51_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = shingles(s, dir)
+        .withColumn("seed", explode(sequence(lit(0), lit(7))))
+        .groupBy($"doc_id", $"seed")
+        .agg(min(md5(concat($"seed".cast("string"), lit(":"), $"sh"))).as("mh"))
+      val bands = sigs
+        .groupBy($"doc_id", floor($"seed" / 2).cast("long").as("band"))
+        .agg(concat_ws("|",
+          max(when($"seed" % 2 === 0, $"mh")),
+          max(when($"seed" % 2 === 1, $"mh"))).as("bandkey"))
+      bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+        .orderBy($"doc1", $"doc2")
+    }),
+
+    // 16-bit SimHash fingerprint per document (md5-derived token
+    // hashes, per-bit majority vote) — pure integer arithmetic so both
+    // engines agree exactly.
+    "q52_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.documents(s, dir)
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+        .withColumn("h4", substring(md5($"w"), 1, 4))
+        .withColumn("v", expr(
+          """CAST((instr('0123456789abcdef', substr(h4,1,1))-1)*4096
+            |   + (instr('0123456789abcdef', substr(h4,2,1))-1)*256
+            |   + (instr('0123456789abcdef', substr(h4,3,1))-1)*16
+            |   + (instr('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT)""".stripMargin))
+      toks
+        .withColumn("bit", explode(sequence(lit(0), lit(15))))
+        .withColumn("contrib",
+          when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
+            .otherwise(-1L))
+        .groupBy($"doc_id", $"bit")
+        .agg(sum($"contrib").as("lean"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"lean" > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact n-gram Jaccard on shared-shingle candidate pairs —
+    // verification stage after LSH, thresholded at 0.1. Integer
+    // intersection/union counts → bit-exact division.
+    "q53_jaccard_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.alias("a")
+        .join(sh.alias("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
+        .select($"doc1", $"doc2", $"n_common",
+          ($"n_common".cast("double") / ($"sz1" + $"sz2" - $"n_common").cast("double"))
+            .as("jaccard"))
+        .filter($"jaccard" >= 0.1)
+        .orderBy($"doc1", $"doc2")
+    }))
+
+  private val shinglesCte =
+    """toks AS (
+      |  SELECT doc_id, w, ord,
+      |    lead(w,1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+      |    lead(w,2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS w,
+      |          generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      |        FROM documents) raw),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS sh
+      |  FROM toks WHERE w1 IS NOT NULL AND w2 IS NOT NULL)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q51_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+         |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT))
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q52_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, substr(md5(w), 1, 4) AS h4
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents) raw),
+        |vals AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(h4,1,1))-1)*4096
+        |       + (strpos('0123456789abcdef', substr(h4,2,1))-1)*256
+        |       + (strpos('0123456789abcdef', substr(h4,3,1))-1)*16
+        |       + (strpos('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT) AS v
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS lean
+        |  FROM vals CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+        |  GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN lean > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q53_jaccard_pairs" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, n_common,
+         |  CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc1
+         |JOIN sizes sb ON sb.doc_id = doc2
+         |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
+         |ORDER BY doc1, doc2""".stripMargin)
+}

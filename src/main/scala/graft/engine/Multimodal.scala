@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support (SURVEY.md §2.10).
+  *
+  * Media lives as opaque `binary` columns + typed metadata — the Spark
+  * re-expression of the reference's multer file uploads, which store
+  * bytes on disk and only a URL in the database
+  * (render-complete-deploy.js:181-195,:620). Here the bytes ride WITH
+  * the row (binaryFile source → BinaryType column), so decode/feature
+  * stages are data-local — no sidecar fetches at 100 TB.
+  *
+  * The decode kernels are STUBS (deterministic fakes — no image/audio
+  * codecs ship in this environment); everything around them — source,
+  * schema, batch iteration via mapPartitions, output feature schema,
+  * size-aware repartitioning — is real and tested. Swap `stubDecode*`
+  * for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  case class MediaMeta(path: String, ext: String, length: Long,
+                       content_md5: String)
+  case class ImageFeatures(path: String, width: Int, height: Int,
+                           channels: Int, histogram: Array[Float])
+
+  /** Ingest a directory of opaque files as (path, modificationTime,
+    * length, content) rows — Spark's binaryFile source. */
+  def readBinary(s: SparkSession, glob: String): DataFrame =
+    s.read.format("binaryFile").load(glob)
+
+  /** Metadata + content hash (all real computation). */
+  def withMeta(bin: DataFrame): DataFrame =
+    bin.select(
+      col("path"),
+      regexp_extract(col("path"), "\\.([^./]+)$", 1).as("ext"),
+      col("length"),
+      md5(col("content")).as("content_md5"),
+      col("content"))
+
+  /** ==== STUB ==== deterministic fake image decode: derives fake
+    * dimensions and a 16-bin byte histogram from the raw bytes. A real
+    * implementation calls an image codec here; the per-partition batch
+    * iteration, the output schema, and the driver-free distribution are
+    * exactly what the real kernel would use. */
+  def decodeImages(bin: DataFrame): Dataset[ImageFeatures] = {
+    import bin.sparkSession.implicits._
+    bin.select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          // STUB: fake W/H from byte length; real code: codec.decode(bytes)
+          val w = 64 + (bytes.length % 512)
+          val h = 64 + ((bytes.length / 7) % 512)
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length && i < 65536) {
+            hist((bytes(i) & 0xff) / 16) += 1f; i += 1
+          }
+          ImageFeatures(path, w, h, 3, hist)
+        }
+      }
+  }
+
+  /** ==== STUB ==== deterministic fake frame sampling for video bytes:
+    * emits every k-th "frame offset" with a content hash — the
+    * explode-shaped plumbing of a real frame sampler. */
+  def sampleFrames(bin: DataFrame, everyNth: Int = 10): DataFrame = {
+    val frames = bin.select(col("path"), col("length"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest((col("length") / 1000000L).cast("long"), lit(0L)))))
+    frames.filter(pmod(col("frame_idx"), lit(everyNth.toLong)) === 0)
+      .withColumn("frame_key", md5(concat(col("path"), lit("#"), col("frame_idx"))))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Binary ingest of the testdata parquet files themselves as opaque
+    // blobs — real binaryFile scan + metadata/hash extraction. No SQL
+    // oracle (DuckDB cannot read arbitrary file bytes) → driver records
+    // the weaker rows-only check.
+    "q70_binary_ingest" -> ((s, dir) => {
+      import s.implicits._
+      withMeta(readBinary(s, s"$dir/*.parquet"))
+        .select(
+          element_at(split($"path", "/"), -1).as("file_name"),
+          $"ext", $"length", $"content_md5")
+        .orderBy($"file_name")
+    }))
+
+  val oracle: Map[String, String] = Map.empty
+}

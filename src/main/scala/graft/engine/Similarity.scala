@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Tables => T}
+import graft.functions.CosineSimilarity
+
+/** Embedding similarity search (SURVEY.md §2.10): brute-force cosine
+  * top-k as the exact baseline, sign-LSH bucketed ANN as the scale
+  * path, and cosine near-duplicate pairs.
+  *
+  * The kernel is the codegen'd `CosineSimilarity` Catalyst expression
+  * (graft.functions) — a fused primitive loop, not a UDF.
+  *
+  * Scale design: brute force broadcasts the (small) query set against
+  * the corpus scan — embarrassingly parallel, no shuffle until top-k;
+  * the ANN variant prunes the corpus to the query's LSH bucket first,
+  * turning the cross join into an equi-join on bucket — the same
+  * shape IVF takes with learned centroids instead of sign bits.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 4-bit sign-LSH bucket from fixed embedding dimensions (1-based
+    * positions 1, 9, 17, 25) — deterministic, no trained centroids. */
+  private def bucketOf(emb: Column): Column =
+    (when(element_at(emb, 1) >= 0f, 1).otherwise(0) +
+      when(element_at(emb, 9) >= 0f, 2).otherwise(0) +
+      when(element_at(emb, 17) >= 0f, 4).otherwise(0) +
+      when(element_at(emb, 25) >= 0f, 8).otherwise(0)).cast("long")
+
+  private val bucketSql =
+    """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      | + CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END
+      | + CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END
+      | + CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-5 per query vector (queries =
+    // every 50th vector), ranked on the rounded score for a total,
+    // oracle-stable order.
+    "q60_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val scored = emb.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // LSH-bucketed approximate NN: candidates restricted to the
+    // query's sign bucket (≈1/16 of the corpus), top-3 per query.
+    "q61_lsh_ann" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.embeddings(s, dir).withColumn("bucket", bucketOf($"embedding"))
+      val q = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
+      val scored = emb.join(broadcast(q), Seq("bucket"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"), $"bucket",
+          round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ 0.3
+    // (threshold calibrated to the synthetic corpus's score range).
+    "q62_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.embeddings(s, dir).withColumn("bucket", bucketOf($"embedding"))
+      val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"), $"bucket")
+      val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"bucket")
+      a.join(b, Seq("bucket"))
+        .filter($"v1" < $"v2")
+        .select($"bucket", $"v1", $"v2", round(cos($"e1", $"e2"), 6).as("cos_sim"))
+        .filter($"cos_sim" >= 0.3)
+        .orderBy($"v1", $"v2")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q60_cosine_topk" ->
+      """SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT qid, cid, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 50 = 0) s) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q61_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+         |           FROM embeddings)
+         |SELECT qid, cid, bucket, cos_sim, rank FROM (
+         |  SELECT qid, cid, bucket, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+         |    FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 25 = 0) s) r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q62_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
+         |           FROM embeddings)
+         |SELECT a.bucket, a.vec_id AS v1, b.vec_id AS v2,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+         |ORDER BY v1, v2""".stripMargin)
+}
