@@ -122,13 +122,21 @@ object Commission {
     }),
 
     // AG5: passive accumulation per ancestor across all redemptions.
+    // Orders pre-aggregate to one row per customer BEFORE the
+    // ancestor join — the join then multiplies ≤10 ancestor rows by
+    // |customers| instead of |orders| (at 100 TB: the difference
+    // between shuffling the fact table ×10 and shuffling a dimension).
+    // Scaled-integer partial sums re-aggregate exactly.
     "q31_passive_commissions" -> ((s, dir) => {
       import s.implicits._
       val anc = ancestors(testEdges(s, dir), 10)
-      anc.join(T.orders(s, dir), $"descendant" === $"o_custkey")
+      val perCust = T.orders(s, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(scaled(lit(0.05) * $"o_totalprice")).as("passive_scaled"))
+      anc.join(perCust, $"descendant" === $"o_custkey")
         .groupBy($"ancestor")
-        .agg(count(lit(1)).as("n_credits"),
-          msum(lit(0.05) * $"o_totalprice").as("total_passive"))
+        .agg(sum($"n_orders").as("n_credits"),
+          (sum($"passive_scaled").cast("double") / 10000.0).as("total_passive"))
         .orderBy($"ancestor")
     }),
 
@@ -162,9 +170,11 @@ object Commission {
     "q33_balance_view" -> ((s, dir) => {
       import s.implicits._
       val anc = ancestors(testEdges(s, dir), 10)
-      val earned = anc.join(T.orders(s, dir), $"descendant" === $"o_custkey")
+      val perCust = T.orders(s, dir).groupBy($"o_custkey")
+        .agg(sum(scaled(lit(0.05) * $"o_totalprice")).as("passive_scaled"))
+      val earned = anc.join(perCust, $"descendant" === $"o_custkey")
         .groupBy($"ancestor".as("user_id"))
-        .agg(sum(scaled(lit(0.05) * $"o_totalprice")).as("earned_scaled"))
+        .agg(sum($"passive_scaled").as("earned_scaled"))
       val spent = T.events(s, dir).filter($"event_type" === "purchase")
         .groupBy($"user_id")
         .agg(sum(scaled($"value")).as("spent_scaled"))

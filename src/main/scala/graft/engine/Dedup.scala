@@ -19,17 +19,25 @@ import graft.engine.{Tables => T}
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, sh): distinct 3-token shingles per document. */
+  /** (doc_id, sh): distinct 3-token shingles per document.
+    *
+    * Built map-side with a higher-order array `transform` over the
+    * token array — zero shuffles until the `distinct` (the windowed
+    * `lead` formulation the oracle uses would shuffle the full token
+    * stream; at 100 TB that's the difference between a scan and a
+    * sort). Cached because the LSH and Jaccard stages both reuse it
+    * (self-joins would otherwise recompute the subplan per alias). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"ord")
     T.documents(s, dir)
-      .select($"doc_id", posexplode(split(trim($"text"), "\\s+")).as(Seq("ord", "w")))
-      .withColumn("w1", lead($"w", 1).over(w))
-      .withColumn("w2", lead($"w", 2).over(w))
-      .filter($"w1".isNotNull && $"w2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("sh"))
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= 3) // sequence(1,0) would run DESCENDING
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2)))""".stripMargin)).as("sh"))
       .distinct()
+      .cache()
   }
 
   val queries: Map[String, Q] = Map(

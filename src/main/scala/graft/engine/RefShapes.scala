@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables => T}
+
+/** Remaining reference-specific shapes (SURVEY.md §2.1/§2.7):
+  * deterministic code generation (F1), upload-filename synthesis +
+  * extension split (F2), merge-style update views (S5), and the
+  * nested eager-load projection (J1's `with: {package}` shape).
+  */
+object RefShapes {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F1: the reference generates random 8-char [A-Z0-9] gift codes
+    // (render-complete-deploy.js:198-205). Engine version is
+    // deterministic — keyed sha2 — so codes are reproducible, unique
+    // w.h.p., and oracle-checkable. F2: multer's unique filename
+    // (field + timestamp + random + original extension, :190-191)
+    // becomes a keyed hash + regex extension split.
+    "q34_code_gen" -> ((s, dir) => {
+      import s.implicits._
+      val fname = concat($"c_name", lit(".png"))
+      T.customer(s, dir)
+        .select($"c_custkey",
+          upper(substring(sha2(concat($"c_custkey".cast("string"), lit("-REHIVE")), 256),
+            1, 8)).as("gift_code"),
+          concat_ws("-", $"c_custkey".cast("string"),
+            substring(sha2(fname, 256), 1, 9)).as("upload_name"),
+          regexp_extract(fname, "\\.([^.]+)$", 1).as("ext"))
+        .orderBy($"c_custkey")
+    }),
+
+    // S5: point updates as a merge view — decisions derived from the
+    // data (approve withdrawals over a threshold), applied with
+    // left-join + coalesce instead of mutation. At 100 TB this becomes
+    // a Delta/Iceberg MERGE; the plan shape (broadcast updates onto the
+    // base scan) is identical.
+    "q35_merge_update" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val updates = o.filter($"o_orderstatus" === "P" && $"o_totalprice" > 200000.0)
+        .select($"o_orderkey".as("u_key"), lit("A").as("u_status"))
+      o.join(broadcast(updates), $"o_orderkey" === $"u_key", "left")
+        .select($"o_orderkey",
+          coalesce($"u_status", $"o_orderstatus").as("status"),
+          $"u_status".isNotNull.as("was_updated"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // J1 eager-load: parent row with the joined dimension nested as a
+    // struct (Drizzle's `with: {package}` nested-object result,
+    // render-complete-deploy.js:350-353).
+    "q36_nested_eager_load" -> ((s, dir) => {
+      import s.implicits._
+      val c = T.customer(s, dir)
+      val n = T.nation(s, dir)
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
+        .select($"c_custkey", $"c_name",
+          struct($"n_name".as("name"), $"n_regionkey".as("regionkey")).as("nation"))
+        .orderBy($"c_custkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q34_code_gen" ->
+      """SELECT c_custkey,
+        |  upper(substr(sha256(CAST(c_custkey AS VARCHAR) || '-REHIVE'), 1, 8)) AS gift_code,
+        |  CAST(c_custkey AS VARCHAR) || '-' || substr(sha256(c_name || '.png'), 1, 9) AS upload_name,
+        |  regexp_extract(c_name || '.png', '\.([^.]+)$', 1) AS ext
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q35_merge_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'P' AND o_totalprice > 200000.0
+        |       THEN 'A' ELSE o_orderstatus END AS status,
+        |  (o_orderstatus = 'P' AND o_totalprice > 200000.0) AS was_updated
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q36_nested_eager_load" ->
+      """SELECT c_custkey, c_name,
+        |  struct_pack(name := n_name, regionkey := n_regionkey) AS nation
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin)
+}

@@ -112,8 +112,12 @@ object Scalar {
     "q23_correlated_exists" -> ((s, dir) => {
       import s.implicits._
       val o = T.orders(s, dir)
+      // the >=49 filter keeps ~4% of lineitem; its distinct keys fit a
+      // broadcast at bench scale (at true 100 TB this reverts to the
+      // default shuffled semi join — drop the hint, AQE decides)
       val big = T.lineitem(s, dir).filter($"l_quantity" >= 49.0)
-      o.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"l_orderkey").distinct()
+      o.join(broadcast(big), $"o_orderkey" === $"l_orderkey", "left_semi")
         .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
         .orderBy($"o_orderkey")
     }))

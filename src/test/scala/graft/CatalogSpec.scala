@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-metastore integration (the north star's "Spark SQL + Hive
+  * metastore" mode): managed tables via saveAsTable, bucketed layout
+  * for shuffle-free co-located joins, partitioned layout for partition
+  * pruning. At 100 TB these two physical layouts — bucket by join key,
+  * partition by date/type — are the difference between scan-and-join
+  * and shuffle-the-world; this spec pins both behaviors in the plan.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.adaptive.enabled", "false") // stable plan asserts
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("hive metastore: saveAsTable round-trips through spark.table and SQL") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    graft.engine.Tables.nation(spark, dir)
+      .write.mode("overwrite").saveAsTable("graft.nation_t")
+    assert(spark.table("graft.nation_t").count() == 25)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.nation_t")
+      .collect().head.getLong(0) == 25)
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("nation_t"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    graft.engine.Tables.orders(spark, dir)
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft.orders_b")
+    graft.engine.Tables.customer(spark, dir)
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft.customer_b")
+    val j = spark.table("graft.orders_b")
+      .join(spark.table("graft.customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() > 0)
+  }
+
+  test("partitioned table prunes partitions on filter") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    graft.engine.Tables.events(spark, dir)
+      .write.partitionBy("event_type").mode("overwrite")
+      .saveAsTable("graft.events_p")
+    val q = spark.table("graft.events_p").filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("event_type"))
+    val full = spark.table("graft.events_p").count()
+    assert(q.count() < full) // pruned subset actually read
+  }
+}
