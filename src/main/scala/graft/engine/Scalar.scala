@@ -108,6 +108,36 @@ object Scalar {
         .orderBy($"o_orderkey")
     }),
 
+    // S8: JSON codec round-trip — struct → to_json → from_json → fields.
+    // The intermediate JSON string never surfaces (formatting is
+    // engine-specific); losslessness is what's verified.
+    "q37_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      T.events(s, dir)
+        .withColumn("js", to_json(struct($"user_id", $"event_type", $"value")))
+        .withColumn("rt", from_json($"js", schema))
+        .select($"event_id", $"rt.user_id".as("rt_user_id"),
+          $"rt.event_type".as("rt_event_type"), $"rt.value".as("rt_value"))
+        .orderBy($"event_id")
+    }),
+
+    // P4: timestamp-vs-reference predicate (the reference's
+    // `subscription_expires_at > now` check, render-complete-deploy.js:598-599,
+    // with a fixed as-of instant for determinism).
+    "q38_active_window" -> ((s, dir) => {
+      import s.implicits._
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      T.events(s, dir)
+        .filter($"ts" > asOf && $"ts" <= lit("2024-01-16 00:00:00").cast("timestamp"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+        .orderBy($"event_type")
+    }),
+
     // Correlated EXISTS with extra predicate (beyond q07's plain semi).
     "q23_correlated_exists" -> ((s, dir) => {
       import s.implicits._
@@ -177,6 +207,18 @@ object Scalar {
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_totalprice > (SELECT ${mavgSql("o_totalprice")} FROM orders)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q37_json_roundtrip" ->
+      """SELECT event_id, user_id AS rt_user_id, event_type AS rt_event_type,
+        |  value AS rt_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q38_active_window" ->
+      """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q23_correlated_exists" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

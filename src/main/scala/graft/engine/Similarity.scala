@@ -73,6 +73,36 @@ object Similarity {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF-style ANN: "centroids" are a deterministic coarse codebook
+    // (the first 8 vectors); every vector is assigned to its
+    // max-cosine cell, queries search only their own cell. Same plan
+    // shape as trained-kmeans IVF — swap the codebook source.
+    "q63_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.embeddings(s, dir)
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+      val wAssign = Window.partitionBy($"vec_id")
+        .orderBy($"cent_cos".desc, $"cent_id")
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cent_id",
+          round(cos($"embedding", $"ce"), 6).as("cent_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      val q = assigned.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+      val wRank = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"), $"cell",
+          round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter($"rank" <= 3)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ 0.3
     // (threshold calibrated to the synthetic corpus's score range).
     "q62_embedding_neardup" -> ((s, dir) => {
@@ -114,6 +144,29 @@ object Similarity {
          |    FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |    WHERE q.vec_id % 25 = 0) s) r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q63_ivf_ann" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                     CAST(c.ce AS DOUBLE[])), 6) DESC,
+        |        c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1)
+        |SELECT qid, cid, cell, cos_sim, rank FROM (
+        |  SELECT qid, cid, cell, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid, q.cell,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+        |    FROM assigned q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 25 = 0) s) r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q62_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
