@@ -168,6 +168,38 @@ object Aggregates {
         .limit(20)
     }),
 
+    // Statistical aggregates: exact interpolated percentiles, stddev,
+    // correlation (rounded — co-moment merges are order-sensitive in
+    // the last ulps; the round absorbs them).
+    "q39_stats" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          round(stddev_samp($"o_totalprice"), 4).as("sd_price"),
+          round(corr($"o_totalprice", $"o_custkey"), 6).as("corr_price_cust"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // TPC-H Q3 shape: segment-filtered star join, grouped revenue,
+    // top-10 — the canonical "scan big, shuffle small" analytics query.
+    "q64_tpch_q3" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+      val c = T.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = T.orders(s, dir).filter($"o_orderdate" < cutoff)
+      val l = T.lineitem(s, dir).filter($"l_shipdate" > cutoff)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(msum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
     // DISTINCT projection (dropDuplicates surface).
     "q27_distinct_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -264,5 +296,25 @@ object Aggregates {
 
     "q27_distinct_pairs" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q39_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+        |  round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q64_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${msumSql("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 }

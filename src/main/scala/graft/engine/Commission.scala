@@ -102,6 +102,16 @@ object Commission {
         floor($"c_custkey" / 2).cast("long").as("referrer_id"))
   }
 
+  /** Memoized 10-level closure over the testdata edges — four verified
+    * queries consume it, and recomputing 10 joins per query is the
+    * materialized-view case: build once per (session, dataset),
+    * persist, reuse. */
+  private val ancCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  def testAncestors(s: SparkSession, dir: String): DataFrame =
+    ancCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      ancestors(testEdges(s, dir), 10).persist())
+
   private val edgesCte =
     """edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer
       |          FROM customer WHERE c_custkey >= 1),
@@ -116,7 +126,7 @@ object Commission {
     // The raw bounded transitive closure (10-level upline walk, §2.6).
     "q30_upline_ancestors" -> ((s, dir) => {
       import s.implicits._
-      ancestors(testEdges(s, dir), 10)
+      testAncestors(s, dir)
         .filter($"descendant" < 200L)
         .orderBy($"descendant", $"level")
     }),
@@ -129,7 +139,7 @@ object Commission {
     // Scaled-integer partial sums re-aggregate exactly.
     "q31_passive_commissions" -> ((s, dir) => {
       import s.implicits._
-      val anc = ancestors(testEdges(s, dir), 10)
+      val anc = testAncestors(s, dir)
       val perCust = T.orders(s, dir).groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_orders"),
           sum(scaled(lit(0.05) * $"o_totalprice")).as("passive_scaled"))
@@ -146,7 +156,7 @@ object Commission {
     "q32_commission_attribution" -> ((s, dir) => {
       import s.implicits._
       val o = T.orders(s, dir)
-      val anc = ancestors(testEdges(s, dir), 10)
+      val anc = testAncestors(s, dir)
       val perUser = anc.groupBy($"descendant")
         .agg(count(lit(1)).as("n_ancestors"),
           max(when($"level" === 1L, $"ancestor")).as("direct_referrer"))
@@ -169,7 +179,7 @@ object Commission {
     // commission_balance ± sites :228,:287,:725 as one view).
     "q33_balance_view" -> ((s, dir) => {
       import s.implicits._
-      val anc = ancestors(testEdges(s, dir), 10)
+      val anc = testAncestors(s, dir)
       val perCust = T.orders(s, dir).groupBy($"o_custkey")
         .agg(sum(scaled(lit(0.05) * $"o_totalprice")).as("passive_scaled"))
       val earned = anc.join(perCust, $"descendant" === $"o_custkey")

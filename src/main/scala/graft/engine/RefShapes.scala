@@ -49,17 +49,33 @@ object RefShapes {
         .orderBy($"o_orderkey")
     }),
 
-    // J1 eager-load: parent row with the joined dimension nested as a
-    // struct (Drizzle's `with: {package}` nested-object result,
-    // render-complete-deploy.js:350-353).
+    // J1/J2 eager-load: parent row with the joined dimension nested as
+    // a struct, two levels deep (Drizzle's `with: {referred: {package}}`
+    // nested-object result, render-complete-deploy.js:386-394).
     "q36_nested_eager_load" -> ((s, dir) => {
       import s.implicits._
       val c = T.customer(s, dir)
       val n = T.nation(s, dir)
+      val r = T.region(s, dir)
       c.join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey", "left")
         .select($"c_custkey", $"c_name",
-          struct($"n_name".as("name"), $"n_regionkey".as("regionkey")).as("nation"))
+          struct($"n_name".as("name"),
+            struct($"r_name".as("name")).as("region")).as("nation"))
         .orderBy($"c_custkey")
+    }),
+
+    // J3: two parallel FK joins hanging off one row (gift_codes →
+    // package AND → redeemer, render-complete-deploy.js:440-447) —
+    // lineitem → part AND → supplier.
+    "q66_parallel_fk_joins" -> ((s, dir) => {
+      import s.implicits._
+      val l = T.lineitem(s, dir).filter($"l_orderkey" < 100L)
+      l.join(broadcast(T.part(s, dir)), $"l_partkey" === $"p_partkey", "left")
+        .join(broadcast(T.supplier(s, dir)), $"l_suppkey" === $"s_suppkey", "left")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"p_name",
+          $"s_name", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -79,7 +95,18 @@ object RefShapes {
 
     "q36_nested_eager_load" ->
       """SELECT c_custkey, c_name,
-        |  struct_pack(name := n_name, regionkey := n_regionkey) AS nation
-        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin)
+        |  struct_pack(name := n_name,
+        |              region := struct_pack(name := r_name)) AS nation
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q66_parallel_fk_joins" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name, s_name, l_quantity
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)
 }
