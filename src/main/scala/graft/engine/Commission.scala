@@ -174,6 +174,19 @@ object Commission {
         .orderBy($"o_orderkey")
     }),
 
+    // §2.6 one-statement alternative: Spark 4's native WITH RECURSIVE
+    // executes the same bounded walk inside Catalyst (SURVEY.md §7.5
+    // open item — confirmed supported). Identical SQL runs on both
+    // engines; output is the per-level pair census.
+    "q67_recursive_cte" -> ((s, dir) => {
+      T.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        s"""WITH RECURSIVE $edgesCte
+           |SELECT lvl AS level, count(*) AS n_pairs,
+           |  count(DISTINCT ancestor) AS n_ancestors
+           |FROM anc GROUP BY lvl ORDER BY lvl""".stripMargin)
+    }),
+
     // AG1/AG2: balance as a pure recomputation — earned commissions
     // minus 'purchase'-event debits (the reference's mutable
     // commission_balance ± sites :228,:287,:725 as one view).
@@ -226,6 +239,12 @@ object Commission {
          |    - ((o_totalprice * 0.12) * CAST(coalesce(n_ancestors, 0) AS DOUBLE))) AS profit
          |FROM orders LEFT JOIN per_user ON o_custkey = descendant
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q67_recursive_cte" ->
+      s"""WITH RECURSIVE $edgesCte
+         |SELECT lvl AS level, count(*) AS n_pairs,
+         |  count(DISTINCT ancestor) AS n_ancestors
+         |FROM anc GROUP BY lvl ORDER BY lvl""".stripMargin,
 
     "q33_balance_view" ->
       s"""WITH RECURSIVE $edgesCte,

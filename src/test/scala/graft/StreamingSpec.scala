@@ -52,4 +52,32 @@ class StreamingSpec extends AnyFunSuite {
     val out = Streams.watermarkedSliding(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
   }
+
+  test("stream-stream join: purchases to clicks within 10 minutes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    def withTs(ms: MemoryStream[Event]) =
+      ms.toDS().withColumn("ts", timestamp_micros($"tsUs")).withWatermark("ts", "30 minutes")
+    val p = withTs(purchases).select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = withTs(clicks).select($"event_id".as("c_id"),
+      $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val joined = p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES") &&
+        $"c_ts" <= $"p_ts")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_test").start()
+    // purchase at t=20min; clicks at 12min (in window) and 5min (outside)
+    purchases.addData(Event(100, 20 * MIN, 1, "purchase", 9.99))
+    clicks.addData(Event(200, 12 * MIN, 1, "click", 0.0),
+      Event(201, 5 * MIN, 1, "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_test")
+      .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((100L, 200L))) // only the in-window click joins
+    q.stop()
+  }
 }
