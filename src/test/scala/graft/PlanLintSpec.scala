@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static plan lint over the whole query surface: no query may plan an
+  * unintentional cartesian product or nested-loop join — the two
+  * shapes that silently work at sf0.1 and detonate at 100 TB.
+  * Intentional exceptions are pinned explicitly. */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a broadcast nested-loop / cartesian:
+    * q09 is the deliberate tiny×tiny cross join; q60/q63 broadcast a
+    * bounded query/codebook set against the corpus (documented in
+    * SCALE.md); q22 broadcasts a 1-row aggregate. */
+  val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
+    "q22_scalar_subquery")
+
+  test("no unintentional cartesian/nested-loop joins in any plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed.contains(name) && name != "q43_stream_tumbling" =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"nested-loop plans found: $offenders")
+  }
+}
