@@ -54,6 +54,7 @@ object Dedup {
         .agg(concat_ws("|",
           max(when($"seed" % 2 === 0, $"mh")),
           max(when($"seed" % 2 === 1, $"mh"))).as("bandkey"))
+        .cache() // both sides of the candidate self-join consume it
       bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
