@@ -67,27 +67,24 @@ object Dedup {
     // 16-bit SimHash fingerprint per document (md5-derived token
     // hashes, per-bit majority vote) — pure integer arithmetic so both
     // engines agree exactly.
-    "q52_simhash" -> ((s, dir) => {
+    "q52_simhash" -> ((s, dir) =>
+      simhashOf(s, dir).orderBy(col("doc_id"))),
+
+    // SimHash pair search: fingerprints within Hamming distance ≤ 3 —
+    // the codegen'd popcount kernel (graft.functions.HammingDistance)
+    // over candidate pairs. At 100 TB the pair space is banded by
+    // masked-fingerprint buckets; at corpus size 500 the full triangle
+    // is exact and cheap.
+    "q68_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val toks = T.documents(s, dir)
-        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
-        .withColumn("h4", substring(md5($"w"), 1, 4))
-        .withColumn("v", expr(
-          """CAST((instr('0123456789abcdef', substr(h4,1,1))-1)*4096
-            |   + (instr('0123456789abcdef', substr(h4,2,1))-1)*256
-            |   + (instr('0123456789abcdef', substr(h4,3,1))-1)*16
-            |   + (instr('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT)""".stripMargin))
-      toks
-        .withColumn("bit", explode(sequence(lit(0), lit(15))))
-        .withColumn("contrib",
-          when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
-            .otherwise(-1L))
-        .groupBy($"doc_id", $"bit")
-        .agg(sum($"contrib").as("lean"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"lean" > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
-        .orderBy($"doc_id")
+      val hd = graft.functions.HammingDistance.hamming(s) _
+      val sh = simhashOf(s, dir).cache()
+      sh.select($"doc_id".as("doc1"), $"simhash".as("h1"))
+        .crossJoin(sh.select($"doc_id".as("doc2"), $"simhash".as("h2")))
+        .filter($"doc1" < $"doc2")
+        .select($"doc1", $"doc2", hd($"h1", $"h2").as("hamming"))
+        .filter($"hamming" <= 3L)
+        .orderBy($"doc1", $"doc2")
     }),
 
     // Exact n-gram Jaccard on shared-shingle candidate pairs —
@@ -110,6 +107,53 @@ object Dedup {
         .filter($"jaccard" >= 0.1)
         .orderBy($"doc1", $"doc2")
     }))
+
+  /** (doc_id, simhash): 16-bit md5-majority SimHash per document. */
+  def simhashOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = T.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+      .withColumn("h4", substring(md5($"w"), 1, 4))
+      .withColumn("v", expr(
+        """CAST((instr('0123456789abcdef', substr(h4,1,1))-1)*4096
+          |   + (instr('0123456789abcdef', substr(h4,2,1))-1)*256
+          |   + (instr('0123456789abcdef', substr(h4,3,1))-1)*16
+          |   + (instr('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT)""".stripMargin))
+    toks
+      .withColumn("bit", explode(sequence(lit(0), lit(15))))
+      .withColumn("contrib",
+        when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
+          .otherwise(-1L))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum($"contrib").as("lean"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"lean" > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  private val simhashCte =
+    """toks AS (
+      |  SELECT doc_id, substr(md5(w), 1, 4) AS h4
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents) raw),
+      |vals AS (
+      |  SELECT doc_id,
+      |    CAST((strpos('0123456789abcdef', substr(h4,1,1))-1)*4096
+      |       + (strpos('0123456789abcdef', substr(h4,2,1))-1)*256
+      |       + (strpos('0123456789abcdef', substr(h4,3,1))-1)*16
+      |       + (strpos('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT) AS v
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS lean
+      |  FROM vals CROSS JOIN (SELECT unnest(range(16)) AS bit) b
+      |  GROUP BY doc_id, bit),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN lean > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private val shinglesCte =
     """toks AS (
@@ -142,27 +186,16 @@ object Dedup {
          |ORDER BY doc1, doc2""".stripMargin,
 
     "q52_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, substr(md5(w), 1, 4) AS h4
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-        |        FROM documents) raw),
-        |vals AS (
-        |  SELECT doc_id,
-        |    CAST((strpos('0123456789abcdef', substr(h4,1,1))-1)*4096
-        |       + (strpos('0123456789abcdef', substr(h4,2,1))-1)*256
-        |       + (strpos('0123456789abcdef', substr(h4,3,1))-1)*16
-        |       + (strpos('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT) AS v
-        |  FROM toks),
-        |bits AS (
-        |  SELECT doc_id, bit,
-        |    sum(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1
-        |             THEN 1 ELSE -1 END) AS lean
-        |  FROM vals CROSS JOIN (SELECT unnest(range(16)) AS bit) b
-        |  GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN lean > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-        |    AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q68_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
 
     "q53_jaccard_pairs" ->
       s"""WITH $shinglesCte,

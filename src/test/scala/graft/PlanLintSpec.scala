@@ -20,9 +20,11 @@ class PlanLintSpec extends AnyFunSuite {
   /** Queries allowed to contain a broadcast nested-loop / cartesian:
     * q09 is the deliberate tiny×tiny cross join; q60/q63 broadcast a
     * bounded query/codebook set against the corpus (documented in
-    * SCALE.md); q22 broadcasts a 1-row aggregate. */
+    * SCALE.md); q22 broadcasts a 1-row aggregate; q68's fingerprint
+    * triangle is bounded by the doc count (banded by masked
+    * fingerprints at scale). */
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
-    "q22_scalar_subquery")
+    "q22_scalar_subquery", "q68_simhash_pairs")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
