@@ -33,16 +33,22 @@ object Commission {
   def ancestors(edges: DataFrame, maxLevels: Int = 10): DataFrame = {
     val e = edges.select(col("referred_id").as("descendant"),
       col("referrer_id").as("ancestor")).persist()
+    // The edge table is thin (two keys per user) — broadcast it so each
+    // of the ≤10 expansion joins is shuffle-free; the frontier never
+    // leaves its partitions. On a cluster where users outgrow the
+    // broadcast threshold, drop the hint (AQE falls back to shuffle
+    // joins) and localCheckpoint each frontier.
+    val eB = broadcast(e.withColumnRenamed("descendant", "e_descendant")
+      .withColumnRenamed("ancestor", "e_ancestor"))
     var frontier = e.withColumn("level", lit(1).cast("long"))
     var acc = frontier
     var lvl = 1
     while (lvl < maxLevels) {
       // next level: current frontier's ancestor is someone's referred
-      frontier = frontier.alias("f")
-        .join(e.alias("e"), col("f.ancestor") === col("e.descendant"))
-        .select(col("f.descendant"), col("e.ancestor"),
-          (col("f.level") + 1).as("level"))
-        .persist()
+      frontier = frontier
+        .join(eB, col("ancestor") === col("e_descendant"))
+        .select(col("descendant"), col("e_ancestor").as("ancestor"),
+          (col("level") + 1).as("level"))
       acc = acc.unionByName(frontier)
       lvl += 1
     }

@@ -43,17 +43,29 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     // MinHash signatures (8 hashes) → LSH bands (4 bands × 2 rows) →
     // candidate pairs where any band collides.
+    //
+    // The entire signature/band computation is MAP-SIDE: per document,
+    // higher-order array functions build the distinct shingle set and
+    // fold each band's two minhashes (`array_min` over md5s) without a
+    // single shuffle — the only shuffle in the query is the band-bucket
+    // self-join. At 100 TB that one shuffle carries 4 short rows per
+    // document, nothing else.
     "q51_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sigs = shingles(s, dir)
-        .withColumn("seed", explode(sequence(lit(0), lit(7))))
-        .groupBy($"doc_id", $"seed")
-        .agg(min(md5(concat($"seed".cast("string"), lit(":"), $"sh"))).as("mh"))
-      val bands = sigs
-        .groupBy($"doc_id", floor($"seed" / 2).cast("long").as("band"))
-        .agg(concat_ws("|",
-          max(when($"seed" % 2 === 0, $"mh")),
-          max(when($"seed" % 2 === 1, $"mh"))).as("bandkey"))
+      val bands = T.documents(s, dir)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .withColumn("shs", expr(
+          """array_distinct(transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2))))""".stripMargin))
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, 3), b -> struct(CAST(b AS BIGINT) AS band,
+            |  concat_ws('|',
+            |    array_min(transform(shs, sh -> md5(concat(CAST(b*2 AS STRING), ':', sh)))),
+            |    array_min(transform(shs, sh -> md5(concat(CAST(b*2+1 AS STRING), ':', sh)))))
+            |    AS bandkey))""".stripMargin)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bandkey".as("bandkey"))
         .cache() // both sides of the candidate self-join consume it
       bands.alias("a")
         .join(bands.alias("b"),
