@@ -56,6 +56,8 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.ops.{AsOfJoin, AsOfJoinNative}
+import graft.plans.GraftExtensions
+
+/** The native (LogicalPlan + Strategy + SparkPlan) as-of join: plan
+  * placement, agreement with the window-based operator on random data,
+  * and the one-shuffle-per-side physical shape. */
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000)
+
+  def randomFrames(seed: Int) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val l = (1 to 200).map(i => (rnd.nextInt(5).toLong, i.toLong, ts(rnd.nextInt(5000))))
+      .toDF("k", "lid", "t")
+    val r = (1 to 200).map(i => (rnd.nextInt(5).toLong, 1000L + i, ts(rnd.nextInt(5000))))
+      .toDF("k", "rid", "rt")
+    (l, r)
+  }
+
+  test("AsOfJoinExec is planned and matches the window-based operator") {
+    val (l, r) = randomFrames(21)
+    val native = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ")) // AsOfJoinExec (nodeName strips Exec)
+    assert(plan.split("Exchange").length == 3, // exactly one shuffle per side
+      s"expected 2 exchanges:\n$plan")
+    val nRows = native.collect()
+      .map(row => (row.getLong(1), Option(row.get(4)).map(_.asInstanceOf[Long])))
+      .toMap
+    val wRows = AsOfJoin.backward(l, r, Seq("k"), "t", "rt", "rid", Seq("rid" -> "rid"))
+      .collect()
+      .map(row => (row.getLong(1), Option(row.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(nRows.size == 200 && nRows == wRows)
+  }
+
+  test("left rows with no preceding right row get nulls (left-outer)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, ts(10)), (2L, 2L, ts(10))).toDF("k", "lid", "t")
+    val r = Seq((1L, 100L, ts(5))).toDF("k", "rid", "rt")
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getLong(4) == 100L)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4)) // key 2: no right rows
+  }
+
+  test("equal-time right rows resolve to the greatest tie-break") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, ts(10))).toDF("k", "lid", "t")
+    val r = Seq((1L, 100L, ts(10)), (1L, 200L, ts(10))).toDF("k", "rid", "rt")
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid").collect()
+    assert(out.head.getLong(4) == 200L)
+  }
+}
