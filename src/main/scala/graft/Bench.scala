@@ -15,7 +15,7 @@ object Bench {
     // happens to run first
     try {
       graft.engine.Tables.all.foreach(t =>
-        graft.engine.Tables.load(spark, sfDir, t).count())
+        graft.engine.Tables.table(spark, sfDir, t).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

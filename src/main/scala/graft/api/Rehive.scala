@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Commission
 
 /** Facade: every data-bearing API route of the reference mapped to its
@@ -72,14 +73,23 @@ object Rehive {
     *         valid redemption — direct to creator, passive to ≤10
     *         ancestors.
     */
-  def redeem(d: RehiveData, redemptions: DataFrame,
-             directRate: Column => Column = p => p * 0.10,
-             passiveRate: Column => Column = p => p * 0.05): DataFrame = {
-    val valid = redemptions
+  def redeem(d: RehiveData, redemptions: DataFrame): DataFrame = {
+    val guarded = redemptions
       .join(d.giftCodes.filter(!col("is_redeemed"))
         .select(col("id").as("gift_code_id"), col("code"),
           col("package_id"), col("created_by")), Seq("code"))
       .filter(col("created_by") =!= col("redeemer_id")) // self-redeem ban :472-474
+    // First-wins per code: the reference marks the code redeemed right
+    // after the first redemption (:476-482), so a second attempt in the
+    // same batch must hit the !is_redeemed guard and pay nothing.
+    // Batch equivalent: keep exactly one redemption per gift_code_id
+    // (deterministic tie-break on redeemer_id — sequential arrival
+    // order doesn't exist in a batch).
+    val firstWins = Window.partitionBy(col("gift_code_id"))
+      .orderBy(col("redeemer_id"))
+    val valid = guarded
+      .withColumn("__rn", row_number().over(firstWins))
+      .filter(col("__rn") === 1).drop("__rn")
       .join(broadcast(d.packages.select(col("id").as("pk_id"), col("price"),
         col("direct_commission_rate"), col("passive_commission_rate"))),
         col("package_id") === col("pk_id"))

@@ -31,7 +31,7 @@ object Catalog {
   def registerAll(s: SparkSession, sfDir: String, db: String = "graft"): Unit = {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     Tables.all.foreach { t =>
-      Tables.load(s, sfDir, t).write.mode("overwrite").saveAsTable(s"$db.$t")
+      Tables.table(s, sfDir, t).write.mode("overwrite").saveAsTable(s"$db.$t")
     }
   }
 

@@ -27,9 +27,12 @@ object Multimodal {
                            channels: Int, histogram: Array[Float])
 
   /** Ingest a directory of opaque files as (path, modificationTime,
-    * length, content) rows — Spark's binaryFile source. */
-  def readBinary(s: SparkSession, glob: String): DataFrame =
-    s.read.format("binaryFile").load(glob)
+    * length, content) rows — Spark's binaryFile source. The glob rides
+    * in `pathGlobFilter` rather than the load path: a glob in the path
+    * makes FileStreamSink's metadata probe log a spurious
+    * FileNotFoundException stack trace for the literal `*` path. */
+  def readBinary(s: SparkSession, dir: String, glob: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
   /** Metadata + content hash (all real computation). */
   def withMeta(bin: DataFrame): DataFrame =
@@ -81,7 +84,7 @@ object Multimodal {
     // the weaker rows-only check.
     "q70_binary_ingest" -> ((s, dir) => {
       import s.implicits._
-      withMeta(readBinary(s, s"$dir/*.parquet"))
+      withMeta(readBinary(s, dir, "*.parquet"))
         .select(
           element_at(split($"path", "/"), -1).as("file_name"),
           $"ext", $"length", $"content_md5")

@@ -51,7 +51,10 @@ object RefShapes {
 
     // J1/J2 eager-load: parent row with the joined dimension nested as
     // a struct, two levels deep (Drizzle's `with: {referred: {package}}`
-    // nested-object result, render-complete-deploy.js:386-394).
+    // nested-object result, render-complete-deploy.js:386-394). The
+    // verified output serializes the nested struct with to_json — the
+    // driver's pandas compare can't sort raw struct (dict) columns —
+    // while the struct construction itself stays the operator under test.
     "q36_nested_eager_load" -> ((s, dir) => {
       import s.implicits._
       val c = T.customer(s, dir)
@@ -60,8 +63,8 @@ object RefShapes {
       c.join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey", "left")
         .select($"c_custkey", $"c_name",
-          struct($"n_name".as("name"),
-            struct($"r_name".as("name")).as("region")).as("nation"))
+          to_json(struct($"n_name".as("name"),
+            struct($"r_name".as("name")).as("region"))).as("nation"))
         .orderBy($"c_custkey")
     }),
 
@@ -95,8 +98,8 @@ object RefShapes {
 
     "q36_nested_eager_load" ->
       """SELECT c_custkey, c_name,
-        |  struct_pack(name := n_name,
-        |              region := struct_pack(name := r_name)) AS nation
+        |  CAST(to_json(struct_pack(name := n_name,
+        |                           region := struct_pack(name := r_name))) AS VARCHAR) AS nation
         |FROM customer
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey

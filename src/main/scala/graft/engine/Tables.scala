@@ -40,8 +40,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Load by name through the table-specific accessor — `events` needs
+    * the nanos handling above; a plain `load("events")` fails schema
+    * conversion (PARQUET_TYPE_ILLEGAL) until the legacy flag is set. */
+  def table(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
+
   /** Register every table as a temp view (for SQL-surface queries like
     * GROUPING SETS that Spark only exposes through SQL). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Backward as-of join ("most recent right row at-or-before each left
   * row's time, per key") — an operator Spark lacks natively
@@ -38,32 +39,39 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(by.contains).toSeq
     val tieType = right.schema(tieBreak).dataType
 
+    // All payload columns ride in ONE struct: the struct is non-null for
+    // every right row (even when all its fields are null), so
+    // last(ignoreNulls) lands on the most recent right ROW — nulls
+    // inside that row are preserved, and every payload column is
+    // guaranteed to come from the same right row. Carrying columns
+    // individually would let last() skip a matched row's null value and
+    // splice in an older row's value (merge_asof divergence).
+    val payloadType = StructType(payload.map { case (rc, out) =>
+      StructField(out, right.schema(rc).dataType, nullable = true) })
+
     val lSide = left.select(
       by.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__isL"),
-          lit(null).cast(tieType).as("__tie")) ++
-        payload.map { case (rc, out) =>
-          lit(null).cast(right.schema(rc).dataType).as(s"__m_$out") } ++
+          lit(null).cast(tieType).as("__tie"),
+          lit(null).cast(payloadType).as("__m")) ++
         leftPayload.map(col): _*)
 
     val rSide = right.select(
       by.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__isL"),
-          col(tieBreak).cast(tieType).as("__tie")) ++
-        payload.map { case (rc, out) => col(rc).as(s"__m_$out") } ++
+          col(tieBreak).cast(tieType).as("__tie"),
+          struct(payload.map { case (rc, out) => col(rc).as(out) }: _*).as("__m")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__t").asc, col("__isL").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = payload.foldLeft(lSide.unionByName(rSide)) {
-      case (df, (_, out)) =>
-        df.withColumn(s"__m_$out", last(col(s"__m_$out"), ignoreNulls = true).over(w))
-    }
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
 
     matched.filter(col("__isL") === 1)
       .select(by.map(col) ++ leftPayload.map(col) ++
-        payload.map { case (_, out) => col(s"__m_$out").as(out) }: _*)
+        payload.map { case (_, out) => col("__m")(out).as(out) }: _*)
   }
 }

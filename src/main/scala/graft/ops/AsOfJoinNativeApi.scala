@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
+import org.apache.spark.sql.types._
 import graft.plans.AsOfJoinPlan
 
 /** DataFrame-level entry point for the native as-of join operator
@@ -24,9 +25,24 @@ object AsOfJoinNative {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
+    // AsOfJoinExec reads time values with UnsafeRow.getLong, which is
+    // only valid for 8-byte-backed types. Narrower integral/date types
+    // get an explicit Cast to LongType; anything else (string, double,
+    // decimal…) is rejected up front instead of silently reading
+    // garbage. Null time values are defined by the exec as
+    // never-matching (left row with null time → unmatched output row;
+    // right row with null time → skipped).
+    def timeExpr(a: Attribute): Expression = a.dataType match {
+      case LongType | TimestampType | TimestampNTZType => a
+      case ByteType | ShortType | IntegerType | DateType => Cast(a, LongType)
+      case dt => throw new IllegalArgumentException(
+        s"as-of time column ${a.name} has unsupported type $dt " +
+          "(need an integral, date, or timestamp type)")
+    }
     GraftBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lPlan, rPlan,
         by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak)))
+        timeExpr(attr(lPlan, leftTime)), timeExpr(attr(rPlan, rightTime)),
+        attr(rPlan, tieBreak)))
   }
 }

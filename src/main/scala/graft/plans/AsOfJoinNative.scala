@@ -64,17 +64,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // one-row lookahead into the right side
+        // one-row lookahead into the right side; right rows with a NULL
+        // time never match anything (merge_asof semantics) — skip them
+        // here rather than letting getLong read an undefined value.
         var rHead: InternalRow = _
         var rHeadKey: UnsafeRow = _
         var rHeadTime: Long = 0L
-        def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        def advanceRight(): Unit = {
+          rHead = null; rHeadKey = null
+          while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
-            rHead = r.copy()
-            rHeadKey = rKeyProj(r).copy()
-            rHeadTime = rTimeProj(rHead).getLong(0)
-          } else { rHead = null; rHeadKey = null }
+            val tRow = rTimeProj(r)
+            if (!tRow.isNullAt(0)) {
+              rHeadTime = tRow.getLong(0)
+              rHead = r.copy()
+              rHeadKey = rKeyProj(r).copy()
+            }
+          }
+        }
         advanceRight()
 
         // most recent right row consumed for the current key
@@ -85,18 +92,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val l = lIter.next()
           val k = lKeyProj(l)
-          val t = lTimeProj(l).getLong(0)
-          var advancing = true
-          while (advancing && rHead != null) {
-            val cmp = keyOrd.compare(rHeadKey, k)
-            if (cmp < 0) advanceRight() // right side behind on key
-            else if (cmp == 0 && rHeadTime <= t) {
-              lastMatch = rHead; lastMatchKey = rHeadKey
-              advanceRight()
-            } else advancing = false
+          val tRow = lTimeProj(l)
+          // a left row with NULL time matches nothing, but is still
+          // emitted (left-outer) with a null right side
+          if (tRow.isNullAt(0)) {
+            outProj(joined(l, nullRight))
+          } else {
+            val t = tRow.getLong(0)
+            var advancing = true
+            while (advancing && rHead != null) {
+              val cmp = keyOrd.compare(rHeadKey, k)
+              if (cmp < 0) advanceRight() // right side behind on key
+              else if (cmp == 0 && rHeadTime <= t) {
+                lastMatch = rHead; lastMatchKey = rHeadKey
+                advanceRight()
+              } else advancing = false
+            }
+            val matched = lastMatchKey != null && keyOrd.compare(lastMatchKey, k) == 0
+            outProj(joined(l, if (matched) lastMatch else nullRight))
           }
-          val matched = lastMatchKey != null && keyOrd.compare(lastMatchKey, k) == 0
-          outProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
     }

@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Expression, If, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
 import graft.functions.CosineSimilarity
 
 /** Custom optimizer surface (SURVEY.md §2.9 preference ladder, rung c:
@@ -47,8 +47,16 @@ case class ArrayAnyNonZero(child: Expression) extends UnaryExpression {
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+      // Non-nullable input: the bare If is exact.
+      case CosineSimilarity(a, b)
+          if a.deterministic && a.semanticEquals(b) && !a.nullable =>
         If(ArrayAnyNonZero(a), Literal(1.0), Literal(0.0))
+      // Nullable input: cosine_sim(NULL, NULL) is NULL, but If treats a
+      // null predicate as false (would yield 0.0 and flip nullability),
+      // so guard with an explicit IsNull branch.
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal(null, DoubleType),
+          If(ArrayAnyNonZero(a), Literal(1.0), Literal(0.0)))
     }
 }
 

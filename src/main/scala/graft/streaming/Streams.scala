@@ -54,8 +54,14 @@ object Streams {
   }
 
   /** Watermarked sliding-window aggregation (late data beyond 2 hours
-    * dropped) — append-mode demo; in a bounded replay all windows close,
-    * so the final table matches the batch computation. */
+    * dropped) — append-mode demo. Append mode only emits a window once
+    * the watermark passes its end, and the watermark trails max event
+    * time by 2 hours — so windows ending within 2 hours of the last
+    * event are still open when the bounded replay drains and are NEVER
+    * emitted. The result is the batch sliding-window computation minus
+    * that unflushable tail (StreamingSpec asserts exactly this); a
+    * complete-mode sink (tumblingCounts above) is the variant with full
+    * batch equivalence. */
   def watermarkedSliding(s: SparkSession, dir: String): DataFrame = {
     val qn = "stream_sliding_" + math.abs(dir.hashCode)
     val q = eventStream(s, dir)

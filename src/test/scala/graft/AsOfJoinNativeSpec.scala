@@ -67,4 +67,36 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid").collect()
     assert(out.head.getLong(4) == 200L)
   }
+
+  test("integer time columns are cast, not read as 8-byte garbage") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10), (1L, 2L, 3)).toDF("k", "lid", "t") // IntegerType time
+    val r = Seq((1L, 100L, 5)).toDF("k", "rid", "rt")
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getLong(4) == 100L)  // t=10 matches rt=5
+    assert(out(1).isNullAt(4))         // t=3 precedes every right row
+  }
+
+  test("unsupported time types are rejected up front") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "ten")).toDF("k", "lid", "t")
+    val r = Seq((1L, 100L, "five")).toDF("k", "rid", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("null times never match: right nulls skipped, left nulls unmatched") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, Some(10L)), (1L, 2L, None))
+      .toDF("k", "lid", "t")
+    val r = Seq((1L, 100L, Some(5L)), (1L, 999L, None))
+      .toDF("k", "rid", "rt")
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getLong(4) == 100L)  // null-time right row 999 skipped
+    assert(out(1).isNullAt(4))         // null-time left row emitted unmatched
+  }
 }

@@ -36,6 +36,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.count() == 500)
   }
 
+  test("self-cosine rewrite preserves NULL on nullable array input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cos = CosineSimilarity.cosineSim(spark) _
+    // embeddings.embedding is nullable in the parquet footer; inject an
+    // actual NULL row through a when() so the rewrite's null branch is
+    // exercised end-to-end. cosine_sim(NULL, NULL) must stay NULL —
+    // a bare If would coerce it to 0.0 and flip schema nullability.
+    val df = graft.engine.Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        when($"vec_id" =!= 0L, $"embedding").as("e"))
+      .select($"vec_id", cos($"e", $"e").as("self_cos"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"), s"rule did not fire:\n$optimized")
+    assert(df.schema("self_cos").nullable)
+    val nullRow = df.filter($"vec_id" === 0L).collect().head
+    assert(nullRow.isNullAt(1), "cosine_sim(NULL, NULL) must be NULL, not 0.0")
+    assert(df.filter($"vec_id" =!= 0L && $"self_cos" =!= 1.0).count() == 0)
+  }
+
   test("cosine_sim(x, y) with distinct inputs is NOT rewritten") {
     import spark.implicits._
     val cos = CosineSimilarity.cosineSim(spark) _

@@ -33,6 +33,21 @@ class OpsSpec extends AnyFunSuite {
       (2L, "t3", None)))
   }
 
+  test("AsOfJoin preserves NULL payload values of the matched right row") {
+    import spark.implicits._
+    // Matched (most recent) right row has px = NULL; an older right row
+    // has a non-null px. Carrying payload columns individually would
+    // skip the null and splice in 100.0 from the older row — the struct
+    // carrier must return (NULL px, "late" src) from the SAME row.
+    val l = Seq((1L, ts(30), "x")).toDF("k", "t", "which")
+    val r = Seq((1L, ts(10), Some(100.0), "early"), (1L, ts(20), None, "late"))
+      .toDF("k", "qt", "px", "src")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", "qt", "src",
+      Seq("px" -> "px", "src" -> "src")).collect().head
+    assert(out.isNullAt(out.fieldIndex("px")))
+    assert(out.getString(out.fieldIndex("src")) == "late")
+  }
+
   test("AsOfJoin equal-time ties resolve to greatest tie-break") {
     import spark.implicits._
     val l = Seq((1L, ts(10), "x")).toDF("k", "t", "which")
@@ -85,7 +100,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("Multimodal binary ingest + stub decode plumbing") {
     val dir = "/root/testdata/sf0.001"
-    val bin = graft.engine.Multimodal.readBinary(spark, s"$dir/*.parquet")
+    val bin = graft.engine.Multimodal.readBinary(spark, dir, "*.parquet")
     assert(bin.count() == 10)
     val feats = graft.engine.Multimodal.decodeImages(
       graft.engine.Multimodal.withMeta(bin)).collect()

@@ -79,6 +79,22 @@ class RehiveApiSpec extends AnyFunSuite {
     assert(Rehive.redeem(d, events).count() == 0)
   }
 
+  test("redeem: duplicate redemptions of one code in a batch pay once (first-wins)") {
+    import spark.implicits._
+    val d = fixture()
+    // Two redeemers race for the same unredeemed code: the reference's
+    // sequential path marks it redeemed after the first, so the second
+    // hits the !is_redeemed guard — only ONE cascade may be paid.
+    val events = Seq(("CODE10", "u11"), ("CODE10", "u9")).toDF("code", "redeemer_id")
+    val comm = Rehive.redeem(d, events).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(comm.count(_._3 == "direct") == 1)
+    // deterministic winner: least redeemer_id ("u11" < "u9" lexically)
+    val single = Rehive.redeem(d, Seq(("CODE10", "u11")).toDF("code", "redeemer_id"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(comm.sorted == single.sorted)
+  }
+
   test("withdrawal request validates against recomputed balance (P8)") {
     import spark.implicits._
     val d = fixture()

@@ -48,9 +48,26 @@ class StreamingSpec extends AnyFunSuite {
       batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
-  test("watermarked sliding windows emit all windows on bounded replay") {
-    val out = Streams.watermarkedSliding(spark, "/root/testdata/sf0.001")
-    assert(out.count() > 0)
+  test("watermarked sliding windows = batch sliding minus unflushable tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Streams.watermarkedSliding(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // Append mode can only flush a window once the watermark (max event
+    // time - 2h) passes its end: the batch equivalent is the sliding
+    // aggregation restricted to windows ending at or before that final
+    // watermark. Windows in the 2h tail are never emitted.
+    val ev = graft.engine.Tables.events(spark, dir)
+    val maxTs = ev.agg(max($"ts")).collect()(0).getTimestamp(0)
+    val batch = ev
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"w.end" <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .select($"w.start", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(out.nonEmpty)
+    assert(out == batch)
   }
 
   test("stream-stream join: purchases to clicks within 10 minutes") {
