@@ -31,24 +31,33 @@ object Commission {
     * @return (descendant, ancestor, level) with level in 1..maxLevels.
     */
   def ancestors(edges: DataFrame, maxLevels: Int = 10): DataFrame = {
+    // NOT spread: each level is a broadcast-hash probe over a thin edge
+    // set — single-task is fine here, and a 32-wide frontier would turn
+    // the 10-level union into 320 partitions of pure task overhead for
+    // every downstream consumer.
     val e = edges.select(col("referred_id").as("descendant"),
       col("referrer_id").as("ancestor")).persist()
     // The edge table is thin (two keys per user) — broadcast it so each
     // of the ≤10 expansion joins is shuffle-free; the frontier never
     // leaves its partitions. On a cluster where users outgrow the
     // broadcast threshold, drop the hint (AQE falls back to shuffle
-    // joins) and localCheckpoint each frontier.
+    // joins).
     val eB = broadcast(e.withColumnRenamed("descendant", "e_descendant")
       .withColumnRenamed("ancestor", "e_ancestor"))
     var frontier = e.withColumn("level", lit(1).cast("long"))
     var acc = frontier
     var lvl = 1
     while (lvl < maxLevels) {
-      // next level: current frontier's ancestor is someone's referred
+      // next level: current frontier's ancestor is someone's referred.
+      // localCheckpoint flattens lineage: without it, branch k of the
+      // final union is a k-deep join chain — the whole plan carries
+      // O(maxLevels²) join nodes through analysis/codegen, which at
+      // depth 10 costs more than the data itself.
       frontier = frontier
         .join(eB, col("ancestor") === col("e_descendant"))
         .select(col("descendant"), col("e_ancestor").as("ancestor"),
           (col("level") + 1).as("level"))
+        .localCheckpoint()
       acc = acc.unionByName(frontier)
       lvl += 1
     }
@@ -183,7 +192,10 @@ object Commission {
     // §2.6 one-statement alternative: Spark 4's native WITH RECURSIVE
     // executes the same bounded walk inside Catalyst (SURVEY.md §7.5
     // open item — confirmed supported). Identical SQL runs on both
-    // engines; output is the per-level pair census.
+    // engines; output is the per-level pair census. (Measured: feeding
+    // the recursion a pre-persisted edge view is SLOWER than letting it
+    // re-derive edges from the 300KB parquet — the cached-plan scan
+    // inside the recursive loop costs more than the rescan.)
     "q67_recursive_cte" -> ((s, dir) => {
       T.customer(s, dir).createOrReplaceTempView("customer")
       s.sql(

@@ -29,7 +29,7 @@ object Dedup {
     * (self-joins would otherwise recompute the subplan per alias). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T.documents(s, dir)
+    T.spread(T.documents(s, dir))
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= 3) // sequence(1,0) would run DESCENDING
       .select($"doc_id", explode(expr(
@@ -52,7 +52,9 @@ object Dedup {
     // document, nothing else.
     "q51_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val bands = T.documents(s, dir)
+      // spread: the md5 minhash fold is the expensive stage and would
+      // otherwise run in the scan's single task (one-row-group file)
+      val bands = T.spread(T.documents(s, dir))
         .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
         .filter(size($"ws") >= 3)
         .withColumn("shs", expr(

@@ -80,7 +80,9 @@ object Similarity {
     "q63_ivf_ann" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
-      val emb = T.embeddings(s, dir)
+      // spread: the centroid-assignment kernel (8 cosines per vector)
+      // otherwise runs in the single-task scan of the one-row-group file
+      val emb = T.spread(T.embeddings(s, dir))
       val cents = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
       val wAssign = Window.partitionBy($"vec_id")
@@ -108,7 +110,7 @@ object Similarity {
     "q62_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
-      val emb = T.embeddings(s, dir).withColumn("bucket", bucketOf($"embedding"))
+      val emb = T.spread(T.embeddings(s, dir)).withColumn("bucket", bucketOf($"embedding"))
       val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"), $"bucket")
       val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"bucket")
       a.join(b, Seq("bucket"))

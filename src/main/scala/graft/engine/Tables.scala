@@ -46,6 +46,19 @@ object Tables {
   def table(s: SparkSession, d: String, name: String): DataFrame =
     if (name == "events") events(s, d) else load(s, d, name)
 
+  /** Fan a scan out to every core. The testdata files are SINGLE
+    * row-group parquet, so Spark cannot split the scan below one task —
+    * and everything up to the first exchange (hash kernels, cosine
+    * loops, shingling) inherits that one-task parallelism. The explicit
+    * round-robin exchange costs one pass over a sub-10MB file and buys
+    * full-width execution for the map-heavy stage behind it. On a
+    * production layout (many files / row groups, maxPartitionBytes
+    * sized to the cluster) the scan splits by itself and this wrapper
+    * is dropped — it exists because of the fixture layout, not the
+    * algorithm. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view (for SQL-surface queries like
     * GROUPING SETS that Spark only exposes through SQL). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
