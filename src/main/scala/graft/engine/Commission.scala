@@ -198,11 +198,40 @@ object Commission {
     // inside the recursive loop costs more than the rescan.)
     "q67_recursive_cte" -> ((s, dir) => {
       T.customer(s, dir).createOrReplaceTempView("customer")
-      s.sql(
-        s"""WITH RECURSIVE $edgesCte
+      // Same SQL as the oracle, plus a BROADCAST hint inside the
+      // recursive member: each of the 10 iterations joins the
+      // materialized frontier against the thin edge set, and the hint
+      // keeps every iteration shuffle-free (same reasoning as
+      // ancestors() above — the frontier never leaves its partitions).
+      // DuckDB parses /*+ … */ as a plain comment, but the hint is
+      // Spark-side-only anyway.
+      //
+      // Shuffle width 8, not the session's CPU-count default: the
+      // recursion runs ~10 iterations over sub-MB frontiers plus a
+      // count(DISTINCT) expand, and every iteration pays scheduling for
+      // the full shuffle width (measured 2× total-time at width 32 vs
+      // 8). Width is a plan-time conf, so the recursion is executed
+      // eagerly (localCheckpoint) while the narrow setting is active —
+      // appropriate for an operator whose execution model is iterative
+      // materialization anyway. Iteration width ≠ CPU count; size it to
+      // the frontier (cf. Streams.tumblingCounts on state width).
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try s.sql(
+        s"""WITH RECURSIVE
+           |edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer
+           |          FROM customer WHERE c_custkey >= 1),
+           |anc(descendant, ancestor, lvl) AS (
+           |  SELECT referred, referrer, CAST(1 AS BIGINT) FROM edges
+           |  UNION ALL
+           |  SELECT /*+ BROADCAST(e) */ a.descendant, e.referrer, a.lvl + 1
+           |  FROM anc a JOIN edges e ON e.referred = a.ancestor
+           |  WHERE a.lvl < 10)
            |SELECT lvl AS level, count(*) AS n_pairs,
            |  count(DISTINCT ancestor) AS n_ancestors
            |FROM anc GROUP BY lvl ORDER BY lvl""".stripMargin)
+        .localCheckpoint()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
     // AG1/AG2: balance as a pure recomputation — earned commissions

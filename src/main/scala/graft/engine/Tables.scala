@@ -16,8 +16,19 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One resolved scan per (session, dir, table). `spark.read.parquet`
+    * builds a fresh InMemoryFileIndex and re-reads the footer schema on
+    * every call; with ~60 queries × 2-3 tables each, that's hundreds of
+    * redundant file listings per run. DataFrames are immutable, so
+    * handing every query the same relation object is semantically
+    * transparent — data is still scanned per action, only the listing/
+    * schema step is shared. (The metastore swap at scale gets this for
+    * free from the catalog's relation cache.) */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

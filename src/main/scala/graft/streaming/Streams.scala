@@ -41,13 +41,24 @@ object Streams {
     * DataFrame (verified against the same oracle as the batch variant). */
   def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
     val qn = "stream_tumbling_" + math.abs(dir.hashCode)
-    val q = eventStream(s, dir)
+    // Streaming state is partitioned by the shuffle width AT QUERY START
+    // and every micro-batch pays one state-store commit (delta file +
+    // snapshot bookkeeping) PER PARTITION. The aggregate here has ~100s
+    // of distinct (window, type) keys — 8 stores is plenty; 32 just
+    // multiplies checkpoint-file churn. Sizing state partitions to key
+    // cardinality (not CPU count) is the real tuning rule at scale too:
+    // state width is fixed for the query's lifetime, so pick it for the
+    // state, and let stateless stages get their width from AQE.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try eventStream(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), msum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(qn).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
     q.processAllAvailable()
     q.stop()
     s.table(qn).orderBy("window_start", "event_type")
