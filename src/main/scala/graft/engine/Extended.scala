@@ -1,0 +1,249 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Tables => T}
+import graft.engine.Exact._
+
+/** Round-2 operator widening: reshaping (pivot/unpivot), distribution
+  * window functions, RANGE frames, higher-order array functions,
+  * deterministic hash sampling, the TPC-H Q18 large-agg shape, and an
+  * ordered event funnel.
+  *
+  * These extend SURVEY.md §2.4/§2.7/§2.8 beyond the reference's own
+  * surface the same way the reporting queries do: the reference imports
+  * an aggregation surface it never calls (drizzle `sum`/`count`,
+  * render-complete-deploy.js:16), and its admin views (e.g. withdrawal
+  * status lists, render-complete-deploy.js:693-696) are one pivot away
+  * from status×package matrices. Everything here is oracle-verified
+  * (DuckDB, bit-exact) and keeps the Exact scaled-integer discipline
+  * for money sums.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // PIVOT: order status × priority matrix (count + exact revenue per
+    // cell). Explicit pivot-value list => single-pass, no distinct-scan;
+    // at scale this is one hash aggregate, identical cost to a plain
+    // groupBy with 3× the columns.
+    "q44_pivot" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), msum($"o_totalprice").as("total"))
+        .select($"o_orderpriority",
+          $"F_n".as("n_f"), $"F_total".as("total_f"),
+          $"O_n".as("n_o"), $"O_total".as("total_o"),
+          $"P_n".as("n_p"), $"P_total".as("total_p"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // UNPIVOT/melt: wide per-region metrics → long (metric, value) form
+    // via Dataset.unpivot (Spark's native UNPIVOT — a generator, no
+    // shuffle beyond the feeding aggregate).
+    "q45_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      val m = T.customer(s, dir)
+        .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).cast("double").as("n_customers"),
+          msum($"c_acctbal").as("total_bal"))
+      m.unpivot(Array($"r_name"), Array($"n_customers", $"total_bal"),
+          "metric", "value")
+        .orderBy($"r_name", $"metric")
+    }),
+
+    // Distribution window functions: ntile/percent_rank/cume_dist over
+    // a total order (acctbal, custkey — unique, so ranks are exact and
+    // both engines compute the same (rank-1)/(N-1) IEEE division).
+    // Note the unpartitioned window: fine here, but at 100 TB a global
+    // rank is a single-reducer sort — use approx quantiles or a
+    // two-pass range-partitioned rank instead (see SCALE.md).
+    "q46_ntile_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      T.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy($"c_custkey")
+    }),
+
+    // RANGE frame on event time: per user, trailing-1-hour event count
+    // and exact value sum. The frame is over the microsecond epoch (a
+    // plain numeric RANGE — portable), partitioned by user so the sort
+    // is distributed.
+    "q47_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-3600000000L, 0)
+      T.events(s, dir)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .select($"user_id", $"event_id", $"ts",
+          count(lit(1)).over(w).as("n_1h"),
+          (sum(scaled($"value")).over(w).cast("double") / 10000.0).as("val_1h"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
+    // Higher-order array functions over the 64-dim embeddings: filter
+    // (positive-component count), aggregate (sequential-fold L2 norm),
+    // zip_with (dot product with the reversed vector). Scores rounded
+    // to 6 like the cosine queries (float32 inputs, double folds —
+    // last-ulp association noise only).
+    "q48_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val sq = (acc: Column, x: Column) => acc + x.cast("double") * x.cast("double")
+      T.embeddings(s, dir)
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          size(filter($"embedding", x => x > lit(0f))).cast("long").as("n_pos"),
+          round(sqrt(aggregate($"embedding", lit(0.0), sq)), 6).as("l2_norm"),
+          round(aggregate(
+            zip_with($"embedding", reverse($"embedding"),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("dot_rev"))
+        .orderBy($"vec_id")
+    }),
+
+    // Deterministic hash sampling: a 1/16 keyed sample via the first
+    // md5 nibble — stable across engines, runs, and partitionings
+    // (unlike TABLESAMPLE/rand), so downstream aggregates are
+    // reproducible. This is the scale pattern for data-pipeline QA
+    // sampling: the predicate pushes to the scan and costs one hash
+    // per row, no shuffle.
+    "q49_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .filter(substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), msum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): fact-side pre-aggregate
+    // with a HAVING filter, then join back to the dimensions — the agg
+    // shrinks lineitem ~4:1 before any join, and only qualifying orders
+    // reach the join (semi-join-like reduction). l_quantity is
+    // integer-valued, so the double sum is exact at any parallelism.
+    "q65_tpch_q18" -> ((s, dir) => {
+      import s.implicits._
+      val big = T.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 150.0)
+      T.orders(s, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(T.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"sum_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Ordered event funnel (signup → view → purchase): per-user minimum
+    // step times, then strict-order counts. One hash aggregate per
+    // stage; no self-joins — the canonical scalable funnel layout.
+    "q69_funnel" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+          min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+        .agg(
+          count($"t_signup").as("n_signup"),
+          count(when($"t_view" > $"t_signup", true)).as("n_view_after"),
+          count(when($"t_purchase" > $"t_view" && $"t_view" > $"t_signup",
+            true)).as("n_full_funnel"))
+    }))
+
+  private def msumIfSql(cond: String, expr: String): String =
+    s"CAST(sum(CASE WHEN $cond THEN ${scaledSql(expr)} END) AS DOUBLE)/10000.0"
+
+  val oracle: Map[String, String] = Map(
+    "q44_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  count(*) FILTER (WHERE o_orderstatus='F') AS n_f,
+         |  ${msumIfSql("o_orderstatus='F'", "o_totalprice")} AS total_f,
+         |  count(*) FILTER (WHERE o_orderstatus='O') AS n_o,
+         |  ${msumIfSql("o_orderstatus='O'", "o_totalprice")} AS total_o,
+         |  count(*) FILTER (WHERE o_orderstatus='P') AS n_p,
+         |  ${msumIfSql("o_orderstatus='P'", "o_totalprice")} AS total_p
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT r_name, CAST(count(*) AS DOUBLE) AS n_customers,
+         |    ${msumSql("c_acctbal")} AS total_bal
+         |  FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY r_name)
+         |SELECT r_name, 'n_customers' AS metric, n_customers AS value FROM m
+         |UNION ALL
+         |SELECT r_name, 'total_bal' AS metric, total_bal AS value FROM m
+         |ORDER BY r_name, metric""".stripMargin,
+
+    "q46_ntile_dist" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q47_range_frame" ->
+      s"""SELECT user_id, event_id, ts,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(sum(${scaledSql("value")}) OVER w AS DOUBLE)/10000.0 AS val_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q48_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                         list_reverse(CAST(embedding AS DOUBLE[]))), 6) AS dot_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q49_hash_sample" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${msumSql("o_totalprice")} AS total
+         |FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q65_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 150.0) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q69_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type='signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type='view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_signup) AS n_signup,
+        |  count(CASE WHEN t_view > t_signup THEN 1 END) AS n_view_after,
+        |  count(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
+        |    AS n_full_funnel
+        |FROM u""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Extended
+
+/** Semantic invariants for the round-2 Extended operators (value-level
+  * correctness is the DuckDB oracle; these pin the properties the
+  * oracle can't express: determinism, cross-query consistency, bounds). */
+class ExtendedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q44 pivot cells sum to the unpivoted totals") {
+    import spark.implicits._
+    val p = Extended.queries("q44_pivot")(spark, dir)
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val pivotN = p.select((coalesce($"n_f", lit(0L)) + coalesce($"n_o", lit(0L)) +
+        coalesce($"n_p", lit(0L))).as("n"))
+      .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head()
+    val total = graft.engine.Tables.orders(spark, dir).count()
+    assert(pivotN == total, "pivot must partition all orders exactly once")
+  }
+
+  test("q46 distribution functions stay in bounds") {
+    import spark.implicits._
+    val d = Extended.queries("q46_ntile_dist")(spark, dir)
+      .select($"quartile", $"pct_rank", $"cdist")
+      .as[(Long, Double, Double)].collect()
+    assert(d.forall { case (q, pr, cd) =>
+      q >= 1 && q <= 4 && pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0
+    })
+  }
+
+  test("q47 range frame counts at least the current row") {
+    import spark.implicits._
+    val bad = Extended.queries("q47_range_frame")(spark, dir)
+      .filter($"n_1h" < 1).count()
+    assert(bad == 0)
+  }
+
+  test("q49 hash sample is deterministic across runs and partitionings") {
+    val a = Extended.queries("q49_hash_sample")(spark, dir).collect().toSeq
+    val b = Extended.queries("q49_hash_sample")(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q65 q18-shape output is capped and ordered by totalprice desc") {
+    import spark.implicits._
+    val rows = Extended.queries("q65_tpch_q18")(spark, dir)
+      .select($"o_totalprice").as[Double].collect()
+    assert(rows.length <= 100)
+    assert(rows.sameElements(rows.sortBy(-_)))
+  }
+
+  test("q69 funnel stages are monotonically non-increasing") {
+    import spark.implicits._
+    val (s, v, f) = Extended.queries("q69_funnel")(spark, dir)
+      .as[(Long, Long, Long)].head()
+    assert(s >= v && v >= f, s"funnel must narrow: $s >= $v >= $f")
+  }
+}
