@@ -145,6 +145,25 @@ object Extended {
         .limit(100)
     }),
 
+    // MERGE upsert post-image (Maintenance.upsert): updates touch every
+    // 10th customer (balance bump + segment overwrite), inserts add a
+    // shifted-key cohort. One anti-join (updates broadcast — they're
+    // always the small side) + union: the copy-on-write MERGE algebra
+    // that Delta/Iceberg narrow to matched files at 100 TB.
+    "q71_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val base = T.customer(s, dir)
+      val updates = base.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+        .withColumn("c_mktsegment", lit("UPDATED"))
+      val inserts = base.filter($"c_custkey" % 97 === 3)
+        .withColumn("c_custkey", $"c_custkey" + lit(10000000L))
+        .withColumn("c_name", concat(lit("NEW-"), $"c_name"))
+      Maintenance.upsert(base, broadcast(updates.unionByName(inserts)),
+          Seq("c_custkey"))
+        .orderBy($"c_custkey")
+    }),
+
     // Ordered event funnel (signup → view → purchase): per-user minimum
     // step times, then strict-order counts. One hash aggregate per
     // stage; no self-joins — the canonical scalable funnel layout.
@@ -233,6 +252,21 @@ object Extended {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q71_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+        |         'UPDATED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW-' || c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 3)
+        |SELECT b.* FROM customer b
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+        |UNION ALL
+        |SELECT * FROM upd
+        |ORDER BY c_custkey""".stripMargin,
 
     "q69_funnel" ->
       """WITH u AS (

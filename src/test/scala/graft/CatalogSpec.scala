@@ -58,6 +58,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(j.count() > 0)
   }
 
+  test("ANALYZE TABLE feeds the CBO row-count and size statistics") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    graft.engine.Tables.customer(spark, dir)
+      .write.mode("overwrite").saveAsTable("graft.customer_s")
+    spark.sql("ANALYZE TABLE graft.customer_s COMPUTE STATISTICS")
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "customer_s", Some("graft"))).stats
+    assert(stats.exists(_.rowCount.exists(_.toLong == 150L)),
+      s"ANALYZE should record rowCount=150 in the metastore, got $stats")
+    assert(stats.exists(_.sizeInBytes > 0),
+      "sizeInBytes should be a real measurement")
+  }
+
   test("partitioned table prunes partitions on filter") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")

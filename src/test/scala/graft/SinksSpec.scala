@@ -58,6 +58,18 @@ class SinksSpec extends AnyFunSuite {
       src.orderBy("event_id").collect().toSeq)
   }
 
+  test("orc round-trip preserves schema and values") {
+    import spark.implicits._
+    val out = tmp("graft_orc")
+    val src = graft.engine.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      src.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("scalar udf matches the equivalent built-in expression (§2.9)") {
     import spark.implicits._
     val slug = udf((s: String) =>
