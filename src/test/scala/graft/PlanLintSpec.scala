@@ -37,4 +37,42 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"nested-loop plans found: $offenders")
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("point lookup pushes its predicate into the parquet scan") {
+    val p = plan("q02_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey"),
+      s"expected pushed equality filter:\n$p")
+  }
+
+  test("top-k feeds plan as TakeOrderedAndProject, not global sort") {
+    assert(plan("q04_top_n_feed").contains("TakeOrderedAndProject"))
+    assert(plan("q65_tpch_q18").contains("TakeOrderedAndProject"))
+  }
+
+  test("pricing summary prunes the lineitem scan to the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan should not read unreferenced columns:\n$readSchema")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("q05_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+  }
+
+  test("merge upsert anti-join broadcasts the update keys") {
+    val p = plan("q71_merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n$p")
+  }
+
+  test("aggregates run partial then final (map-side combine present)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+  }
 }
