@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
 /** Table-maintenance write paths for a plain-parquet (non-Delta/Iceberg)
@@ -34,6 +35,86 @@ object Maintenance {
                      keys: Seq[String]): DataFrame =
     base.join(tombstones.select(keys.map(org.apache.spark.sql.functions.col): _*),
       keys, "left_anti")
+
+  /** Latest-version-wins upsert: union base and updates, keep one row
+    * per key by `tieBreak` (descending-priority ordering columns, e.g.
+    * event time then id). Unlike plain [[upsert]], this is commutative
+    * across batches — micro-batches applying out of order still
+    * converge to the same state — which is what an incremental
+    * (foreachBatch) CDC materialization needs. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   tieBreak: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(tieBreak.map(_.desc): _*)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Apply one micro-batch to a versioned parquet state directory:
+    * reads `stateDir/v<N>`, merges with [[upsertLatest]], writes
+    * `v<N+1>`, returns its path. Versioned dirs (not in-place
+    * overwrite) because Spark reads lazily — overwriting the directory
+    * being read drops the old state mid-scan. At scale this is exactly
+    * a table format's snapshot/commit: keep K versions for readers,
+    * vacuum the rest. */
+  def applyBatch(batch: DataFrame, stateDir: String, keys: Seq[String],
+                 tieBreak: Seq[Column]): String = {
+    val spark = batch.sparkSession
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      else Array.empty[Long]
+    val merged =
+      if (versions.isEmpty) upsertLatest(batch.limit(0), batch, keys, tieBreak)
+      else upsertLatest(spark.read.parquet(s"$stateDir/v${versions.max}"),
+        batch, keys, tieBreak)
+    val out = s"$stateDir/v${versions.headOption.fold(1L)(_ => versions.max + 1)}"
+    merged.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Z-order (Morton) value over two numeric columns: each value is
+    * min/max-normalized to `bits` bits and the bits interleaved, so
+    * sorting by the result clusters rows that are close in BOTH
+    * dimensions. Written with range partitioning, every output file
+    * then covers a narrow min/max range of EVERY z-ordered column —
+    * which is what makes parquet row-group/file skipping fire for
+    * filters on any of them, not just the leading sort key. This is the
+    * layout lever for multi-dimension point/range workloads at 100 TB
+    * (a linear sort only skips on its leading column). */
+  def zvalue(x: Column, xMin: Double, xMax: Double,
+             y: Column, yMin: Double, yMax: Double, bits: Int = 16): Column = {
+    val scale = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(round((c.cast("double") - lo) / (hi - lo) * scale)
+        .cast("long"), lit(0L)), lit(scale))
+    val (nx, ny) = (norm(x, xMin, xMax), norm(y, yMin, yMax))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(nx, i).bitwiseAND(1) * lit(1L << (2 * i + 1)) +
+        shiftright(ny, i).bitwiseAND(1) * lit(1L << (2 * i))
+    }
+  }
+
+  /** Rewrite `df` z-ordered by two numeric columns into `nFiles` files
+    * (range-partitioned + sorted by the interleaved value: file k holds
+    * the k-th z-range, i.e. a compact region of the (x,y) plane). */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+                  outPath: String, nFiles: Int): Unit = {
+    val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    val z = zvalue(col(xCol), r.getDouble(0), r.getDouble(1),
+      col(yCol), r.getDouble(2), r.getDouble(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Rewrite a parquet directory into ~`targetBytes` files. Streaming
     * appends and per-redemption inserts (reference S3 sites) accumulate

@@ -50,6 +50,75 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.filter($"c_custkey" % 7 === 0).count() == 0)
   }
 
+  test("z-order layout skips files on the NON-leading column; linear sort cannot") {
+    import spark.implicits._
+    val src = graft.engine.Tables.orders(spark, "/root/testdata/sf0.01")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val zDir = tmp("graft_zorder")
+    val linDir = tmp("graft_linear")
+    val nFiles = 8
+    Maintenance.zorderWrite(src, "o_custkey", "o_totalprice", zDir, nFiles)
+    src.repartitionByRange(nFiles, $"o_custkey")
+      .sortWithinPartitions($"o_custkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // fraction of files whose [min,max] o_totalprice straddles a probe
+    // value = fraction a stats-pruning reader must open
+    def overlapping(dirPath: String, probe: Double): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dirPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dirPath))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .count { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min($"o_totalprice"), max($"o_totalprice")).head()
+          r.getDouble(0) <= probe && probe <= r.getDouble(1)
+        }
+    }
+    val probe = src.agg(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+    val zHit = overlapping(zDir, probe)
+    val linHit = overlapping(linDir, probe)
+    // linear-by-custkey files all span ~the full price range; z-ordered
+    // files cover narrow rectangles in (custkey, price) space
+    assert(linHit >= nFiles - 1, s"expected linear layout to straddle everywhere, hit $linHit")
+    assert(zHit < linHit, s"z-order should prune: z=$zHit linear=$linHit")
+    // data preserved
+    assert(spark.read.parquet(zDir).count() == src.count())
+  }
+
+  test("incremental foreachBatch upsert converges to the batch latest-per-key") {
+    import spark.implicits._
+    val dir001 = "/root/testdata/sf0.001"
+    val stateDir = tmp("graft_state")
+    val tieBreak = Seq(col("ts"), col("event_id"))
+    // pre-seed v1 with a stale snapshot (every event 1000 days older):
+    // the streamed batches must overwrite all of it (newer ts wins)
+    Maintenance.applyBatch(
+      graft.engine.Tables.events(spark, dir001)
+        .withColumn("ts", expr("ts - INTERVAL 1000 DAYS")),
+      stateDir, Seq("user_id"), tieBreak)
+    val q = graft.streaming.Streams.eventStream(spark, dir001)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Maintenance.applyBatch(batch, stateDir, Seq("user_id"), tieBreak): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latestV = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    assert(latestV >= 2, "stream must have committed at least one version over the seed")
+    val streamed = spark.read.parquet(s"$stateDir/v$latestV")
+    val batchRef = Maintenance.upsertLatest(
+      graft.engine.Tables.events(spark, dir001).limit(0),
+      graft.engine.Tables.events(spark, dir001), Seq("user_id"), tieBreak)
+    assert(streamed.count() == batchRef.count())
+    assert(streamed.exceptAll(batchRef).count() == 0 &&
+      batchRef.exceptAll(streamed).count() == 0)
+  }
+
   test("compact folds many small files into few, preserving the data") {
     import spark.implicits._
     val in = tmp("graft_small")
