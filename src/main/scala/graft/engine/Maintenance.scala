@@ -90,7 +90,8 @@ object Maintenance {
              y: Column, yMin: Double, yMax: Double, bits: Int = 16): Column = {
     val scale = (1L << bits) - 1
     def norm(c: Column, lo: Double, hi: Double): Column =
-      least(greatest(round((c.cast("double") - lo) / (hi - lo) * scale)
+      if (hi <= lo) lit(0L) // constant column: contributes nothing to the order
+      else least(greatest(round((c.cast("double") - lo) / (hi - lo) * scale)
         .cast("long"), lit(0L)), lit(scale))
     val (nx, ny) = (norm(x, xMin, xMax), norm(y, yMin, yMax))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
