@@ -40,42 +40,124 @@ object Dedup {
       .cache()
   }
 
+  /** LSH candidate pairs (doc1 < doc2, distinct): MinHash signatures
+    * (8 hashes) → LSH bands (4 bands × 2 rows) → pairs where any band
+    * collides.
+    *
+    * The entire signature/band computation is MAP-SIDE: per document,
+    * higher-order array functions build the distinct shingle set and
+    * fold each band's two minhashes (`array_min` over md5s) without a
+    * single shuffle — the only shuffle is the band-bucket self-join.
+    * At 100 TB that one shuffle carries 4 short rows per document,
+    * nothing else. Shared by q51 (the pair list) and q57 (clustering
+    * over the pairs). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // spread: the md5 minhash fold is the expensive stage and would
+    // otherwise run in the scan's single task (one-row-group file)
+    val bands = T.spread(T.documents(s, dir))
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= 3)
+      .withColumn("shs", expr(
+        """array_distinct(transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2))))""".stripMargin))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, 3), b -> struct(CAST(b AS BIGINT) AS band,
+          |  concat_ws('|',
+          |    array_min(transform(shs, sh -> md5(concat(CAST(b*2 AS STRING), ':', sh)))),
+          |    array_min(transform(shs, sh -> md5(concat(CAST(b*2+1 AS STRING), ':', sh)))))
+          |    AS bandkey))""".stripMargin)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bandkey".as("bandkey"))
+      .cache() // both sides of the candidate self-join consume it
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
-    // MinHash signatures (8 hashes) → LSH bands (4 bands × 2 rows) →
-    // candidate pairs where any band collides.
-    //
-    // The entire signature/band computation is MAP-SIDE: per document,
-    // higher-order array functions build the distinct shingle set and
-    // fold each band's two minhashes (`array_min` over md5s) without a
-    // single shuffle — the only shuffle in the query is the band-bucket
-    // self-join. At 100 TB that one shuffle carries 4 short rows per
-    // document, nothing else.
     "q51_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      // spread: the md5 minhash fold is the expensive stage and would
-      // otherwise run in the scan's single task (one-row-group file)
-      val bands = T.spread(T.documents(s, dir))
-        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
-        .filter(size($"ws") >= 3)
-        .withColumn("shs", expr(
-          """array_distinct(transform(sequence(1, size(ws) - 2),
-            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-            |                 element_at(ws, i + 2))))""".stripMargin))
-        .select($"doc_id", explode(expr(
-          """transform(sequence(0, 3), b -> struct(CAST(b AS BIGINT) AS band,
-            |  concat_ws('|',
-            |    array_min(transform(shs, sh -> md5(concat(CAST(b*2 AS STRING), ':', sh)))),
-            |    array_min(transform(shs, sh -> md5(concat(CAST(b*2+1 AS STRING), ':', sh)))))
-            |    AS bandkey))""".stripMargin)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bandkey".as("bandkey"))
-        .cache() // both sides of the candidate self-join consume it
-      bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-        .orderBy($"doc1", $"doc2")
+      lshPairs(s, dir).orderBy($"doc1", $"doc2")
+    }),
+
+    // Dedup CLUSTERING — the stage after candidate generation: group
+    // near-duplicate pairs into connected components and elect one
+    // canonical document per component (cluster_id = min doc_id). This
+    // is what turns a pair list into an actual "keep/drop" decision.
+    //
+    // Spark-first shape: iterative min-label propagation over the edge
+    // list — per round, every node takes the min of its own label and
+    // its neighbors' labels; converges in graph-diameter rounds. Each
+    // round is ONE shuffle of the (thin) edge-end labels; the corpus
+    // itself is touched once at the start and once at the end. Near-dup
+    // graphs are overwhelmingly tiny components (pairs ≪ corpus), so
+    // the per-round working set is the pair list, not the corpus; for
+    // adversarial chain-shaped graphs the classic fix is alternating
+    // large-star/small-star (Kiveris et al.), which squares the label
+    // jump per round — not needed at the fixture's diameter.
+    // localCheckpoint truncates lineage so round k doesn't replay
+    // rounds 1..k-1; width 8 for the same frontier-sized-shuffle
+    // reasoning as q67.
+    "q57_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val pairs = lshPairs(s, dir).localCheckpoint()
+        val edges = pairs.select($"doc1".as("a"), $"doc2".as("b"))
+          .union(pairs.select($"doc2".as("a"), $"doc1".as("b")))
+          .localCheckpoint()
+        var labels = T.documents(s, dir)
+          .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 32) {
+          // neighbor minimum: edges are the small side — broadcast them
+          // so the corpus-wide label table never shuffles
+          val nbrMin = broadcast(edges)
+            .join(labels.select($"doc_id".as("b"), $"label".as("nl")), "b")
+            .groupBy($"a").agg(min($"nl").as("nbr_min"))
+          val next = labels
+            .join(broadcast(nbrMin), $"doc_id" === $"a", "left")
+            .select($"doc_id",
+              least($"label", coalesce($"nbr_min", $"label")).as("label"))
+            .localCheckpoint()
+          changed = next.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(col("n.label") =!= col("o.label")).count()
+          labels = next
+          rounds += 1
+        }
+        val byCluster = Window.partitionBy($"cluster_id")
+        labels.select($"doc_id", $"label".as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(byCluster))
+          .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+          .orderBy($"doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Benchmark DECONTAMINATION — flag training documents sharing any
+    // 3-gram with a held-out eval set (docs 0-24 stand in for the
+    // benchmark). The benchmark shingle set is tiny by construction, so
+    // it broadcasts and the corpus-side check is a map-side hash probe:
+    // zero shuffles of the corpus, one small aggregation of the hits.
+    "q74_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val bench = sh.filter($"doc_id" < 25).select($"sh").distinct()
+      val hits = sh.filter($"doc_id" >= 25)
+        .join(broadcast(bench), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      T.documents(s, dir).filter($"doc_id" >= 25)
+        .select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+          (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"))
+        .orderBy($"doc_id")
     }),
 
     // 16-bit SimHash fingerprint per document (md5-derived token
@@ -198,6 +280,52 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
          |ORDER BY doc1, doc2""".stripMargin,
+
+    // Connected components via a recursive reachability CTE: UNION
+    // (not UNION ALL) dedups visited (src, dst) states, so the
+    // recursion terminates on the cyclic undirected edge relation;
+    // cluster_id = min reachable node. Same label-is-min-reachable
+    // definition the Spark propagation loop converges to.
+    "q57_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+         |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q74_decontamination" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id < 25),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_overlap
+         |  FROM shingles s JOIN bench b ON s.sh = b.sh
+         |  WHERE s.doc_id >= 25 GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin,
 
     "q52_simhash" ->
       s"""WITH $simhashCte

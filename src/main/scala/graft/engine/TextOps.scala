@@ -66,6 +66,108 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Gopher/C4-style composite quality filter: token count bounds,
+    // mean word length band, duplicate-token fraction, top-token
+    // fraction → one boolean keep decision per document. Thresholds
+    // chosen to genuinely split the fixture corpus (medians: 56
+    // tokens, 0.54 dup_frac, 0.093 top_frac, 4.5 mean_word_len).
+    //
+    // Shape: explode → count per (doc, token) → roll up per doc. Both
+    // shuffles carry combine-able integer counts (partial aggregation
+    // runs map-side), so at 100 TB each stage moves one row per
+    // distinct (doc, token), not one per token occurrence.
+    "q58_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val perTok = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      perTok.groupBy($"doc_id").agg(
+          sum($"cnt").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max($"cnt").as("top_cnt"),
+          sum(length($"w").cast("long") * $"cnt").as("tok_chars"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          ($"tok_chars".cast("double") / $"n_tokens".cast("double")).as("mean_word_len"),
+          (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens".cast("double")).as("dup_tok_frac"),
+          ($"top_cnt".cast("double") / $"n_tokens".cast("double")).as("top_tok_frac"))
+        .withColumn("keep",
+          $"n_tokens".between(20L, 80L) &&
+            $"mean_word_len" >= 4.0 && $"mean_word_len" <= 5.0 &&
+            $"dup_tok_frac" < 0.6 && $"top_tok_frac" < 0.15)
+        .orderBy($"doc_id")
+    }),
+
+    // Repetition signals (the Gopher "repetitious text" battery on a
+    // corpus with no line structure): duplicate 3-gram fraction and
+    // most-frequent-bigram mass. Entirely MAP-SIDE via higher-order
+    // array functions — per-document O(distinct² ) inner loop is fine
+    // at document granularity (docs are bounded; the corpus is not),
+    // and the only shuffle is the final ordering.
+    "q59_repetition" -> ((s, dir) => {
+      import s.implicits._
+      T.spread(T.documents(s, dir))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .withColumn("bg", expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
+        .withColumn("tg", expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin))
+        .select($"doc_id",
+          size($"tg").cast("long").as("n_trigrams"),
+          (size($"tg") - size(array_distinct($"tg"))).cast("long").as("n_dup_trigrams"),
+          ((size($"tg") - size(array_distinct($"tg"))).cast("double") /
+            size($"tg").cast("double")).as("dup_trigram_frac"),
+          (expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+            .cast("double") / size($"bg").cast("double")).as("top_bigram_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII / URL scrubbing: regex redaction with per-document match
+    // counts. The fixture text is clean, so the query injects a
+    // deterministic contact line per document and then scrubs it —
+    // the point is the redaction operator, not the synthetic line.
+    // Pure per-row regex work: shuffle-free except the final ordering,
+    // and the patterns stay in Java/RE2-common syntax so both engines
+    // agree byte-for-byte.
+    "q72_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val pii = concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.com or https://ex.am/p/"), $"doc_id")
+      T.documents(s, dir)
+        .select($"doc_id", pii.as("raw"))
+        .select($"doc_id",
+          regexp_count($"raw", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"raw", lit(urlRe)).cast("long").as("n_urls"),
+          regexp_replace(regexp_replace($"raw", urlRe, "<URL>"),
+            emailRe, "<EMAIL>").as("scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus-level n-gram census: top-50 bigrams by count (the
+    // contamination/memorization analysis primitive). Partial
+    // aggregation combines map-side; the global top-k is a
+    // TakeOrderedAndProject (per-partition heads → single merge),
+    // never a full sort of the n-gram space. Count ties broken by the
+    // bigram itself for a total order.
+    "q73_ngram_topk" -> ((s, dir) => {
+      import s.implicits._
+      T.spread(T.documents(s, dir))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
+          .as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bigram")
+        .limit(50)
+    }),
+
     // Document fingerprint: whitespace-normalized md5 + 4-hex-char
     // prefix bucket (the shard key a 100 TB dedup would partition by).
     "q56_fingerprint" -> ((s, dir) => {
@@ -113,6 +215,79 @@ object TextOps {
         |  least(1.0, CAST(n_tokens AS DOUBLE)/50.0) * (1.0 - digit_ratio) AS quality_score,
         |  CASE WHEN stopword_hits > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q58_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY doc_id, w),
+        |s AS (SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    max(cnt) AS top_cnt,
+        |    CAST(sum(length(w) * cnt) AS BIGINT) AS tok_chars
+        |  FROM c GROUP BY doc_id),
+        |f AS (SELECT doc_id, n_tokens, n_distinct,
+        |    CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+        |    1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_tok_frac,
+        |    CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_distinct, mean_word_len, dup_tok_frac, top_tok_frac,
+        |  (n_tokens BETWEEN 20 AND 80) AND mean_word_len >= 4.0 AND mean_word_len <= 5.0
+        |    AND dup_tok_frac < 0.6 AND top_tok_frac < 0.15 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |seq AS (SELECT doc_id, w, ord,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        |  FROM raw),
+        |tg AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS g FROM seq WHERE w2 IS NOT NULL),
+        |bg AS (SELECT doc_id, w || ' ' || w1 AS g FROM seq WHERE w1 IS NOT NULL),
+        |tstat AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS d FROM tg GROUP BY doc_id),
+        |bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |bstat AS (SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS nb
+        |          FROM bcnt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(t.n AS BIGINT) AS n_trigrams,
+        |  CAST(t.n - t.d AS BIGINT) AS n_dup_trigrams,
+        |  CAST(t.n - t.d AS DOUBLE) / CAST(t.n AS DOUBLE) AS dup_trigram_frac,
+        |  CAST(b.mc AS DOUBLE) / CAST(b.nb AS DOUBLE) AS top_bigram_frac
+        |FROM tstat t JOIN bstat b ON b.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q72_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id
+        |         || '@mail.example.com or https://ex.am/p/' || doc_id AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  regexp_replace(regexp_replace(raw, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q73_ngram_topk" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |seq AS (SELECT doc_id, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1
+        |  FROM raw)
+        |SELECT w || ' ' || w1 AS bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM seq WHERE w1 IS NOT NULL
+        |GROUP BY w || ' ' || w1
+        |ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
 
     "q56_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Dedup, TextOps}
+
+/** Semantic invariants for the training-pipeline operators added in
+  * round 2 (q57 clustering, q58/q59 quality+repetition, q72 scrubbing,
+  * q73 n-gram census, q74 decontamination). Value-level correctness is
+  * the DuckDB oracle; these pin the graph/filter properties the oracle
+  * can't express. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q57 clustering is consistent with the q51 pair list") {
+    import spark.implicits._
+    val labels = Dedup.queries("q57_dedup_clusters")(spark, dir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.queries("q51_minhash_lsh")(spark, dir)
+      .as[(Long, Long)].collect()
+    // every near-dup pair must land in the same component
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+    // labels are component minima: label <= node, and the label node
+    // is its own label (the canonical representative exists)
+    assert(labels.forall { case (d, c) => c <= d && labels(c) == c })
+  }
+
+  test("q57 covers every document exactly once") {
+    val out = Dedup.queries("q57_dedup_clusters")(spark, dir)
+    val docs = graft.engine.Tables.documents(spark, dir).count()
+    assert(out.count() == docs)
+    assert(out.select("doc_id").distinct().count() == docs)
+  }
+
+  test("q58 keep flag agrees with its own signal columns") {
+    import spark.implicits._
+    val rows = TextOps.queries("q58_quality_filter")(spark, dir)
+      .select($"n_tokens", $"mean_word_len", $"dup_tok_frac", $"top_tok_frac", $"keep")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.forall { case (n, mwl, df, tf, keep) =>
+      keep == (n >= 20 && n <= 80 && mwl >= 4.0 && mwl <= 5.0 && df < 0.6 && tf < 0.15)
+    })
+    // thresholds must actually split the corpus, else the filter tests nothing
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
+  test("q59 repetition fractions stay in [0,1]") {
+    import spark.implicits._
+    val rows = TextOps.queries("q59_repetition")(spark, dir)
+      .select($"dup_trigram_frac", $"top_bigram_frac")
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (d, t) => d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0 })
+  }
+
+  test("q72 scrubbed text retains no email or URL matches") {
+    import spark.implicits._
+    val rows = TextOps.queries("q72_pii_scrub")(spark, dir)
+      .select($"n_emails", $"n_urls", $"scrubbed")
+      .as[(Long, Long, String)].collect()
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val url = "https?://\\S+".r
+    assert(rows.forall { case (ne, nu, s) =>
+      ne >= 1 && nu >= 1 &&
+        email.findFirstIn(s).isEmpty && url.findFirstIn(s).isEmpty &&
+        s.contains("<EMAIL>") && s.contains("<URL>")
+    })
+  }
+
+  test("q73 top-k counts are non-increasing and capped at 50") {
+    import spark.implicits._
+    val cnts = TextOps.queries("q73_ngram_topk")(spark, dir)
+      .select($"cnt").as[Long].collect()
+    assert(cnts.length <= 50)
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q74 flags exactly the docs with benchmark overlap, training set only") {
+    import spark.implicits._
+    val rows = Dedup.queries("q74_decontamination")(spark, dir)
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.forall { case (d, n, c) => d >= 25 && (c == (n > 0)) })
+  }
+}
