@@ -104,40 +104,11 @@ object Dedup {
     // reasoning as q67.
     "q57_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val pairs = lshPairs(s, dir).localCheckpoint()
-        val edges = pairs.select($"doc1".as("a"), $"doc2".as("b"))
-          .union(pairs.select($"doc2".as("a"), $"doc1".as("b")))
-          .localCheckpoint()
-        var labels = T.documents(s, dir)
-          .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 32) {
-          // neighbor minimum: edges are the small side — broadcast them
-          // so the corpus-wide label table never shuffles
-          val nbrMin = broadcast(edges)
-            .join(labels.select($"doc_id".as("b"), $"label".as("nl")), "b")
-            .groupBy($"a").agg(min($"nl").as("nbr_min"))
-          val next = labels
-            .join(broadcast(nbrMin), $"doc_id" === $"a", "left")
-            .select($"doc_id",
-              least($"label", coalesce($"nbr_min", $"label")).as("label"))
-            .localCheckpoint()
-          changed = next.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(col("n.label") =!= col("o.label")).count()
-          labels = next
-          rounds += 1
-        }
-        val byCluster = Window.partitionBy($"cluster_id")
-        labels.select($"doc_id", $"label".as("cluster_id"))
-          .withColumn("cluster_size", count(lit(1)).over(byCluster))
-          .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
-          .orderBy($"doc_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val byCluster = Window.partitionBy($"cluster_id")
+      components(s, dir)
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+        .orderBy($"doc_id")
     }),
 
     // Benchmark DECONTAMINATION — flag training documents sharing any
@@ -147,11 +118,7 @@ object Dedup {
     // zero shuffles of the corpus, one small aggregation of the hits.
     "q74_decontamination" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val bench = sh.filter($"doc_id" < 25).select($"sh").distinct()
-      val hits = sh.filter($"doc_id" >= 25)
-        .join(broadcast(bench), "sh")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      val hits = contaminationCounts(s, dir)
       T.documents(s, dir).filter($"doc_id" >= 25)
         .select($"doc_id")
         .join(hits, Seq("doc_id"), "left")
@@ -203,6 +170,63 @@ object Dedup {
         .filter($"jaccard" >= 0.1)
         .orderBy($"doc1", $"doc2")
     }))
+
+  /** (doc_id, cluster_id): connected components over the LSH pair
+    * graph via iterative min-label propagation — per round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * graph-diameter rounds (monotone, so the label-sum strictly
+    * decreases until fixpoint — the convergence check is one cheap
+    * aggregate, not a join). Each round shuffles only edge-end labels
+    * (the corpus never re-shuffles: edges broadcast on one side,
+    * neighbor-minima broadcast back on the other), and localCheckpoint
+    * truncates lineage so round k doesn't replay rounds 1..k-1. Width 8
+    * for the frontier-sized-shuffle reasoning of q67. Near-dup graphs
+    * are overwhelmingly tiny components (pairs ≪ corpus); adversarial
+    * chain-shaped graphs would call for alternating large-star/
+    * small-star (Kiveris et al.) to square the label jump per round. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val pairs = lshPairs(s, dir).localCheckpoint()
+      val edges = pairs.select($"doc1".as("a"), $"doc2".as("b"))
+        .union(pairs.select($"doc2".as("a"), $"doc1".as("b")))
+        .localCheckpoint()
+      var labels = T.documents(s, dir)
+        .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+      var sumPrev = Long.MaxValue
+      var sumCur = labels.agg(sum($"label")).head.getLong(0)
+      var rounds = 0
+      while (sumCur < sumPrev && rounds < 32) {
+        val nbrMin = broadcast(edges)
+          .join(labels.select($"doc_id".as("b"), $"label".as("nl")), "b")
+          .groupBy($"a").agg(min($"nl").as("nbr_min"))
+        labels = labels
+          .join(broadcast(nbrMin), $"doc_id" === $"a", "left")
+          .select($"doc_id",
+            least($"label", coalesce($"nbr_min", $"label")).as("label"))
+          .localCheckpoint()
+        sumPrev = sumCur
+        sumCur = labels.agg(sum($"label")).head.getLong(0)
+        rounds += 1
+      }
+      labels.select($"doc_id", $"label".as("cluster_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** (doc_id, n_overlap) for training docs (doc_id >= benchCut):
+    * distinct-shingle overlap with the held-out docs below benchCut.
+    * The benchmark shingle set broadcasts; the corpus-side check is a
+    * map-side hash probe. */
+  def contaminationCounts(s: SparkSession, dir: String, benchCut: Int = 25): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val bench = sh.filter($"doc_id" < benchCut).select($"sh").distinct()
+    sh.filter($"doc_id" >= benchCut)
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
 
   /** (doc_id, simhash): 16-bit md5-majority SimHash per document. */
   def simhashOf(s: SparkSession, dir: String): DataFrame = {

@@ -76,26 +76,8 @@ object TextOps {
     // shuffles carry combine-able integer counts (partial aggregation
     // runs map-side), so at 100 TB each stage moves one row per
     // distinct (doc, token), not one per token occurrence.
-    "q58_quality_filter" -> ((s, dir) => {
-      import s.implicits._
-      val perTok = T.spread(T.documents(s, dir))
-        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
-      perTok.groupBy($"doc_id").agg(
-          sum($"cnt").as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          max($"cnt").as("top_cnt"),
-          sum(length($"w").cast("long") * $"cnt").as("tok_chars"))
-        .select($"doc_id", $"n_tokens", $"n_distinct",
-          ($"tok_chars".cast("double") / $"n_tokens".cast("double")).as("mean_word_len"),
-          (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens".cast("double")).as("dup_tok_frac"),
-          ($"top_cnt".cast("double") / $"n_tokens".cast("double")).as("top_tok_frac"))
-        .withColumn("keep",
-          $"n_tokens".between(20L, 80L) &&
-            $"mean_word_len" >= 4.0 && $"mean_word_len" <= 5.0 &&
-            $"dup_tok_frac" < 0.6 && $"top_tok_frac" < 0.15)
-        .orderBy($"doc_id")
-    }),
+    "q58_quality_filter" -> ((s, dir) =>
+      qualitySignals(s, dir).orderBy(col("doc_id"))),
 
     // Repetition signals (the Gopher "repetitious text" battery on a
     // corpus with no line structure): duplicate 3-gram fraction and
@@ -178,6 +160,31 @@ object TextOps {
           substring(fp, 1, 4).as("bucket"))
         .orderBy($"doc_id")
     }))
+
+  /** Per-document quality signals + composite keep decision (q58; also
+    * stage 1 of Pipeline.refinery). Shape: explode → count per (doc,
+    * token) → roll up per doc; both shuffles carry combine-able integer
+    * counts, so at 100 TB each stage moves one row per distinct (doc,
+    * token), not one per token occurrence. */
+  def qualitySignals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perTok = T.spread(T.documents(s, dir))
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+    perTok.groupBy($"doc_id").agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"cnt").as("top_cnt"),
+        sum(length($"w").cast("long") * $"cnt").as("tok_chars"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        ($"tok_chars".cast("double") / $"n_tokens".cast("double")).as("mean_word_len"),
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens".cast("double")).as("dup_tok_frac"),
+        ($"top_cnt".cast("double") / $"n_tokens".cast("double")).as("top_tok_frac"))
+      .withColumn("keep",
+        $"n_tokens".between(20L, 80L) &&
+          $"mean_word_len" >= 4.0 && $"mean_word_len" <= 5.0 &&
+          $"dup_tok_frac" < 0.6 && $"top_tok_frac" < 0.15)
+  }
 
   val oracle: Map[String, String] = Map(
     "q50_exact_dedup" ->

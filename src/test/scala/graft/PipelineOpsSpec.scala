@@ -81,6 +81,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("q75 refinery funnel is monotone and stage flags nest") {
+    import spark.implicits._
+    val f = graft.engine.Pipeline.refinery(spark, dir)
+      .select($"n_docs", $"n_quality", $"n_exact", $"n_neardup", $"n_clean")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(f.nonEmpty)
+    assert(f.forall { case (d, q, e, n, c) => d >= q && q >= e && e >= n && n >= c })
+    // per-doc flags nest: c_keep ⊆ n_keep ⊆ e_keep ⊆ q_keep
+    val bad = graft.engine.Pipeline.stageFlags(spark, dir)
+      .filter(($"c_keep" && !$"n_keep") || ($"n_keep" && !$"e_keep") ||
+        ($"e_keep" && !$"q_keep")).count()
+    assert(bad == 0)
+  }
+
   test("q74 flags exactly the docs with benchmark overlap, training set only") {
     import spark.implicits._
     val rows = Dedup.queries("q74_decontamination")(spark, dir)
