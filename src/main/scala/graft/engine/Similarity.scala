@@ -105,6 +105,29 @@ object Similarity {
         .orderBy($"qid", $"rank")
     }),
 
+    // Per-label embedding centroids — the codebook-training primitive
+    // behind IVF (q63 consumes exactly this shape) and the class-mean
+    // feature of embedding-space analytics. Element-wise mean via
+    // posexplode → per-(label, dim) aggregation; sums are FLOOR-
+    // quantized to a 1e-6 grid first, because a plain double sum is
+    // partition-order-dependent and `round()` near .5 diverges between
+    // engines (STATUS.md) — floor of the identical IEEE product is
+    // bit-stable in both. Partial aggregation stays fully combining:
+    // one shuffle of |labels|×64 rows no matter the corpus size.
+    "q77_label_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val q = floor($"v".cast("double") * 1000000.0).cast("long")
+      T.spread(T.embeddings(s, dir))
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("dim", "v")))
+        .select($"label", ($"dim" + 1).cast("long").as("dim"), q.as("qv"))
+        .groupBy($"label", $"dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum($"qv").cast("double") / 1000000.0 /
+            count(lit(1)).cast("double")).as("centroid"))
+        .orderBy($"label", $"dim")
+    }),
+
     // Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ 0.3
     // (threshold calibrated to the synthetic corpus's score range).
     "q62_embedding_neardup" -> ((s, dir) => {
@@ -169,6 +192,17 @@ object Similarity {
         |    FROM assigned q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
         |    WHERE q.vec_id % 25 = 0) s) r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q77_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q62_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket

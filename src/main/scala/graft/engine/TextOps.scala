@@ -150,6 +150,41 @@ object TextOps {
         .limit(50)
     }),
 
+    // BM25 + TF-IDF relevance scoring — the ranking primitive of a
+    // corpus search/contamination service. tf/df/dl are integer-exact
+    // aggregations; the only floating-point beyond int ratios is the
+    // ln() in the idf, rounded to 6 decimals on both engines (the
+    // post-round-6 pattern the cosine queries established). Corpus
+    // stats (N, avgdl) travel as a broadcast 1-row cross join, never a
+    // driver scalar. Top-5 terms per sampled doc for bounded output.
+    "q76_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val tf = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .cache() // feeds dl, df, and the scoring join
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum($"dl").as("tot"), count(lit(1)).as("nd"))
+        .select(($"tot".cast("double") / $"nd".cast("double")).as("avgdl"),
+          $"nd".cast("double").as("nd"))
+      val tfD = $"tf".cast("double")
+      val dfD = $"df".cast("double")
+      val dlD = $"dl".cast("double")
+      val idf = log(($"nd" - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val bm25 = idf * (tfD * 2.2) /
+        (tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * dlD / $"avgdl"))
+      val tfidf = tfD * log($"nd" / dfD)
+      val w = Window.partitionBy($"doc_id").orderBy($"bm25".desc, $"term")
+      tf.filter($"doc_id" % 50 === 0)
+        .join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(stats))
+        .select($"doc_id", $"term", $"tf", $"df",
+          round(bm25, 6).as("bm25"), round(tfidf, 6).as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Document fingerprint: whitespace-normalized md5 + 4-hex-char
     // prefix bucket (the shard key a 100 TB dedup would partition by).
     "q56_fingerprint" -> ((s, dir) => {
@@ -295,6 +330,31 @@ object TextOps {
         |FROM seq WHERE w1 IS NOT NULL
         |GROUP BY w || ' ' || w1
         |ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+
+    "q76_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl,
+        |                 CAST(count(*) AS DOUBLE) AS nd FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, f.df,
+        |    round(ln((s.nd - CAST(f.df AS DOUBLE) + 0.5)/(CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)),
+        |      6) AS bm25,
+        |    round(CAST(t.tf AS DOUBLE) * ln(s.nd / CAST(f.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf t JOIN dl d ON d.doc_id = t.doc_id
+        |  JOIN dfreq f ON f.term = t.term CROSS JOIN stats s
+        |  WHERE t.doc_id % 50 = 0)
+        |SELECT doc_id, term, tf, df, bm25, tfidf, rank FROM (
+        |  SELECT scored.*,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS BIGINT) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "q56_fingerprint" ->
       """SELECT doc_id,
