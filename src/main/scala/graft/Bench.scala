@@ -36,10 +36,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round per-query seconds to 4 decimals to keep the line short, and
+    // close with a duplicate "total_sec" so a tail-capture that eats the
+    // line's HEAD (which is what truncated BENCH_r02) still carries the
+    // headline number. The full line is also written to files, which
+    // can't be truncated by log capture at all.
+    def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":$total}"""
+    println(line)
+    for (p <- Seq("/tmp/bench.json", "bench_last.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

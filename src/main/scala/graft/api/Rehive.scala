@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Commission
@@ -73,7 +73,8 @@ object Rehive {
     *         valid redemption — direct to creator, passive to ≤10
     *         ancestors.
     */
-  def redeem(d: RehiveData, redemptions: DataFrame): DataFrame = {
+  def redeem(d: RehiveData, redemptions: DataFrame,
+             ancestorsOpt: Option[DataFrame] = None): DataFrame = {
     val guarded = redemptions
       .join(d.giftCodes.filter(!col("is_redeemed"))
         .select(col("id").as("gift_code_id"), col("code"),
@@ -98,8 +99,10 @@ object Rehive {
       col("redeemer_id"), col("created_by").as("creator_id"), col("price"),
       col("direct_commission_rate"), col("passive_commission_rate"))
     // rates ride per-row (packages differ) — inline attribute() with
-    // per-row rates rather than constants
-    val anc = Commission.ancestors(d.referrals, 10)
+    // per-row rates rather than constants. Callers batching several
+    // dataflows over one referral graph pass the closure in
+    // (materialized-view reuse — the walk is 10 joins, build it once).
+    val anc = ancestorsOpt.getOrElse(Commission.ancestors(d.referrals, 10))
     val direct = events.select(col("redemption_id"),
       col("creator_id").as("user_id"),
       (col("price") * col("direct_commission_rate")).as("amount"),
@@ -174,4 +177,157 @@ object Rehive {
     * stats routes. */
   def companyProfits(redemptions: DataFrame, commissions: DataFrame): DataFrame =
     Commission.companyProfit(redemptions, commissions)
+
+  // ---------------------------------------------------------------------
+  // Driver-verified instantiation of the reference domain: deterministic
+  // packages/gift_codes/referrals derived from region/customer keys, with
+  // orders as the redemption event stream. q78/q79 run the FLAGSHIP WRITE
+  // PATH (redeem → commission cascade → notification fan-out,
+  // render-complete-deploy.js:456-508,:208-316,:234-239,:291-296)
+  // end-to-end against a DuckDB oracle that replays the identical
+  // semantics — first-wins per code, self-redeem ban, already-redeemed
+  // guard, direct-to-creator, ≤10-level passive.
+  //
+  // Prices are integers and rates 2-decimal, so every commission amount
+  // is an exact ≤1-decimal product — printf/format_string render
+  // identically in both engines (no half-even-vs-half-up ties).
+  // ---------------------------------------------------------------------
+  import graft.engine.{Tables => T}
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (domain tables, redemption events) derived from testdata. */
+  def testDomain(s: SparkSession, dir: String): (RehiveData, DataFrame) = {
+    val packages = T.region(s, dir).select(
+      (col("r_regionkey") + 1).cast("int").as("id"),
+      col("r_name").as("name"),
+      ((col("r_regionkey") + 1).cast("double") * 150.0 - 50.0).as("price"),
+      (lit(0.05) + lit(0.01) * (col("r_regionkey") + 1).cast("double"))
+        .as("direct_commission_rate"),
+      (lit(0.01) * (col("r_regionkey") + 1).cast("double"))
+        .as("passive_commission_rate"))
+    val users = T.customer(s, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("full_name"),
+      ((col("c_custkey") % 5) + 1).cast("int").as("package_id"))
+    val giftCodes = T.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      upper(substring(sha2(concat(col("c_custkey").cast("string"), lit("-GC")), 256),
+        1, 8)).as("code"),
+      ((col("c_custkey") % 5) + 1).cast("int").as("package_id"),
+      floor(col("c_custkey") / 3).cast("long").as("created_by"),
+      (col("c_custkey") % 7 === 0).as("is_redeemed"))
+    val referrals = T.customer(s, dir).filter(col("c_custkey") >= 1)
+      .select(col("c_custkey").as("referred_id"),
+        floor(col("c_custkey") / 2).cast("long").as("referrer_id"))
+    // Each order attempts to redeem code (o_orderkey mod |customers|):
+    // several orders can hit one code (first-wins), some redeemers are
+    // the creator (self-redeem ban), and every 7th code is already
+    // redeemed (the :465 guard). The count is a 1-row bounded action,
+    // mirrored by a scalar subquery in the oracle.
+    val nCust = T.customer(s, dir).count()
+    val redemptions = T.orders(s, dir)
+      .select((col("o_orderkey") % nCust).as("gc_ref"),
+        col("o_custkey").as("redeemer_id"))
+      .join(giftCodes.select(col("id").as("gc_ref"), col("code")), Seq("gc_ref"))
+      .select(col("code"), col("redeemer_id"))
+    val none = users.limit(0)
+    (RehiveData(users, packages, giftCodes, none, referrals, none, none, none),
+      redemptions)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The full redeem cascade: every guard + the ≤10-level attribution.
+    // Both queries reuse Commission.testAncestors' memoized closure:
+    // the derived referral forest IS testEdges' (referred, floor/2)
+    // graph, so the 10-join walk is built once per (session, dataset)
+    // across q30-q33 and q78-q79.
+    "q78_rehive_redeem" -> ((s, dir) => {
+      val (d, reds) = testDomain(s, dir)
+      redeem(d, reds, Some(Commission.testAncestors(s, dir)))
+        .orderBy(col("redemption_id"), col("ctype"), col("level"), col("user_id"))
+    }),
+
+    // Notification fan-out — the cascade's third output table
+    // (render-complete-deploy.js:234-239 direct, :291-296 passive):
+    // one message row per commission row, money rendered %.2f like the
+    // reference's toFixed(2).
+    "q79_rehive_notifications" -> ((s, dir) => {
+      val (d, reds) = testDomain(s, dir)
+      redeem(d, reds, Some(Commission.testAncestors(s, dir)))
+        .select(col("redemption_id"), col("user_id"), col("ctype"), col("level"),
+          when(col("ctype") === "direct",
+            format_string("You earned $%.2f direct commission from your gift code!",
+              col("amount")))
+            .otherwise(format_string(
+              "You earned $%.2f passive commission (Level %d)!",
+              col("amount"), col("level"))).as("message"))
+        .orderBy(col("redemption_id"), col("ctype"), col("level"), col("user_id"))
+    }))
+
+  /** Shared oracle CTE replaying the cascade semantics in SQL. */
+  private val cascadeCte =
+    """codes AS (
+      |  SELECT c_custkey AS gift_code_id,
+      |    upper(substr(sha256(CAST(c_custkey AS VARCHAR) || '-GC'), 1, 8)) AS code,
+      |    CAST((c_custkey % 5) + 1 AS INTEGER) AS package_id,
+      |    CAST(floor(c_custkey/3) AS BIGINT) AS created_by,
+      |    (c_custkey % 7 = 0) AS is_redeemed
+      |  FROM customer),
+      |pkgs AS (
+      |  SELECT CAST(r_regionkey + 1 AS INTEGER) AS id,
+      |    CAST(r_regionkey + 1 AS DOUBLE) * 150.0 - 50.0 AS price,
+      |    CAST(0.05 AS DOUBLE) + CAST(0.01 AS DOUBLE) * CAST(r_regionkey + 1 AS DOUBLE)
+      |      AS direct_rate,
+      |    CAST(0.01 AS DOUBLE) * CAST(r_regionkey + 1 AS DOUBLE) AS passive_rate
+      |  FROM region),
+      |reds AS (
+      |  SELECT c.code, o.o_custkey AS redeemer_id
+      |  FROM orders o JOIN codes c
+      |    ON o.o_orderkey % (SELECT count(*) FROM customer) = c.gift_code_id),
+      |guarded AS (
+      |  SELECT r.redeemer_id, c.gift_code_id, c.package_id, c.created_by
+      |  FROM reds r JOIN codes c ON r.code = c.code
+      |  WHERE NOT c.is_redeemed AND c.created_by <> r.redeemer_id),
+      |firstwins AS (
+      |  SELECT redeemer_id, gift_code_id, package_id, created_by FROM (
+      |    SELECT g.*, row_number() OVER (PARTITION BY gift_code_id
+      |                                   ORDER BY redeemer_id) AS rn
+      |    FROM guarded g) t WHERE rn = 1),
+      |valid AS (
+      |  SELECT f.*, p.price, p.direct_rate, p.passive_rate
+      |  FROM firstwins f JOIN pkgs p ON f.package_id = p.id),
+      |edges AS (SELECT c_custkey AS referred,
+      |            CAST(floor(c_custkey/2) AS BIGINT) AS referrer
+      |          FROM customer WHERE c_custkey >= 1),
+      |anc(descendant, ancestor, lvl) AS (
+      |  SELECT referred, referrer, CAST(1 AS BIGINT) FROM edges
+      |  UNION ALL
+      |  SELECT a.descendant, e.referrer, a.lvl + 1
+      |  FROM anc a JOIN edges e ON e.referred = a.ancestor
+      |  WHERE a.lvl < 10),
+      |comm AS (
+      |  SELECT gift_code_id AS redemption_id, created_by AS user_id,
+      |    price * direct_rate AS amount, 'direct' AS ctype,
+      |    CAST(0 AS BIGINT) AS level
+      |  FROM valid
+      |  UNION ALL
+      |  SELECT v.gift_code_id, a.ancestor, v.price * v.passive_rate,
+      |    'passive', a.lvl
+      |  FROM valid v JOIN anc a ON v.redeemer_id = a.descendant)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q78_rehive_redeem" ->
+      s"""WITH RECURSIVE $cascadeCte
+         |SELECT redemption_id, user_id, amount, ctype, level FROM comm
+         |ORDER BY redemption_id, ctype, level, user_id""".stripMargin,
+
+    "q79_rehive_notifications" ->
+      s"""WITH RECURSIVE $cascadeCte
+         |SELECT redemption_id, user_id, ctype, level,
+         |  CASE WHEN ctype = 'direct'
+         |    THEN printf('You earned $$%.2f direct commission from your gift code!',
+         |                amount)
+         |    ELSE printf('You earned $$%.2f passive commission (Level %d)!',
+         |                amount, level) END AS message
+         |FROM comm
+         |ORDER BY redemption_id, ctype, level, user_id""".stripMargin)
 }

@@ -133,18 +133,36 @@ object Dedup {
     "q52_simhash" -> ((s, dir) =>
       simhashOf(s, dir).orderBy(col("doc_id"))),
 
-    // SimHash pair search: fingerprints within Hamming distance ≤ 3 —
-    // the codegen'd popcount kernel (graft.functions.HammingDistance)
-    // over candidate pairs. At 100 TB the pair space is banded by
-    // masked-fingerprint buckets; at corpus size 500 the full triangle
-    // is exact and cheap.
+    // SimHash pair search: fingerprints within Hamming distance ≤ 3,
+    // scored by the codegen'd popcount kernel
+    // (graft.functions.HammingDistance).
+    //
+    // Candidate generation is PIGEONHOLE BANDING, not a cross join:
+    // split the 16-bit fingerprint into 4 blocks of 4 bits — any pair
+    // within Hamming distance 3 differs in at most 3 blocks, so it
+    // agrees EXACTLY on at least one block. Each doc emits 4
+    // (block, masked-fingerprint) probe keys; candidates come from a
+    // plain equi-join on that key, so the shuffle is 4 short rows per
+    // document and work is proportional to true bucket collisions.
+    // At 100 TB you widen to a 64-bit fingerprint and (hamming+1)
+    // blocks — same shape, vastly sparser buckets; the exact Hamming
+    // filter after the join keeps the result identical either way.
     "q68_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val hd = graft.functions.HammingDistance.hamming(s) _
-      val sh = simhashOf(s, dir).cache()
-      sh.select($"doc_id".as("doc1"), $"simhash".as("h1"))
-        .crossJoin(sh.select($"doc_id".as("doc2"), $"simhash".as("h2")))
-        .filter($"doc1" < $"doc2")
+      val sh = simhashOf(s, dir)
+      val blocks = sh.select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("blk"))
+        .withColumn("bval",
+          expr("(simhash div shiftleft(CAST(1 AS BIGINT), blk * 4)) % 16"))
+        .cache() // both sides of the candidate self-join consume it
+      blocks.alias("a")
+        .join(blocks.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+        .distinct() // a close pair can collide in several blocks
         .select($"doc1", $"doc2", hd($"h1", $"h2").as("hamming"))
         .filter($"hamming" <= 3L)
         .orderBy($"doc1", $"doc2")
@@ -170,6 +188,56 @@ object Dedup {
         .filter($"jaccard" >= 0.1)
         .orderBy($"doc1", $"doc2")
     }))
+
+  /** Skew-aware within-bucket pair generation — the executable form of
+    * the LSH hot-band mitigation SCALE.md describes (boilerplate-heavy
+    * band buckets: cookie banners, license headers, template pages can
+    * put 10⁵+ documents into ONE bucket, and a plain bucket self-join
+    * then puts that bucket's entire n² pair matrix on one reducer).
+    *
+    * Buckets at or below `hotThreshold` take the normal self-join path.
+    * Hot buckets are processed on an s×s SALT GRID: each row gets a
+    * deterministic salt in [0,s); the left side replicates each row s
+    * times tagged (salt, j) and the right side s times tagged (i, salt),
+    * so the join on (bucket, i, j) lands each (a,b) pair in exactly one
+    * of s² grid cells — the bucket's pair matrix spreads over s²
+    * reducers instead of one. Total work is unchanged (it's the true
+    * pair count); only the per-task maximum drops, which is what
+    * matters for stragglers/spill. AQE's skew-split can do this
+    * adaptively for sort-merge joins; the explicit grid also covers
+    * broadcast-hash plans and makes the bound deterministic.
+    *
+    * @param rows (keyCol, idCol) bucket membership
+    * @return (id1, id2) with id1 < id2, each in-bucket pair exactly once
+    */
+  def bucketPairsSkewAware(rows: DataFrame, keyCol: String, idCol: String,
+                           hotThreshold: Long = 100000L, s: Int = 8): DataFrame = {
+    val r = rows.select(col(keyCol).as("k"), col(idCol).as("id"))
+    val sizes = r.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+    val tagged = r.join(broadcast(sizes), "k")
+    val cold = tagged.filter(col("__n") <= hotThreshold).drop("__n")
+    val coldPairs = cold.alias("a")
+      .join(cold.alias("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val hot = tagged.filter(col("__n") > hotThreshold).drop("__n")
+      .withColumn("__salt", pmod(hash(col("id")), lit(s)))
+    val grid = explode(sequence(lit(0), lit(s - 1)))
+    val left = hot.withColumn("__j", grid)
+      .select(col("k"), col("id").as("id_l"),
+        col("__salt").as("__i"), col("__j"))
+    val right = hot.withColumn("__i", grid)
+      .select(col("k"), col("id").as("id_r"),
+        col("__i"), col("__salt").as("__j"))
+    // shuffle_hash hint: the hot path exists precisely when the bucket
+    // is too big to broadcast — a broadcast plan here would silently
+    // skip the grid shuffle (and at fixture scale Spark would pick it),
+    // leaving the pair matrix wherever the inputs happened to sit.
+    val hotPairs = left.hint("shuffle_hash").join(right, Seq("k", "__i", "__j"))
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("id1"), col("id_r").as("id2"))
+    coldPairs.unionByName(hotPairs)
+  }
 
   /** (doc_id, cluster_id): connected components over the LSH pair
     * graph via iterative min-label propagation — per round every node

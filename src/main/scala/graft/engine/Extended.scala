@@ -60,9 +60,10 @@ object Extended {
     // Distribution window functions: ntile/percent_rank/cume_dist over
     // a total order (acctbal, custkey — unique, so ranks are exact and
     // both engines compute the same (rank-1)/(N-1) IEEE division).
-    // Note the unpartitioned window: fine here, but at 100 TB a global
-    // rank is a single-reducer sort — use approx quantiles or a
-    // two-pass range-partitioned rank instead (see SCALE.md).
+    // Note the unpartitioned window: a single-reducer sort — kept as
+    // the exact-semantics baseline; q81_scalable_rank below computes
+    // the IDENTICAL result with a two-pass range-partitioned plan
+    // (no SinglePartition exchange — PlanLint-asserted).
     "q46_ntile_dist" -> ((s, dir) => {
       import s.implicits._
       val w = Window.orderBy($"c_acctbal", $"c_custkey")
@@ -164,6 +165,55 @@ object Extended {
         .orderBy($"c_custkey")
     }),
 
+    // Two-pass range-partitioned global rank — the 100 TB replacement
+    // for q46's unpartitioned window (which plans an Exchange
+    // SinglePartition + one-reducer sort). Pass 1: approxQuantile
+    // cutpoints of the sort key (a tiny sketch aggregate; the handful
+    // of doubles it returns are this plan's only driver-held state).
+    // Pass 2: bucket rows by cutpoint range, count per bucket (≤5-row
+    // aggregate, same bounded-action idiom as the recursion's
+    // convergence check), then rank WITHIN each bucket via a window
+    // PARTITIONED by bucket — a distributed sort — and add the
+    // bucket's cumulative offset. Because buckets are contiguous key
+    // ranges, offset + local rank IS the exact global rank: cutpoint
+    // placement (and approxQuantile's merge nondeterminism) affects
+    // only load balance, never the result. ntile/percent_rank/
+    // cume_dist then derive from the exact rank in closed form, so the
+    // output is bit-identical to q46's — same oracle SQL verifies both.
+    "q81_scalable_rank" -> ((s, dir) => {
+      import s.implicits._
+      val c = T.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      val cuts = c.stat.approxQuantile("c_acctbal", Array(0.25, 0.5, 0.75), 0.001)
+        .distinct.sorted
+      val bucketOf = cuts.zipWithIndex.reverse
+        .foldLeft(lit(cuts.length): Column) { case (acc, (cut, i)) =>
+          when($"c_acctbal" <= cut, lit(i)).otherwise(acc)
+        }
+      val b = c.withColumn("__bkt", bucketOf)
+      val counts = b.groupBy($"__bkt").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val offsetOf = offsets.foldLeft(lit(0L): Column) { case (acc, (bkt, off)) =>
+        when($"__bkt" === bkt, lit(off)).otherwise(acc)
+      }
+      // SQL-standard ntile(k): first (n mod k) tiles hold ceil(n/k) rows
+      val k = 4L
+      val (q, r) = (n / k, n % k)
+      val gr = $"__gr"
+      val quartile =
+        if (q == 0L) gr // degenerate n < k: tile = rank
+        else when(gr <= r * (q + 1), (gr + q) / (q + 1)) // ceil(gr/(q+1))
+          .otherwise(lit(r) + (gr - r * (q + 1) + q - 1) / q)
+      val localW = Window.partitionBy($"__bkt").orderBy($"c_acctbal", $"c_custkey")
+      b.withColumn("__gr", offsetOf + row_number().over(localW).cast("long"))
+        .select($"c_custkey", $"c_acctbal",
+          quartile.cast("long").as("quartile"),
+          (($"__gr" - 1L).cast("double") / lit((n - 1).toDouble)).as("pct_rank"),
+          ($"__gr".cast("double") / lit(n.toDouble)).as("cdist"))
+        .orderBy($"c_custkey")
+    }),
+
     // Ordered event funnel (signup → view → purchase): per-user minimum
     // step times, then strict-order counts. One hash aggregate per
     // stage; no self-joins — the canonical scalable funnel layout.
@@ -210,6 +260,17 @@ object Extended {
          |ORDER BY r_name, metric""".stripMargin,
 
     "q46_ntile_dist" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Same oracle as q46 on purpose: the scalable two-pass plan must
+    // reproduce the single-sort semantics bit for bit.
+    "q81_scalable_rank" ->
       """SELECT c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |  percent_rank() OVER w AS pct_rank,

@@ -36,6 +36,48 @@ object Maintenance {
     base.join(tombstones.select(keys.map(org.apache.spark.sql.functions.col): _*),
       keys, "left_anti")
 
+  /** Partition-pruned copy-on-write MERGE over a `partitionBy(pcol)`
+    * parquet table — the plain-parquet halfway point to Delta/Iceberg
+    * file-level MERGE pruning: only the partitions that actually
+    * contain matched update keys are rewritten; every other partition
+    * directory is left untouched (byte-identical files, asserted in
+    * MaintenanceSpec). At 100 TB this is the difference between
+    * rewriting the whole table and rewriting the handful of date
+    * partitions a backfill touches.
+    *
+    * The update set's distinct partition values are a bounded driver
+    * action (# touched partitions, the same cardinality a MERGE's
+    * partition predicate would carry). Each touched partition is
+    * merged with [[upsert]] and staged to a temp dir BEFORE swapping,
+    * because Spark reads lazily — overwriting the directory being
+    * scanned would corrupt the merge input.
+    *
+    * @param updates must carry `pcol` plus the base schema
+    * @return touched partition values, for commit bookkeeping
+    */
+  def upsertPartitioned(spark: SparkSession, tableDir: String,
+                        updates: DataFrame, keys: Seq[String],
+                        pcol: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val touched = updates.select(col(pcol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    touched.foreach { pv =>
+      val pdir = s"$tableDir/$pcol=$pv"
+      val tmp = s"$tableDir/.merge_tmp_$pcol=$pv"
+      val upd = updates.filter(col(pcol).cast("string") === pv).drop(pcol)
+      if (!fs.exists(new Path(pdir))) {
+        upd.write.mode("overwrite").parquet(pdir) // brand-new partition
+      } else {
+        val base = spark.read.parquet(pdir) // partition col not materialized in files
+        upsert(base, upd, keys).write.mode("overwrite").parquet(tmp)
+        fs.delete(new Path(pdir), true)
+        fs.rename(new Path(tmp), new Path(pdir))
+      }
+    }
+    touched
+  }
+
   /** Latest-version-wins upsert: union base and updates, keep one row
     * per key by `tieBreak` (descending-priority ordering columns, e.g.
     * event time then id). Unlike plain [[upsert]], this is commutative

@@ -34,13 +34,17 @@ object Multimodal {
   def readBinary(s: SparkSession, dir: String, glob: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
-  /** Metadata + content hash (all real computation). */
+  /** Metadata + content hash (all real computation). The fingerprint is
+    * md5 over the HEX of the bytes (not the raw bytes) because the
+    * DuckDB oracle's md5 only accepts VARCHAR — hex() is bit-identical
+    * (uppercase) in both engines, so the digest still covers every
+    * byte of content. */
   def withMeta(bin: DataFrame): DataFrame =
     bin.select(
       col("path"),
       regexp_extract(col("path"), "\\.([^./]+)$", 1).as("ext"),
       col("length"),
-      md5(col("content")).as("content_md5"),
+      md5(hex(col("content"))).as("content_md5"),
       col("content"))
 
   /** ==== STUB ==== deterministic fake image decode: derives fake
@@ -78,18 +82,31 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    // Binary ingest of the testdata parquet files themselves as opaque
-    // blobs — real binaryFile scan + metadata/hash extraction. No SQL
-    // oracle (DuckDB cannot read arbitrary file bytes) → driver records
-    // the weaker rows-only check.
-    "q70_binary_ingest" -> ((s, dir) => {
+    // Binary ingest of a FIXED directory of opaque files (the sf0.01
+    // testdata parquets standing in for an uploads/ dir) — real
+    // binaryFile scan + metadata/hash extraction. Oracle: DuckDB
+    // read_blob() over the same files gives (filename, size, content),
+    // so name/length/md5 are fully cross-checkable. Both sides pin the
+    // same literal directory because a binary corpus is an artifact
+    // store, not a scale-factor table — and the oracle SQL (static
+    // text) cannot interpolate the runtime sfDir.
+    "q70_binary_ingest" -> ((s, _) => {
       import s.implicits._
-      withMeta(readBinary(s, dir, "*.parquet"))
+      withMeta(readBinary(s, "/root/testdata/sf0.01", "*.parquet"))
         .select(
           element_at(split($"path", "/"), -1).as("file_name"),
           $"ext", $"length", $"content_md5")
         .orderBy($"file_name")
     }))
 
-  val oracle: Map[String, String] = Map.empty
+  /** The driver verifies at sf0.01; read_blob needs a literal path (the
+    * table-name view substitution only covers the 10 parquet tables). */
+  val oracle: Map[String, String] = Map(
+    "q70_binary_ingest" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+        |  regexp_extract(filename, '\.([^./]+)$', 1) AS ext,
+        |  size AS length,
+        |  md5(hex(content)) AS content_md5
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin)
 }

@@ -58,6 +58,35 @@ object Scalar {
         .orderBy($"p_partkey")
     }),
 
+    // DecimalType money mode — the reference schema's decimal(10,2)/
+    // (5,4)/(3,2) money columns (render-complete-deploy.js:34-36) as
+    // faithful DECIMAL arithmetic. The engine default is double for
+    // oracle parity with the testdata (SURVEY.md §1.3); this query
+    // demonstrates the production-money alternative: decimal sums are
+    // exact and order-independent by construction (no scaled-integer
+    // trick needed), and every intermediate is pinned to an explicit
+    // (precision, scale) on BOTH engines so Spark's and DuckDB's
+    // decimal type-widening rules can't diverge. The only rounding
+    // anywhere is the input double→decimal(…,2) cast, which is exact
+    // for 2-decimal money values.
+    "q80_decimal_money" -> ((s, dir) => {
+      import s.implicits._
+      val qty = $"l_quantity".cast("decimal(12,2)")
+      val px = $"l_extendedprice".cast("decimal(12,2)")
+      val disc = $"l_discount".cast("decimal(4,2)")
+      T.lineitem(s, dir)
+        .select($"l_returnflag", $"l_linestatus", qty.as("qty"), px.as("px"),
+          (px * (lit(java.math.BigDecimal.valueOf(100L, 2)).cast("decimal(4,2)") - disc))
+            .cast("decimal(18,4)").as("disc_px"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+          sum($"px").cast("decimal(38,2)").as("sum_base"),
+          sum($"disc_px").cast("decimal(38,4)").as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // Date/time functions: current-ts stamping analog (F9), +1 month
     // subscription expiry (F10 :786-787), display formatting (F11),
     // extraction and day arithmetic.
@@ -153,6 +182,17 @@ object Scalar {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q80_decimal_money" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q18_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS upper_name,

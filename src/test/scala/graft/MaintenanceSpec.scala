@@ -50,6 +50,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.filter($"c_custkey" % 7 === 0).count() == 0)
   }
 
+  test("partition-pruned upsert rewrites ONLY touched partitions (others byte-identical)") {
+    import spark.implicits._
+    val base = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+    val table = tmp("graft_ptable")
+    base.write.partitionBy("c_mktsegment").mode("overwrite").parquet(table)
+
+    // snapshot (name, length, md5) of every data file per partition
+    def fileState(segment: String): Seq[(String, Long, String)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$table/c_mktsegment=$segment")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).toSeq.map { f =>
+        val in = fs.open(f.getPath)
+        val bytes = new Array[Byte](f.getLen.toInt)
+        in.readFully(bytes); in.close()
+        (f.getPath.getName, f.getLen,
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString)
+      }.sortBy(_._1)
+    }
+    val segments = base.select($"c_mktsegment").distinct()
+      .as[String].collect().sorted.toSeq
+    val touchedSeg = segments.head
+    val untouched = segments.tail
+    val before = untouched.map(s => s -> fileState(s)).toMap
+
+    val updates = base.filter($"c_mktsegment" === touchedSeg && $"c_custkey" % 5 === 0)
+      .withColumn("c_name", lit("MERGED"))
+    val touched = Maintenance.upsertPartitioned(spark, table, updates,
+      Seq("c_custkey"), "c_mktsegment")
+    assert(touched == Seq(touchedSeg))
+
+    // untouched partitions: every file byte-identical
+    untouched.foreach(s => assert(fileState(s) == before(s), s"partition $s changed"))
+    // touched partition: merge applied, row count preserved
+    val back = spark.read.parquet(table)
+    assert(back.count() == base.count())
+    assert(back.filter($"c_name" === "MERGED").count() == updates.count())
+    assert(back.filter($"c_name" === "MERGED" && $"c_mktsegment" =!= touchedSeg).count() == 0)
+  }
+
   test("z-order layout skips files on the NON-leading column; linear sort cannot") {
     import spark.implicits._
     val src = graft.engine.Tables.orders(spark, "/root/testdata/sf0.01")

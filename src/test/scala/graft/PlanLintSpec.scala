@@ -20,11 +20,12 @@ class PlanLintSpec extends AnyFunSuite {
   /** Queries allowed to contain a broadcast nested-loop / cartesian:
     * q09 is the deliberate tiny×tiny cross join; q60/q63 broadcast a
     * bounded query/codebook set against the corpus (documented in
-    * SCALE.md); q22 broadcasts a 1-row aggregate; q68's fingerprint
-    * triangle is bounded by the doc count (banded by masked
-    * fingerprints at scale). */
+    * SCALE.md); q22 and q76 broadcast a 1-row corpus-stats aggregate
+    * against every row — the benign 1×N broadcast shape, not an N×M
+    * blow-up. q68 is deliberately NOT here: its candidate generation
+    * is a masked-fingerprint equi-join. */
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
-    "q22_scalar_subquery", "q68_simhash_pairs")
+    "q22_scalar_subquery", "q76_bm25")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -68,6 +69,14 @@ class PlanLintSpec extends AnyFunSuite {
     val p = plan("q71_merge_upsert")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti join:\n$p")
+  }
+
+  test("scalable rank has no single-partition exchange (q46's global window does)") {
+    val p = plan("q81_scalable_rank")
+    assert(!p.contains("SinglePartition"), s"single-reducer stage found:\n$p")
+    // sanity: the baseline q46 really is the single-reducer shape this
+    // query exists to replace
+    assert(plan("q46_ntile_dist").contains("SinglePartition"))
   }
 
   test("aggregates run partial then final (map-side combine present)") {
