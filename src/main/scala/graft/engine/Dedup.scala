@@ -96,9 +96,9 @@ object Dedup {
     // itself is touched once at the start and once at the end. Near-dup
     // graphs are overwhelmingly tiny components (pairs ≪ corpus), so
     // the per-round working set is the pair list, not the corpus; for
-    // adversarial chain-shaped graphs the classic fix is alternating
-    // large-star/small-star (Kiveris et al.), which squares the label
-    // jump per round — not needed at the fixture's diameter.
+    // adversarial chain-shaped graphs use componentsStar (alternating
+    // large-star/small-star contraction, O(log d) rounds) — not needed
+    // at the fixture's diameter.
     // localCheckpoint truncates lineage so round k doesn't replay
     // rounds 1..k-1; width 8 for the same frontier-sized-shuffle
     // reasoning as q67.
@@ -249,9 +249,10 @@ object Dedup {
     * neighbor-minima broadcast back on the other), and localCheckpoint
     * truncates lineage so round k doesn't replay rounds 1..k-1. Width 8
     * for the frontier-sized-shuffle reasoning of q67. Near-dup graphs
-    * are overwhelmingly tiny components (pairs ≪ corpus); adversarial
-    * chain-shaped graphs would call for alternating large-star/
-    * small-star (Kiveris et al.) to square the label jump per round. */
+    * are overwhelmingly tiny components (pairs ≪ corpus); for
+    * adversarial chain-shaped graphs whose diameter exceeds the round
+    * cap, [[componentsStar]] is the O(log d) alternative
+    * (StarComponentsSpec exercises a 300-node chain). */
   def components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -282,6 +283,77 @@ object Dedup {
       labels.select($"doc_id", $"label".as("cluster_id"))
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the adversarial-graph replacement for
+    * [[components]]' min-label propagation. Label propagation moves a
+    * label one hop per round, so a pathological chain-shaped near-dup
+    * component of diameter d costs d rounds (and [[components]] caps
+    * at 32); star contraction re-points whole neighborhoods at their
+    * minimum each round, converging in O(log d) rounds. Every round is
+    * two groupBy+join passes over the EDGE list only — the corpus is
+    * never touched, same as label propagation.
+    *
+    *  - large-star(u): every neighbor v > u re-links to
+    *    m = min(Γ(u) ∪ {u})
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-links
+    *    to that minimum
+    *
+    * Fixpoint = the edge multiset stops changing (monotone: the
+    * (count, Σends) checksum strictly decreases until the graph is a
+    * set of stars centered on component minima).
+    *
+    * @param edges0 (a, b) undirected pair list
+    * @return ((doc_id, cluster_id) for every node that appears in an
+    *         edge, rounds used)
+    */
+  def componentsStarWithRounds(edges0: DataFrame,
+                               maxRounds: Int = 40): (DataFrame, Int) = {
+    val nodes = edges0.select(col("a").as("n"))
+      .union(edges0.select(col("b").as("n"))).distinct().localCheckpoint()
+    var edges = edges0
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("a") + col("b"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var cur = checksum(edges)
+    var round = 0
+    while (cur != prev && round < maxRounds) {
+      // large-star: neighbors bigger than u hook onto u's minimum
+      val und = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a").as("u"), least(col("a"), col("mn")).as("m"))
+      val large = und.join(mins, und("a") === mins("u"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("a"), col("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star over (bigger end u, smaller end v): v and u both
+      // hook onto u's minimum smaller neighbor
+      val dir = large.select(col("b").as("u"), col("a").as("v"))
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      edges = dir.join(mins2, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(mins2.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      prev = cur; cur = checksum(edges); round += 1
+    }
+    val labels = nodes
+      .join(edges.select(col("b").as("n"), col("a").as("lbl")), Seq("n"), "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("lbl"), col("n")).as("cluster_id"))
+    (labels, round)
+  }
+
+  /** [[componentsStarWithRounds]] without the round count. */
+  def componentsStar(edges0: DataFrame, maxRounds: Int = 40): DataFrame =
+    componentsStarWithRounds(edges0, maxRounds)._1
 
   /** (doc_id, n_overlap) for training docs (doc_id >= benchCut):
     * distinct-shingle overlap with the held-out docs below benchCut.
