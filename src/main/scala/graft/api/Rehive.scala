@@ -261,6 +261,27 @@ object Rehive {
               "You earned $%.2f passive commission (Level %d)!",
               col("amount"), col("level"))).as("message"))
         .orderBy(col("redemption_id"), col("ctype"), col("level"), col("user_id"))
+    }),
+
+    // Company profit per redemption — the cascade's remaining output
+    // table (render-complete-deploy.js:303-311): price − Σ commissions,
+    // clamped at 0 (AG6). Commission sums go through the scaled-integer
+    // Exact helpers so the per-redemption total is order-independent.
+    "q82_rehive_profits" -> ((s, dir) => {
+      val (d, reds) = testDomain(s, dir)
+      val comm = redeem(d, reds, Some(Commission.testAncestors(s, dir)))
+      val paid = comm.groupBy(col("redemption_id"))
+        .agg(graft.engine.Exact.msum(col("amount")).as("commission_paid"))
+      val prices = d.giftCodes
+        .select(col("id").as("redemption_id"), col("package_id"))
+        .join(broadcast(d.packages.select(col("id").as("pk_id"), col("price"))),
+          col("package_id") === col("pk_id"))
+        .select(col("redemption_id"), col("price"))
+      paid.join(prices, "redemption_id")
+        .select(col("redemption_id"),
+          greatest(lit(0.0), col("price") - col("commission_paid")).as("profit"),
+          col("commission_paid"))
+        .orderBy(col("redemption_id"))
     }))
 
   /** Shared oracle CTE replaying the cascade semantics in SQL. */
@@ -329,5 +350,18 @@ object Rehive {
          |    ELSE printf('You earned $$%.2f passive commission (Level %d)!',
          |                amount, level) END AS message
          |FROM comm
-         |ORDER BY redemption_id, ctype, level, user_id""".stripMargin)
+         |ORDER BY redemption_id, ctype, level, user_id""".stripMargin,
+
+    "q82_rehive_profits" ->
+      s"""WITH RECURSIVE $cascadeCte,
+         |paid AS (
+         |  SELECT redemption_id,
+         |    CAST(sum(CAST(round((amount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+         |      AS commission_paid
+         |  FROM comm GROUP BY redemption_id)
+         |SELECT p.redemption_id,
+         |  greatest(0.0, v.price - p.commission_paid) AS profit,
+         |  p.commission_paid
+         |FROM paid p JOIN valid v ON v.gift_code_id = p.redemption_id
+         |ORDER BY p.redemption_id""".stripMargin)
 }

@@ -97,6 +97,27 @@ object Multimodal {
           element_at(split($"path", "/"), -1).as("file_name"),
           $"ext", $"length", $"content_md5")
         .orderBy($"file_name")
+    }),
+
+    // Image-feature extraction through the REAL distribution plumbing
+    // (typed Dataset → mapPartitions batch iteration → feature schema).
+    // The decode kernel is the documented deterministic stub, which is
+    // exactly what makes the plumbing oracle-checkable: width/height
+    // derive from byte length and the histogram mass equals
+    // min(length, 64KiB), all reproducible from DuckDB's read_blob —
+    // so path carry, per-partition iteration, and the output schema
+    // are verified even though no codec ships in this environment.
+    "q83_image_features" -> ((s, _) => {
+      import s.implicits._
+      decodeImages(readBinary(s, "/root/testdata/sf0.01", "*.parquet")).toDF()
+        .select(
+          element_at(split($"path", "/"), -1).as("file_name"),
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"channels".cast("long").as("channels"),
+          aggregate($"histogram", lit(0.0d),
+            (acc, x) => acc + x.cast("double")).cast("long").as("n_hist_bytes"))
+        .orderBy($"file_name")
     }))
 
   /** The driver verifies at sf0.01; read_blob needs a literal path (the
@@ -107,6 +128,15 @@ object Multimodal {
         |  regexp_extract(filename, '\.([^./]+)$', 1) AS ext,
         |  size AS length,
         |  md5(hex(content)) AS content_md5
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
+
+    "q83_image_features" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+        |  CAST(64 + size % 512 AS BIGINT) AS width,
+        |  CAST(64 + (size // 7) % 512 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(least(size, 65536) AS BIGINT) AS n_hist_bytes
         |FROM read_blob('/root/testdata/sf0.01/*.parquet')
         |ORDER BY file_name""".stripMargin)
 }
