@@ -168,6 +168,32 @@ object Dedup {
         .orderBy($"doc1", $"doc2")
     }),
 
+    // Edit-distance fuzzy verification over shared-shingle candidates —
+    // the character-level sibling of q53's token-level Jaccard. The
+    // Levenshtein kernel is O(|t1|·|t2|) per pair, which is exactly why
+    // it runs ONLY on candidate pairs from the shingle equi-join (work
+    // ∝ true overlap), never on the corpus triangle. Both engines
+    // implement the same unit-cost insert/delete/substitute DP.
+    "q85_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val cand = sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      val docs = T.documents(s, dir).select($"doc_id", trim($"text").as("t"))
+      cand
+        .join(docs.select($"doc_id".as("doc1"), $"t".as("t1")), "doc1")
+        .join(docs.select($"doc_id".as("doc2"), $"t".as("t2")), "doc2")
+        .select($"doc1", $"doc2",
+          levenshtein($"t1", $"t2").cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein($"t1", $"t2").cast("double") /
+            greatest(length($"t1"), length($"t2")).cast("double"))
+            .as("char_sim"))
+        .orderBy($"doc1", $"doc2")
+    }),
+
     // Exact n-gram Jaccard on shared-shingle candidate pairs —
     // verification stage after LSH, thresholded at 0.1. Integer
     // intersection/union counts → bit-exact division.
@@ -501,6 +527,22 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    "q85_edit_distance" ->
+      s"""WITH $shinglesCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |docs AS (SELECT doc_id, trim(text) AS t FROM documents)
+         |SELECT doc1, doc2,
+         |  CAST(levenshtein(d1.t, d2.t) AS BIGINT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(d1.t, d2.t) AS DOUBLE) /
+         |        CAST(greatest(len(d1.t), len(d2.t)) AS DOUBLE) AS char_sim
+         |FROM cand
+         |JOIN docs d1 ON d1.doc_id = doc1
+         |JOIN docs d2 ON d2.doc_id = doc2
          |ORDER BY doc1, doc2""".stripMargin,
 
     "q53_jaccard_pairs" ->

@@ -214,6 +214,25 @@ object Extended {
         .orderBy($"c_custkey")
     }),
 
+    // Grouped top-k: the per-key version of q04's global top-N (the
+    // reference's per-user feeds with LIMIT are exactly this once you
+    // shard by user). Window rank + filter: one shuffle by group key,
+    // per-partition sort, early filter — no global sort. (For tiny k
+    // over huge groups, an Aggregator holding a bounded heap trades
+    // the in-partition sort for O(n log k); the window form is the
+    // idiomatic default and what Catalyst optimizes with
+    // WindowGroupLimit pushdown.)
+    "q84_grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      T.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).cast("long").as("rnk"))
+        .filter($"rnk" <= 3L)
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+
     // Ordered event funnel (signup → view → purchase): per-user minimum
     // step times, then strict-order counts. One hash aggregate per
     // stage; no self-joins — the canonical scalable funnel layout.
@@ -328,6 +347,15 @@ object Extended {
         |UNION ALL
         |SELECT * FROM upd
         |ORDER BY c_custkey""".stripMargin,
+
+    "q84_grouped_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q69_funnel" ->
       """WITH u AS (
