@@ -53,6 +53,12 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q65_tpch_q18").contains("TakeOrderedAndProject"))
   }
 
+  test("grouped top-k gets partial (map-side) WindowGroupLimit pushdown") {
+    val p = plan("q84_grouped_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected Partial+Final WindowGroupLimit pair:\n$p")
+  }
+
   test("pricing summary prunes the lineitem scan to the referenced columns") {
     val p = plan("q01_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
