@@ -72,6 +72,45 @@ class CatalogSpec extends AnyFunSuite {
       "sizeInBytes should be a real measurement")
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    // fact partitioned by the join key's domain; dim carries a selective
+    // filter. DPP should inject a runtime subquery into the fact scan's
+    // PartitionFilters so only the dim-surviving partitions are read —
+    // at 100 TB this is what makes star-join date filters cheap without
+    // literal partition predicates in the query text.
+    graft.engine.Tables.orders(spark, dir)
+      .withColumn("status_p", col("o_orderstatus"))
+      .write.partitionBy("status_p").mode("overwrite")
+      .saveAsTable("graft.orders_p")
+    // dim must be a real (file-backed) relation: a local Seq would
+    // constant-fold its filter into a LocalRelation and the pruning
+    // rule would see no selective predicate to derive a subquery from
+    locally {
+      import spark.implicits._
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("s_key", "s_label")
+        .write.mode("overwrite").saveAsTable("graft.status_dim")
+    }
+    // DPP (default reuseBroadcastOnly) piggybacks on the dim broadcast —
+    // re-enable broadcasting, which the suite globally disables to pin
+    // the bucketed-SMJ plan above.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    try {
+      val joined = spark.table("graft.orders_p")
+        .join(spark.table("graft.status_dim")
+            .filter(col("s_label") === lit("finished")),
+          col("status_p") === col("s_key"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        s"expected a dynamic pruning subquery in the fact scan:\n$plan")
+      assert(joined.count() ==
+        spark.table("graft.orders_p").filter(col("status_p") === "F").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("partitioned table prunes partitions on filter") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")
