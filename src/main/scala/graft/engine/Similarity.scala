@@ -143,6 +143,43 @@ object Similarity {
         .orderBy($"v1", $"v2")
     }))
 
+  /** Multi-probe sign-LSH top-k — the recall/cost knob on q61's
+    * single-bucket search. Candidates come from the query's own sign
+    * bucket plus the Hamming-nearest probe buckets (signature with 1,
+    * then 2, bits flipped): the buckets a near neighbor most likely
+    * fell into when it straddled a hyperplane. probes=1 is exactly
+    * q61's plan; probes=16 visits every bucket and IS brute force.
+    * AnnRecallSpec measures the curve (recall monotone in probes,
+    * exhaustive probing ≡ exact top-k) — the knob a 100 TB deployment
+    * tunes instead of paying the full corpus scan per query.
+    *
+    * Plan shape is unchanged by probes: the probe list explodes
+    * map-side on the (small, broadcast) query side only, so the join
+    * stays a bucket equi-join with a probes× bigger build side —
+    * corpus-side work scales with probes/16, never all-pairs.
+    */
+  def lshTopK(s: SparkSession, dir: String, k: Int, probes: Int,
+              queryMod: Int = 25): DataFrame = {
+    import s.implicits._
+    require(probes >= 1 && probes <= 16)
+    // probe masks in Hamming-weight order: self, 1-bit flips, 2-bit...
+    val masks = (0 until 16).sortBy(Integer.bitCount).take(probes).map(_.toLong)
+    val cos = CosineSimilarity.cosineSim(s) _
+    val emb = T.embeddings(s, dir).withColumn("bucket", bucketOf($"embedding"))
+    val q = emb.filter($"vec_id" % queryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket".as("qb"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => $"qb".bitwiseXOR(lit(m))): _*)))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+    emb.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"qid", $"rank")
+  }
+
   val oracle: Map[String, String] = Map(
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (

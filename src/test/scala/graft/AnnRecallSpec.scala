@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Similarity, Tables => T}
+
+/** Measured ANN quality: recall@k of the bucketed searches against the
+  * exact brute-force top-k, and the multi-probe recall/cost curve.
+  * Single-bucket sign-LSH trades most of the corpus scan away and pays
+  * in recall; multi-probe buys it back bucket by bucket until
+  * probes=16 IS the exhaustive search. Pinning the curve keeps the
+  * trade-off honest — an ANN that silently stopped recalling anything
+  * would still pass its (self-consistent) oracle, but not this spec.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.01"
+
+  private lazy val exactTop3: Set[(Long, Long)] = {
+    import spark.implicits._
+    val cos = graft.functions.CosineSimilarity.cosineSim(spark) _
+    val emb = T.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+    emb.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+  }
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+    import spark.implicits._
+    val ann = df.select(col("qid"), col("cid")).as[(Long, Long)].collect().toSet
+    (ann intersect exactTop3).size.toDouble / exactTop3.size
+  }
+
+  test("multi-probe recall is monotone and exhaustive probing equals exact") {
+    val r1 = recallOf(Similarity.lshTopK(spark, dir, k = 3, probes = 1))
+    val r5 = recallOf(Similarity.lshTopK(spark, dir, k = 3, probes = 5))
+    val r16 = recallOf(Similarity.lshTopK(spark, dir, k = 3, probes = 16))
+    assert(r1 > 0.0, "single bucket must recall something")
+    assert(r5 >= r1, s"probing more buckets cannot lose recall: $r5 < $r1")
+    assert(r16 == 1.0, s"probing all 16 buckets is brute force, recall=$r16")
+  }
+
+  test("single-bucket LSH and IVF beat the random-candidate baseline") {
+    // a random 1/16 candidate subset would land ~1/16 of the exact
+    // top-3 in expectation; the sign buckets must do meaningfully
+    // better because they correlate with cosine
+    val lsh = recallOf(SparkEntry.queries("q61_lsh_ann")(spark, dir))
+    val ivf = recallOf(SparkEntry.queries("q63_ivf_ann")(spark, dir))
+    assert(lsh > 2.0 / 16, s"sign-LSH recall $lsh not above random baseline")
+    assert(ivf > 2.0 / 16, s"IVF recall $ivf not above random baseline")
+  }
+}
