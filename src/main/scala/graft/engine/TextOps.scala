@@ -34,10 +34,19 @@ object TextOps {
       import s.implicits._
       val toks = size(split(trim($"text"), "\\s+")).cast("long")
       val nonSpace = length(regexp_replace($"text", "\\s", "")).cast("long")
+      // BPE-ish pretokenizer pieces: letter runs, digit runs, and
+      // single punctuation marks — the split a GPT-style byte-pair
+      // tokenizer applies before merging. Counting pieces bounds the
+      // real token count from below, which is what budget estimation
+      // over a 100 TB corpus needs from a scan-speed scalar.
+      val pieces = size(expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long")
       T.documents(s, dir)
         .select($"doc_id", $"lang", $"source",
           length($"text").cast("long").as("n_chars_actual"),
           toks.as("n_tokens"),
+          pieces.as("n_bpe_pieces"),
           nonSpace.as("n_nonspace"),
           (nonSpace.cast("double") / toks.cast("double")).as("avg_token_len"))
         .orderBy($"doc_id")
@@ -234,6 +243,8 @@ object TextOps {
       """SELECT doc_id, lang, source,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_bpe_pieces,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
