@@ -180,6 +180,31 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * q_i = round(x_i / scale) ∈ [-127, 127]. The embedding column
+    * shrinks 4× (float32 → int8 + one float scale), which at 100 TB is
+    * the difference between an ANN index that fits executor memory and
+    * one that spills — and the quantization error on cosine is bounded
+    * and small (QuantizationSpec measures it against the float
+    * kernel). All map-side higher-order array functions: quantization
+    * happens at scan speed with no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .withColumn("q_scale",
+        greatest(
+          expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"),
+          lit(1e-30)) / 127.0)
+      .withColumn("q_vec", expr(
+        s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS TINYINT))"))
+
+  /** Dequantized float view of [[quantizeInt8]] output — what the
+    * similarity kernels consume when the stored column is int8. */
+  def dequantize(q: DataFrame, outCol: String): DataFrame =
+    q.withColumn(outCol,
+      expr("transform(q_vec, v -> CAST(CAST(v AS DOUBLE) * q_scale AS FLOAT))"))
+
   val oracle: Map[String, String] = Map(
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (
