@@ -111,6 +111,29 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
+    // Same clustering, computed by STAR CONTRACTION instead of label
+    // propagation — identical output (same oracle as q57), different
+    // convergence class: O(log d) rounds vs O(d), which is what an
+    // adversarial chain-shaped component needs. Isolated documents
+    // (no near-dup pair) are their own cluster, as in q57.
+    "q86_dedup_clusters_star" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val edges = lshPairs(s, dir)
+          .select($"doc1".as("a"), $"doc2".as("b")).localCheckpoint()
+        val labels = componentsStar(edges).localCheckpoint()
+        val byCluster = Window.partitionBy($"cluster_id")
+        T.documents(s, dir).select($"doc_id")
+          .join(labels.withColumnRenamed("doc_id", "n"), $"doc_id" === $"n", "left")
+          .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(byCluster))
+          .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+          .orderBy($"doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
     // Benchmark DECONTAMINATION — flag training documents sharing any
     // 3-gram with a held-out eval set (docs 0-24 stand in for the
     // benchmark). The benchmark shingle set is tiny by construction, so
@@ -475,8 +498,37 @@ object Dedup {
     // (not UNION ALL) dedups visited (src, dst) states, so the
     // recursion terminates on the cyclic undirected edge relation;
     // cluster_id = min reachable node. Same label-is-min-reachable
-    // definition the Spark propagation loop converges to.
+    // definition BOTH Spark algorithms converge to: q57 (label
+    // propagation) and q86 (star contraction) share this oracle.
     "q57_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+         |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q86_dedup_clusters_star" ->
       s"""WITH RECURSIVE $shinglesCte,
          |sigs AS (
          |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
