@@ -180,6 +180,43 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** IVF search with an nprobe knob — the cell-count sibling of
+    * [[lshTopK]]'s bucket probing. The corpus is assigned once to its
+    * max-cosine cell (as in q63); a query searches its `nprobe`
+    * closest cells instead of only the closest. Each corpus vector
+    * lives in exactly one cell, so probing more cells only widens the
+    * candidate set — recall is monotone in nprobe, and nprobe = #cells
+    * is the exhaustive search. Corpus-side work scales with
+    * nprobe/#cells; the probe expansion rides on the broadcast query
+    * side. AnnRecallSpec pins the curve.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int, nprobe: Int,
+              nCells: Int = 8, queryMod: Int = 25): DataFrame = {
+    import s.implicits._
+    require(nprobe >= 1 && nprobe <= nCells)
+    val cos = CosineSimilarity.cosineSim(s) _
+    val emb = T.spread(T.embeddings(s, dir))
+    val cents = emb.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cent_cos".desc, $"cent_id")
+    val ranked = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        round(cos($"embedding", $"ce"), 6).as("cent_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    val q = ranked.filter($"rn" <= nprobe && $"vec_id" % queryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cent_id".as("cell"))
+    val wRank = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127,
     * q_i = round(x_i / scale) ∈ [-127, 127]. The embedding column
     * shrinks 4× (float32 → int8 + one float scale), which at 100 TB is

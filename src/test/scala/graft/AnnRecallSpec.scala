@@ -53,6 +53,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r16 == 1.0, s"probing all 16 buckets is brute force, recall=$r16")
   }
 
+  test("IVF nprobe curve is monotone and probing every cell equals exact") {
+    val r1 = recallOf(Similarity.ivfTopK(spark, dir, k = 3, nprobe = 1))
+    val r3 = recallOf(Similarity.ivfTopK(spark, dir, k = 3, nprobe = 3))
+    val r8 = recallOf(Similarity.ivfTopK(spark, dir, k = 3, nprobe = 8))
+    assert(r1 > 0.0)
+    assert(r3 >= r1, s"more cells cannot lose recall: $r3 < $r1")
+    assert(r8 == 1.0, s"probing all cells is brute force, recall=$r8")
+  }
+
   test("single-bucket LSH and IVF beat the random-candidate baseline") {
     // a random 1/16 candidate subset would land ~1/16 of the exact
     // top-3 in expectation; the sign buckets must do meaningfully
