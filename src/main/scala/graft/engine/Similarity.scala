@@ -193,11 +193,41 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, k: Int, nprobe: Int,
               nCells: Int = 8, queryMod: Int = 25): DataFrame = {
     import s.implicits._
-    require(nprobe >= 1 && nprobe <= nCells)
-    val cos = CosineSimilarity.cosineSim(s) _
     val emb = T.spread(T.embeddings(s, dir))
     val cents = emb.filter($"vec_id" < nCells)
       .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+    cellSearch(s, emb, cents, k, nprobe, nCells, queryMod)
+  }
+
+  /** [[ivfTopK]] with a TRAINED k-means codebook instead of the
+    * deterministic coarse one — the production IVF shape: learn
+    * centroids once (spark.ml KMeans, fixed seed), broadcast them,
+    * assign + search identically. Codebook quality only moves recall,
+    * never correctness of the top-k over the candidates, which is why
+    * the search core is shared. */
+  def ivfTopKTrained(s: SparkSession, dir: String, k: Int, nprobe: Int,
+                     nCells: Int = 8, queryMod: Int = 25,
+                     seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = T.spread(T.embeddings(s, dir))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(emb.select(array_to_vector($"embedding").as("features")))
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cent_id", "ce")
+    cellSearch(s, emb, cents, k, nprobe, nCells, queryMod)
+  }
+
+  /** Shared IVF cell search: assign corpus to max-cosine cell, probe
+    * the query's `nprobe` closest cells, exact top-k over candidates. */
+  private def cellSearch(s: SparkSession, emb: DataFrame, cents: DataFrame,
+                         k: Int, nprobe: Int, nCells: Int,
+                         queryMod: Int): DataFrame = {
+    import s.implicits._
+    require(nprobe >= 1 && nprobe <= nCells)
+    val cos = CosineSimilarity.cosineSim(s) _
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cent_cos".desc, $"cent_id")
     val ranked = emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"embedding", $"cent_id",

@@ -62,6 +62,12 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8 == 1.0, s"probing all cells is brute force, recall=$r8")
   }
 
+  test("trained-kmeans IVF searches cell-locally and still recalls") {
+    val trained = recallOf(Similarity.ivfTopKTrained(spark, dir, k = 3, nprobe = 2))
+    assert(trained > 2.0 / 8,
+      s"trained IVF (nprobe=2 of 8 cells) recall $trained not above random baseline")
+  }
+
   test("single-bucket LSH and IVF beat the random-candidate baseline") {
     // a random 1/16 candidate subset would land ~1/16 of the exact
     // top-3 in expectation; the sign buckets must do meaningfully
