@@ -43,6 +43,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction components equal union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(100)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val got = graft.engine.Dedup.componentsStar(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == unionFind(edges), s"trial=$trial n=$n m=$m")
+      }
+    }
+  }
+
   test("running balance window final row equals group total (exact)") {
     import spark.implicits._
     val rnd = new Random(7)
