@@ -111,6 +111,25 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
+    // Leakage-free train/test split: assign the SPLIT BY CLUSTER, not
+    // by document — near-duplicate documents share a cluster_id, so a
+    // document can never end up in train while its near-dup sits in
+    // test (the classic eval-contamination bug that per-doc random
+    // splits commit). The split decision is one md5 nibble of the
+    // cluster id: deterministic, engine-portable, ~90/10. Zero extra
+    // shuffles beyond the clustering itself.
+    "q88_cluster_split" -> ((s, dir) => {
+      import s.implicits._
+      val nibble = expr(
+        """(instr('0123456789abcdef',
+          |  substr(md5(concat(CAST(cluster_id AS STRING), ':split')), 1, 1)) - 1)
+          |  % 10""".stripMargin)
+      components(s, dir)
+        .withColumn("split", when(nibble < 9, "train").otherwise("test"))
+        .select($"doc_id", $"cluster_id", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // Same clustering, computed by STAR CONTRACTION instead of label
     // propagation — identical output (same oracle as q57), different
     // convergence class: O(log d) rounds vs O(d), which is what an
@@ -526,6 +545,36 @@ object Dedup {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q88_cluster_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+         |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (strpos('0123456789abcdef',
+         |      substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 1)) - 1)
+         |      % 10 < 9
+         |    THEN 'train' ELSE 'test' END AS split
          |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q86_dedup_clusters_star" ->

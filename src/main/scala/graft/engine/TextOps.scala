@@ -29,6 +29,25 @@ object TextOps {
         .orderBy($"lang", $"source")
     }),
 
+    // Stratified deterministic sampling — the data-mixing primitive:
+    // exactly `k` documents per language stratum, chosen by a keyed
+    // md5 order so the sample is reproducible across runs, engines,
+    // and partitionings (rand()-based sampling is none of those).
+    // Per-group rank over a hash order = grouped top-k, so the plan
+    // gets the same map-side WindowGroupLimit pushdown as q84 —
+    // shuffle carries ≤ k rows per stratum.
+    "q87_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      T.documents(s, dir)
+        .select($"doc_id", $"lang",
+          md5(concat($"doc_id".cast("string"), lit(":strat"))).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 20L)
+        .select($"doc_id", $"lang", $"rn")
+        .orderBy($"lang", $"rn")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -231,6 +250,16 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q87_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
+
     "q50_exact_dedup" ->
       """SELECT lang, source, keep_id, n_docs FROM (
         |  SELECT lang, source, doc_id AS keep_id,
