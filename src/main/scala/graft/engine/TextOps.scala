@@ -48,6 +48,31 @@ object TextOps {
         .orderBy($"lang", $"rn")
     }),
 
+    // Domain-mixture reweighting — the step after measuring per-source
+    // token shares: compute the per-source sampling rate that hits a
+    // uniform target mixture (rate = min(1, fair_share / source_share))
+    // and the tokens that survive it. Pure arithmetic over a
+    // |sources|-row aggregate; the whole-frame window on that tiny
+    // frame is the deliberate pattern (the corpus itself never sees a
+    // global window). This is how a 100 TB pipeline decides how hard
+    // to downsample an overrepresented crawl before training.
+    "q89_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val t = T.documents(s, dir)
+        .select($"source",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      val wAll = Window.partitionBy(lit(1))
+      val fairShare = sum($"n_tokens").over(wAll).cast("double") /
+        count(lit(1)).over(wAll).cast("double")
+      val rate = least(lit(1.0), fairShare / $"n_tokens".cast("double"))
+      t.select($"source", $"n_docs", $"n_tokens",
+          rate.as("rate"),
+          (rate * $"n_tokens".cast("double")).as("expected_tokens"))
+        .orderBy($"source")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -250,6 +275,22 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q89_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  least(1.0, (CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |              / CAST(count(*) OVER () AS DOUBLE))
+        |             / CAST(n_tokens AS DOUBLE)) AS rate,
+        |  least(1.0, (CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |              / CAST(count(*) OVER () AS DOUBLE))
+        |             / CAST(n_tokens AS DOUBLE))
+        |    * CAST(n_tokens AS DOUBLE) AS expected_tokens
+        |FROM t ORDER BY source""".stripMargin,
+
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,
