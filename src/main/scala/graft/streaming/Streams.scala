@@ -103,6 +103,36 @@ object Streams {
     s.table(qn).orderBy("event_type")
   }
 
+  /** One document's claim on one LSH band bucket: `claimedBy` is the
+    * first document ever seen in this bucket; a claim with
+    * `claimedBy != docId` is a near-dup CANDIDATE pair, incrementally. */
+  case class BandClaim(bandkey: String, docId: Long, claimedBy: Long)
+
+  /** Streaming near-dup candidate detection — the incremental form of
+    * the batch LSH band-bucket self-join (engine.Dedup.lshPairs): the
+    * stream carries (bandkey, doc_id) rows (band keys computed
+    * map-side exactly as in batch); per-bucket `GroupState` remembers
+    * the first claimant, so a later document colliding in ANY of its
+    * buckets surfaces as a claim on someone else's bucket. State is
+    * one long per distinct bucket — the same cardinality the batch
+    * shuffle carries; at 100 TB bound it with a state-store TTL at the
+    * dedup horizon. The cross-band OR (any collision ⇒ candidate) is a
+    * stateless post-aggregation on the claim stream.
+    */
+  def bandClaims(bands: Dataset[(String, Long)]): Dataset[BandClaim] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BandClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Long]) =>
+          // deterministic within a batch: lowest doc id claims first
+          val docs = it.map(_._2).toSeq.sorted
+          val first = state.getOption.getOrElse(docs.head)
+          if (!state.exists) state.update(first)
+          docs.iterator.map(d => BandClaim(key, d, first))
+      }
+  }
+
   /** Custom-state sessionization with flatMapGroupsWithState — the
     * §2.9 "UDF with state" extension point. Emits a session row when a
     * 30-minute gap closes it; `GroupState` holds the open session.

@@ -39,6 +39,33 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming LSH band claims flag a late near-dup across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.bandClaims(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("band_claims_test").start()
+
+    // batch 1: doc 1 claims A-D, doc 2 claims E-H (no collisions)
+    input.addData(Seq("A", "B", "C", "D").map(b => (b, 1L)) ++
+      Seq("E", "F", "G", "H").map(b => (b, 2L)): _*)
+    q.processAllAvailable()
+    // batch 2: doc 3 collides with doc 1 in band A only
+    input.addData(Seq("A", "X", "Y", "Z").map(b => (b, 3L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val claims = spark.table("band_claims_test")
+      .as[Streams.BandClaim].collect()
+    // every doc-1/doc-2 claim is its own (they arrived first)
+    assert(claims.filter(c => c.docId == 1L || c.docId == 2L)
+      .forall(c => c.claimedBy == c.docId))
+    // doc 3 is flagged exactly once, in band A, against doc 1 — the
+    // incremental candidate pair the batch band self-join would emit
+    val flagged = claims.filter(c => c.docId == 3L && c.claimedBy != 3L)
+    assert(flagged.toSeq == Seq(Streams.BandClaim("A", 3L, 1L)))
+  }
+
   test("streaming dedup + tumbling counts match batch semantics on replay") {
     val dir = "/root/testdata/sf0.001"
     val dedup = Streams.streamingDedup(spark, dir).collect()
