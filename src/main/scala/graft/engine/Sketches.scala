@@ -1,0 +1,231 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import graft.engine.{Tables => T}
+
+/** Sketch-based approximate analytics: KMV distinct-count, count-min
+  * frequency estimation, and equi-width histograms. The reference has
+  * no aggregation surface at all (it imports drizzle `sum`/`count` and
+  * never calls them, render-complete-deploy.js:16); these are the
+  * bounded-memory summaries a 100 TB profile pass actually runs.
+  *
+  * Determinism discipline: every sketch here is hash-defined (md5) —
+  * the SAME sketch is computed regardless of partitioning, executor
+  * count, or visit order, so results are reproducible across runs AND
+  * bit-comparable against the DuckDB oracle. (Sampling- or
+  * order-sensitive sketches like reservoir/Misra-Gries can't make that
+  * promise; that's why they're not the verified surface.)
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** KMV (k minimum values) distinct-count sketch as a typed
+    * Aggregator: the buffer is the k lexicographically-smallest
+    * DISTINCT md5 hex hashes seen — bounded at k strings no matter how
+    * many rows flow in, and the merge is a sorted-merge-truncate, so
+    * partial aggregation runs map-side and the shuffle carries ≤ k
+    * values per group. Estimate: (k-1) / frac(kth smallest hash),
+    * the classic bottom-k estimator; with fewer than k distinct
+    * hashes the state IS the exact distinct set.
+    *
+    * The hex-string order is the numeric hash order (fixed 32-char
+    * lowercase hex), and the first 13 hex chars (52 bits) convert to
+    * an exactly-representable double, so the estimate is bit-equal in
+    * any engine that can md5 — the property the oracle check relies
+    * on. */
+  class Kmv(k: Int) extends Aggregator[String, Array[String], Double] {
+    def zero: Array[String] = Array.empty
+    def reduce(b: Array[String], h: String): Array[String] = {
+      val idx = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], h)
+      if (idx >= 0) b // already in the sketch
+      else {
+        val ins = -idx - 1
+        if (b.length >= k && ins >= k) b // larger than current kth min
+        else {
+          val out = new Array[String](math.min(b.length + 1, k))
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1,
+            math.min(b.length - ins, out.length - ins - 1))
+          out
+        }
+      }
+    }
+    def merge(a: Array[String], b: Array[String]): Array[String] = {
+      // sorted-merge two distinct sorted arrays, keep the k smallest
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0; var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val h = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (out.isEmpty || out.last != h) out += h
+      }
+      out.toArray
+    }
+    def finish(b: Array[String]): Double =
+      if (b.length < k) b.length.toDouble
+      else {
+        val frac = java.lang.Long.parseLong(b(k - 1).substring(0, 13), 16)
+          .toDouble / 4503599627370496.0 // 16^13 = 2^52
+        BigDecimal((k - 1).toDouble / frac)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  private val K = 128
+
+  /** Count-min slot for depth row `r`: 52-bit md5 prefix mod width. */
+  private def slot(c: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(c, lit(s":cms$r"))), 1, 13), 16, 10)
+      .cast("long") % width
+
+  val queries: Map[String, Q] = Map(
+    // Distinct-trigram cardinality per language via the KMV sketch,
+    // alongside the exact count so the estimate is auditable. At
+    // 100 TB the exact countDistinct is the expensive path (full
+    // shuffle of the distinct space); the sketch column is the one
+    // you'd keep — per-group state is k hashes regardless of corpus
+    // size, and partial aggregation collapses everything map-side.
+    "q92_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val kmv = udaf(new Kmv(K))
+      T.spread(T.documents(s, dir))
+        .select($"lang", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .select($"lang", explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct($"g").as("true_distinct"),
+          kmv(md5($"g")).as("est_distinct"))
+        .withColumn("rel_err",
+          round($"est_distinct" / $"true_distinct".cast("double") - 1.0, 6))
+        .orderBy($"lang")
+    }),
+
+    // Count-min frequency estimation (depth 2 × width 16) for the
+    // token stream, reported next to true counts: est ≥ true always,
+    // and collisions show up as positive overcount. The sketch matrix
+    // is built from the grouped token counts (identical to streaming
+    // per-occurrence increments, since addition commutes); at 100 TB
+    // the only corpus-sized shuffle is that combine-able groupBy —
+    // the d×w matrix itself is 32 cells broadcast back to annotate.
+    "q93_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val W = 16
+      val occ = T.spread(T.documents(s, dir))
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      val sl = occ.select($"w", $"true_cnt",
+        slot($"w", 0, W).as("s0"), slot($"w", 1, W).as("s1"))
+      val m0 = sl.groupBy($"s0").agg(sum($"true_cnt").as("c0"))
+      val m1 = sl.groupBy($"s1").agg(sum($"true_cnt").as("c1"))
+      sl.join(broadcast(m0), "s0").join(broadcast(m1), "s1")
+        .select($"w", $"true_cnt",
+          least($"c0", $"c1").as("est_cnt"),
+          (least($"c0", $"c1") - $"true_cnt").as("overcount"))
+        .orderBy($"w")
+    }),
+
+    // Equi-width histogram (20 buckets over the full price range).
+    // The 1-row min/max aggregate travels as an explicit broadcast
+    // cross join (the benign single-row pattern q22/q76 established —
+    // a constant-key equi-join degenerates to the same plan once
+    // FoldablePropagation rewrites the condition to `true`); then
+    // bucketing is pure map-side arithmetic and the final rollup is
+    // 20 rows. This is the profile-pass shape: two scans (or one,
+    // with a cached stats row), zero wide shuffles.
+    "q95_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir).select($"l_extendedprice".as("p"))
+      val stats = li.agg(min($"p").as("mn"), max($"p").as("mx"))
+      val width = ($"mx" - $"mn") / 20.0
+      li.crossJoin(broadcast(stats))
+        .select(least(lit(19L), floor(($"p" - $"mn") / width)).as("bucket"),
+          $"mn", $"mx")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt"), first($"mn").as("mn"), first($"mx").as("mx"))
+        .select($"bucket",
+          round($"mn" + $"bucket".cast("double") * (($"mx" - $"mn") / 20.0), 6).as("lo"),
+          round($"mn" + ($"bucket" + 1L).cast("double") * (($"mx" - $"mn") / 20.0), 6).as("hi"),
+          $"cnt")
+        .orderBy($"bucket")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q92_kmv_distinct" ->
+      s"""WITH raw AS (
+         |  SELECT lang, doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         |    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+         |  FROM documents),
+         |seq AS (SELECT lang, doc_id, w,
+         |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+         |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+         |  FROM raw),
+         |tg AS (SELECT lang, w || ' ' || w1 || ' ' || w2 AS g
+         |       FROM seq WHERE w2 IS NOT NULL),
+         |h AS (SELECT DISTINCT lang, md5(g) AS hv FROM tg),
+         |r AS (SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |  FROM h),
+         |kth AS (SELECT lang, hv FROM r WHERE rn = $K),
+         |agg AS (SELECT lang, count(*) AS n_trigrams,
+         |               count(DISTINCT g) AS true_distinct
+         |        FROM tg GROUP BY lang)
+         |SELECT a.lang,
+         |  CAST(a.n_trigrams AS BIGINT) AS n_trigrams,
+         |  CAST(a.true_distinct AS BIGINT) AS true_distinct,
+         |  CASE WHEN k.hv IS NULL THEN CAST(a.true_distinct AS DOUBLE)
+         |       ELSE round(${K - 1}.0 /
+         |         (CAST(('0x' || substr(k.hv, 1, 13)) AS BIGINT)::DOUBLE
+         |          / 4503599627370496.0), 6) END AS est_distinct,
+         |  round((CASE WHEN k.hv IS NULL THEN CAST(a.true_distinct AS DOUBLE)
+         |       ELSE round(${K - 1}.0 /
+         |         (CAST(('0x' || substr(k.hv, 1, 13)) AS BIGINT)::DOUBLE
+         |          / 4503599627370496.0), 6) END)
+         |    / CAST(a.true_distinct AS DOUBLE) - 1.0, 6) AS rel_err
+         |FROM agg a LEFT JOIN kth k ON k.lang = a.lang
+         |ORDER BY a.lang""".stripMargin,
+
+    "q93_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |occ AS (SELECT w, count(*) AS true_cnt FROM tok GROUP BY w),
+        |sl AS (SELECT w, true_cnt,
+        |    CAST(('0x' || substr(md5(w || ':cms0'), 1, 13)) AS BIGINT) % 16 AS s0,
+        |    CAST(('0x' || substr(md5(w || ':cms1'), 1, 13)) AS BIGINT) % 16 AS s1
+        |  FROM occ),
+        |m0 AS (SELECT s0, CAST(sum(true_cnt) AS BIGINT) AS c0 FROM sl GROUP BY s0),
+        |m1 AS (SELECT s1, CAST(sum(true_cnt) AS BIGINT) AS c1 FROM sl GROUP BY s1)
+        |SELECT sl.w, CAST(sl.true_cnt AS BIGINT) AS true_cnt,
+        |  least(m0.c0, m1.c1) AS est_cnt,
+        |  least(m0.c0, m1.c1) - sl.true_cnt AS overcount
+        |FROM sl JOIN m0 ON m0.s0 = sl.s0 JOIN m1 ON m1.s1 = sl.s1
+        |ORDER BY sl.w""".stripMargin,
+
+    "q95_histogram" ->
+      """WITH s AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem),
+        |b AS (SELECT
+        |    least(19, CAST(floor((l_extendedprice - s.mn) / ((s.mx - s.mn) / 20.0))
+        |      AS BIGINT)) AS bucket, s.mn, s.mx
+        |  FROM lineitem, s),
+        |g AS (SELECT bucket, count(*) AS cnt, min(mn) AS mn, min(mx) AS mx
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |  round(mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0), 6) AS lo,
+        |  round(mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 20.0), 6) AS hi,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM g ORDER BY bucket""".stripMargin)
+}

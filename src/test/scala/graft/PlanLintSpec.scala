@@ -22,10 +22,12 @@ class PlanLintSpec extends AnyFunSuite {
     * bounded query/codebook set against the corpus (documented in
     * SCALE.md); q22 and q76 broadcast a 1-row corpus-stats aggregate
     * against every row — the benign 1×N broadcast shape, not an N×M
-    * blow-up. q68 is deliberately NOT here: its candidate generation
-    * is a masked-fingerprint equi-join. */
+    * blow-up; q95 broadcasts its 1-row min/max stats the same way (a
+    * constant-key equi-join degenerates to the identical plan after
+    * FoldablePropagation). q68 is deliberately NOT here: its candidate
+    * generation is a masked-fingerprint equi-join. */
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
-    "q22_scalar_subquery", "q76_bm25")
+    "q22_scalar_subquery", "q76_bm25", "q95_histogram")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

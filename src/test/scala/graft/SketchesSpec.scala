@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analytic properties of the sketch/chunking/gap-fill operators that
+  * the hash-equality oracle can't express: estimator error bounds, the
+  * CMS one-sided guarantee, and chunk/grid reconstruction invariants. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.01"
+
+  test("KMV estimate lands within the theoretical relative-error band") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q92_kmv_distinct")(spark, dir)
+      .select($"true_distinct".cast("double"), $"est_distinct").as[(Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    // bottom-k estimator stderr ≈ 1/sqrt(k-2); allow 4 sigma
+    val tol = 4.0 / math.sqrt(126.0)
+    rows.foreach { case (truth, est) =>
+      assert(math.abs(est / truth - 1.0) < tol,
+        s"KMV estimate $est vs true $truth outside ±$tol")
+    }
+  }
+
+  test("KMV sketch is partitioning-invariant (1 vs 16 partitions)") {
+    import spark.implicits._
+    val kmv = udaf(new graft.engine.Sketches.Kmv(32))
+    val data = (1 to 5000).map(i => s"v${i % 997}")
+    def est(parts: Int): Double =
+      data.toDF("x").repartition(parts)
+        .agg(kmv(md5($"x"))).as[Double].head()
+    assert(est(1) == est(16))
+  }
+
+  test("CMS estimates are one-sided: est_cnt >= true_cnt, min over rows") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q93_cms_heavy_hitters")(spark, dir)
+      .select($"true_cnt", $"est_cnt").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, e) => assert(e >= t, s"CMS undercounted: $e < $t") }
+  }
+
+  test("chunks reconstruct every document exactly (stride-overlap inverse)") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", trim(regexp_replace($"text", "\\s+", " ")).as("norm"))
+    // drop the 10-token overlap from every chunk after the first, then
+    // re-concatenate in chunk order — must equal the normalized text
+    val rebuilt = SparkEntry.queries("q90_doc_chunks")(spark, dir)
+      .withColumn("ws", split($"chunk_text", " "))
+      .withColumn("tail_part", when($"chunk_id" === 0, $"chunk_text")
+        .otherwise(array_join(slice($"ws", 11, 40), " ")))
+      .filter($"chunk_id" === 0 || size($"ws") > 10)
+      .groupBy($"doc_id")
+      .agg(array_join(array_sort(collect_list(struct($"chunk_id", $"tail_part")))
+        .getField("tail_part"), " ").as("rebuilt"))
+    val bad = docs.join(rebuilt, "doc_id").filter($"rebuilt" =!= $"norm").count()
+    assert(bad == 0L)
+  }
+
+  test("histogram buckets cover all rows and bounds tile the range") {
+    import spark.implicits._
+    val h = SparkEntry.queries("q95_histogram")(spark, dir)
+      .select($"bucket", $"lo", $"hi", $"cnt").as[(Long, Double, Double, Long)]
+      .collect().sortBy(_._1)
+    val total = graft.engine.Tables.lineitem(spark, dir).count()
+    assert(h.map(_._4).sum == total)
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(math.abs(a._3 - b._2) < 1e-6 && a._1 + 1 == b._1)
+      case _ =>
+    }
+  }
+
+  test("gap-fill grid is dense per user and forward-fill is last-non-null") {
+    import spark.implicits._
+    val g = SparkEntry.queries("q94_gapfill_ffill")(spark, dir).cache()
+    // dense: per user, #rows == hours between first and last + 1
+    val spans = g.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        (unix_timestamp(max($"h")) - unix_timestamp(min($"h"))).as("secs"))
+      .filter($"n" =!= (($"secs" / lit(3600)).cast("long") + 1L)).count()
+    assert(spans == 0L)
+    // some genuine gaps exist and they carry the previous hourly value
+    assert(g.filter($"n_events" === 0L).count() > 0L)
+    assert(g.filter($"n_events" === 0L && $"v_ffill".isNull).count() == 0L)
+    g.unpersist()
+  }
+}
