@@ -133,6 +133,35 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to the click
+    * that preceded them by ≤30 minutes, both sides watermarked. This
+    * is THE stateful join shape Structured Streaming supports at
+    * scale: the equi-key (user_id) hash-partitions both streams to
+    * the same tasks, and the time-range predicate + watermarks give
+    * the state store a provable eviction bound (each side buffers
+    * only rows newer than watermark − interval — without the range
+    * condition the join state would grow forever). Output rows appear
+    * as soon as both sides arrive; the watermark finalizes misses. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p, expr(
+      """c.user_id = p.user_id AND
+        |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("amount"))
+  }
+
+  /** At-least-once → exactly-once repair at the sink boundary:
+    * `dropDuplicatesWithinWatermark` deduplicates retried events by id
+    * while only keeping state for the watermark horizon — the bounded
+    * form of streaming dedup (plain dropDuplicates state never
+    * expires; this one provably evicts ids older than the delay, which
+    * is what makes it deployable over an unbounded 100 TB/day feed). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Custom-state sessionization with flatMapGroupsWithState — the
     * §2.9 "UDF with state" extension point. Emits a session row when a
     * 30-minute gap closes it; `GroupState` holds the open session.

@@ -18,6 +18,62 @@ class StreamingSpec extends AnyFunSuite {
 
   val MIN = 60L * 1000000 // one minute in micros
 
+  test("stream-stream interval join attributes purchases across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{timestamp_micros, col}
+    val clicks = MemoryStream[(Long, Long)]    // (user_id, tsUs)
+    val buys = MemoryStream[(Long, Long, Double)] // (user_id, tsUs, value)
+    val cDf = clicks.toDS().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pDf = buys.toDS().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = Streams.purchaseAttribution(cDf, pDf)
+      .selectExpr("user_id", "amount")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_test").start()
+
+    // event times sit well above epoch 0: a row whose event time is at
+    // or below the current watermark (initially 0) is dropped as late
+    // before it ever reaches join state
+    val B = 1704067200L * 1000000L // 2024-01-01
+    // batch 1: clicks only — no output yet
+    clicks.addData((7L, B), (8L, B))
+    q.processAllAvailable()
+    assert(spark.table("attr_test").count() == 0)
+    // batch 2: user 7 buys 10 min after the click (joins), user 8 buys
+    // 2 h after (outside the interval — no row), user 9 buys with no
+    // click (no row)
+    buys.addData((7L, B + 10 * MIN, 5.0), (8L, B + 120 * MIN, 9.0), (9L, B + 10 * MIN, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_test").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((7L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses a cross-batch retry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{timestamp_micros, col}
+    val input = MemoryStream[(Long, Long)] // (event_id, tsUs)
+    val df = input.toDS().toDF("event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = Streams.dedupWithinWatermark(df)
+      .selectExpr("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_test").start()
+
+    val B = 1704067200L * 1000000L // 2024-01-01, clear of the initial watermark
+    input.addData((1L, B), (2L, B + 5 * MIN))
+    q.processAllAvailable()
+    // the retry of event 1 arrives a batch later, within the watermark
+    input.addData((1L, B + 6 * MIN), (3L, B + 7 * MIN))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm_test").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("stateful sessionization closes a session after a 30-min gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
