@@ -1,0 +1,109 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables => T}
+
+/** Iterative graph analytics over the referral graph (SURVEY.md §2.6's
+  * edge table, render-complete-deploy.js:86-91): PageRank as the
+  * canonical rank-propagation dataflow — join ranks to edges,
+  * aggregate contributions per target, damp, repeat. The reference
+  * walks this graph only upward for commissions; rank centrality is
+  * the analytics question the same table supports ("which referrers
+  * anchor the network").
+  *
+  * Determinism discipline: ranks are integer micro-units and every
+  * step is integer arithmetic (`div`), so the fixpoint iteration is
+  * bit-identical under ANY partitioning/merge order — float PageRank
+  * can't make that promise (order-dependent sums), which is why this
+  * is the verified form.
+  *
+  * Scale posture: per iteration, one equi-join of edges⋈ranks on the
+  * source key and one combine-able integer groupBy on the target key.
+  * At 100 TB both sides pre-partition by node id once (bucketed edge
+  * table), making every iteration shuffle-free on the edge side —
+  * the standard Pregel-on-SQL layout. Frontier size is |nodes|, not
+  * |edges|, and lineage is truncated per iteration via persist.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Damping 0.85 / base 0.15 in 1e6 micro-units; 5 fixed iterations. */
+  val Iters = 5
+
+  /** Integer-exact PageRank. `edges` columns: (referred, referrer) —
+    * rank flows referrer → referred. Dangling leaves simply don't
+    * propagate (no redistribution term), the usual sparse-graph
+    * simplification. */
+  def pagerank(edges0: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0.select($"referred", $"referrer").persist()
+    val nodes = edges.select($"referred".as("id"))
+      .union(edges.select($"referrer".as("id"))).distinct().persist()
+    val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od"))
+    var ranks = nodes.select($"id", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .join(ranks.withColumnRenamed("id", "referrer"), "referrer")
+        .join(outdeg, "referrer")
+        .select($"referred".as("id"), expr("r div od").as("c"))
+        .groupBy($"id").agg(sum($"c").as("inc"))
+      val prev = ranks
+      ranks = nodes.join(inc, Seq("id"), "left")
+        .select($"id",
+          expr("CAST(150000 + (85 * coalesce(inc, 0)) div 100 AS BIGINT)").as("r"))
+        .persist()
+      ranks.count() // materialize before unpersisting the input
+      prev.unpersist()
+    }
+    ranks.select($"id", $"r".as("rank_micro"),
+      ($"r".cast("double") / 1000000.0).as("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the derived referral tree (same edge derivation as
+    // q30's upline closure: referred = c_custkey, referrer =
+    // floor(c_custkey/2)). 5 iterations, integer-exact.
+    "q97_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = T.customer(s, dir).filter($"c_custkey" >= 1L)
+        .select($"c_custkey".as("referred"),
+          expr("CAST(floor(c_custkey/2) AS BIGINT)").as("referrer"))
+      pagerank(edges).orderBy($"id")
+    }))
+
+  /** The oracle replays the identical integer iteration as a recursive
+    * CTE. The recursive member may reference the working table only
+    * once, so it exploits the tree's arithmetic parent (id // 2) to
+    * look up each node's single rank source; node 0 (the root, no
+    * incoming edge) joins its own previous row and contributes 0. */
+  val oracle: Map[String, String] = Map(
+    "q97_pagerank" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT c_custkey AS referred,
+         |         CAST(floor(c_custkey/2) AS BIGINT) AS referrer
+         |  FROM customer WHERE c_custkey >= 1),
+         |nodes AS (
+         |  -- explicit DISTINCT: under WITH RECURSIVE, a bare UNION in
+         |  -- a helper CTE parses as an anchor/recursive split and
+         |  -- skips dedup
+         |  SELECT DISTINCT id FROM (
+         |    SELECT referred AS id FROM edges
+         |    UNION ALL SELECT referrer FROM edges) u),
+         |outdeg AS (SELECT referrer AS id, count(*) AS od
+         |           FROM edges GROUP BY referrer),
+         |pr(iter, id, r) AS (
+         |  SELECT 0, id, CAST(1000000 AS BIGINT) FROM nodes
+         |  UNION ALL
+         |  SELECT p.iter + 1, n.id,
+         |    CAST(150000 + (85 * (CASE WHEN n.id >= 1 THEN p.r // o.od
+         |                              ELSE 0 END)) // 100 AS BIGINT)
+         |  FROM nodes n
+         |  JOIN pr p ON p.id = n.id // 2
+         |  JOIN outdeg o ON o.id = p.id
+         |  WHERE p.iter < $Iters)
+         |SELECT id, r AS rank_micro, CAST(r AS DOUBLE)/1000000.0 AS rank
+         |FROM pr WHERE iter = $Iters ORDER BY id""".stripMargin)
+}

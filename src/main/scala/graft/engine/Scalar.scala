@@ -154,6 +154,26 @@ object Scalar {
         .orderBy($"event_id")
     }),
 
+    // Semi-structured VARIANT path (Spark 4's shredded binary JSON —
+    // the modern form of the reference's stringified-JSON columns,
+    // `payment_details`, render-complete-deploy.js:99,:552): parse
+    // once into VariantType, then typed path extraction
+    // (`variant_get`) instead of per-access string re-parsing. At
+    // 100 TB the parse happens at ingest and the binary variant
+    // column is columnar-shredded, so `$.k` extraction is a
+    // codegen'd byte-offset read, not a JSON tokenizer pass.
+    "q96_variant_extract" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .select($"event_type",
+          variant_get(parse_json($"props"), "$.k", "bigint").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          count(when($"k" > 50L, 1)).as("n_high"))
+        .orderBy($"event_type")
+    }),
+
     // P4: timestamp-vs-reference predicate (the reference's
     // `subscription_expires_at > now` check, render-complete-deploy.js:598-599,
     // with a fixed as-of instant for determinism).
@@ -182,6 +202,15 @@ object Scalar {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q96_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props::JSON->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props::JSON->>'k' AS BIGINT)) AS max_k,
+        |  CAST(count(CASE WHEN CAST(props::JSON->>'k' AS BIGINT) > 50
+        |    THEN 1 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q80_decimal_money" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
