@@ -38,10 +38,16 @@ object Graph {
   def pagerank(edges0: DataFrame, iters: Int = Iters): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
+    // edges/nodes/outdeg are read every iteration — persist once. The
+    // rank frontier itself chains LAZILY: for a bounded iteration count
+    // one action executes the whole chain (each stage's shuffle output
+    // is its own materialization), which saves an eager job per
+    // iteration. Past ~15 iterations, checkpoint the frontier
+    // periodically to bound lineage/analysis cost.
     val edges = edges0.select($"referred", $"referrer").persist()
     val nodes = edges.select($"referred".as("id"))
       .union(edges.select($"referrer".as("id"))).distinct().persist()
-    val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od"))
+    val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od")).persist()
     var ranks = nodes.select($"id", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val inc = edges
@@ -49,13 +55,9 @@ object Graph {
         .join(outdeg, "referrer")
         .select($"referred".as("id"), expr("r div od").as("c"))
         .groupBy($"id").agg(sum($"c").as("inc"))
-      val prev = ranks
       ranks = nodes.join(inc, Seq("id"), "left")
         .select($"id",
           expr("CAST(150000 + (85 * coalesce(inc, 0)) div 100 AS BIGINT)").as("r"))
-        .persist()
-      ranks.count() // materialize before unpersisting the input
-      prev.unpersist()
     }
     ranks.select($"id", $"r".as("rank_micro"),
       ($"r".cast("double") / 1000000.0).as("rank"))
@@ -70,7 +72,13 @@ object Graph {
       val edges = T.customer(s, dir).filter($"c_custkey" >= 1L)
         .select($"c_custkey".as("referred"),
           expr("CAST(floor(c_custkey/2) AS BIGINT)").as("referrer"))
-      pagerank(edges).orderBy($"id")
+      // iterative materialization over sub-MB frontiers: pay scheduling
+      // for a narrow width, not the full CPU-count width (the same
+      // sizing rule as q67's recursion — width follows frontier size)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try pagerank(edges).orderBy($"id")
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** The oracle replays the identical integer iteration as a recursive

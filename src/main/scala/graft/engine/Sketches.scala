@@ -126,6 +126,7 @@ object Sketches {
         .groupBy($"w").agg(count(lit(1)).as("true_cnt"))
       val sl = occ.select($"w", $"true_cnt",
         slot($"w", 0, W).as("s0"), slot($"w", 1, W).as("s1"))
+        .cache() // feeds m0, m1, and the annotation join — one corpus agg, not three
       val m0 = sl.groupBy($"s0").agg(sum($"true_cnt").as("c0"))
       val m1 = sl.groupBy($"s1").agg(sum($"true_cnt").as("c1"))
       sl.join(broadcast(m0), "s0").join(broadcast(m1), "s1")
