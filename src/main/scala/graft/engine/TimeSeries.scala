@@ -50,6 +50,36 @@ object TimeSeries {
           $"v_hour",
           last($"v_hour", ignoreNulls = true).over(w).as("v_ffill"))
         .orderBy($"user_id", $"h")
+    }),
+
+    // Rolling z-score anomaly detection: per user, mean/std of value
+    // over the trailing 24 h computed from EXACT integer moments
+    // (scaled sum + sum-of-squares are order-independent longs; the
+    // double mean/variance derive from them in one fixed expression),
+    // so the flag is bit-stable under any partitioning — the property
+    // a re-run-to-reproduce incident pipeline needs. The frame is a
+    // numeric RANGE over epoch micros partitioned by user: distributed
+    // sort, no global window anywhere.
+    "q98_zscore_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-86400000000L, 0)
+      val n = count(lit(1)).over(w)
+      val s1 = sum($"sv").over(w)
+      val s2 = sum($"sv" * $"sv").over(w)
+      val mean = s1.cast("double") / 100.0 / n.cast("double")
+      val msq = s2.cast("double") / 10000.0 / n.cast("double")
+      val std = sqrt(greatest(lit(0.0), msq - mean * mean))
+      val z = when(n >= 5L && std > 0.0,
+        round(($"value" - mean) / std, 6))
+      T.events(s, dir)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("sv", round($"value" * 100).cast("long"))
+        .select($"user_id", $"event_id", $"ts", $"value",
+          n.as("n_24h"), round(mean, 6).as("mean_24h"),
+          z.as("z"),
+          coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy($"user_id", $"ts", $"event_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -73,5 +103,35 @@ object TimeSeries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
          |FROM grid g LEFT JOIN hourly hr
          |  ON hr.user_id = g.user_id AND hr.h = g.h
-         |ORDER BY g.user_id, g.h""".stripMargin)
+         |ORDER BY g.user_id, g.h""".stripMargin,
+
+    "q98_zscore_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(round(value*100) AS BIGINT) AS sv
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    count(*) OVER w AS n_24h,
+        |    sum(sv) OVER w AS s1,
+        |    sum(sv*sv) OVER w AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT user_id, event_id, ts, value, n_24h,
+        |    CAST(s1 AS DOUBLE)/100.0/CAST(n_24h AS DOUBLE) AS mean_raw,
+        |    sqrt(greatest(0.0,
+        |      CAST(s2 AS DOUBLE)/10000.0/CAST(n_24h AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE)/100.0/CAST(n_24h AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE)/100.0/CAST(n_24h AS DOUBLE)))) AS std
+        |  FROM f)
+        |SELECT user_id, event_id, ts, value, n_24h,
+        |  round(mean_raw, 6) AS mean_24h,
+        |  CASE WHEN n_24h >= 5 AND std > 0.0
+        |       THEN round((value - mean_raw)/std, 6) END AS z,
+        |  coalesce(abs(CASE WHEN n_24h >= 5 AND std > 0.0
+        |       THEN round((value - mean_raw)/std, 6) END) > 2.0, false)
+        |    AS is_anomaly
+        |FROM g ORDER BY user_id, ts, event_id""".stripMargin)
 }
