@@ -29,6 +29,34 @@ object Maintenance {
         keys, "left_anti")
       .unionByName(updates)
 
+  /** Incremental aggregate (materialized-view) maintenance, step 1:
+    * reduce rows to the stored COMBINE-ABLE partial form — exact count
+    * + scaled-integer sum per key. Because the state is associative/
+    * commutative partials (never finalized doubles), a refresh is
+    * `merge(state, aggState(delta))` at cost ∝ |delta| + |state| —
+    * the base table is read exactly once, ever. This is how a 100 TB
+    * dashboard aggregate stays fresh without nightly full recompute,
+    * and the scaled-integer sums make the incremental result
+    * BIT-IDENTICAL to a from-scratch aggregation, not just close. */
+  def aggState(rows: DataFrame, key: String, valueCol: String): DataFrame =
+    rows.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(Exact.scaled(col(valueCol))).as("sum_scaled"))
+
+  /** Step 2: combine stored state with a delta batch's partials (also
+    * subsumes compacting many delta states into one). */
+  def mergeAggState(state: DataFrame, delta: DataFrame, key: String): DataFrame =
+    state.unionByName(delta).groupBy(col(key)).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_scaled")).as("sum_scaled"))
+
+  /** Step 3: finalize partials into the served view (sum/avg). */
+  def finalizeAgg(state: DataFrame, key: String): DataFrame =
+    state.select(col(key), col("n"),
+      (col("sum_scaled").cast("double") / Exact.MoneyScale.toDouble).as("total"),
+      (col("sum_scaled").cast("double") / col("n").cast("double") /
+        Exact.MoneyScale.toDouble).as("mean"))
+
   /** MERGE … WHEN MATCHED THEN DELETE: base rows whose key appears in
     * `tombstones` are dropped. */
   def deleteMatching(base: DataFrame, tombstones: DataFrame,

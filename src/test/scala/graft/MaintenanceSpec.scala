@@ -21,6 +21,28 @@ class MaintenanceSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
 
+  test("incremental aggregate maintenance is bit-identical to full recompute") {
+    import spark.implicits._
+    val orders = graft.engine.Tables.orders(spark, dir)
+    val base = orders.filter($"o_orderkey" % 4 =!= 0)
+    val delta = orders.filter($"o_orderkey" % 4 === 0)
+    // maintain: state(base) merged with state(delta), then finalize
+    val incremental = Maintenance.finalizeAgg(
+      Maintenance.mergeAggState(
+        Maintenance.aggState(base, "o_orderpriority", "o_totalprice"),
+        Maintenance.aggState(delta, "o_orderpriority", "o_totalprice"),
+        "o_orderpriority"),
+      "o_orderpriority")
+    // full recompute over everything at once
+    val full = Maintenance.finalizeAgg(
+      Maintenance.aggState(orders, "o_orderpriority", "o_totalprice"),
+      "o_orderpriority")
+    val i = incremental.orderBy($"o_orderpriority").collect().toSeq
+    val f = full.orderBy($"o_orderpriority").collect().toSeq
+    assert(i == f) // exact equality incl. doubles — the partials are integers
+    assert(i.nonEmpty)
+  }
+
   test("upsert written to parquet round-trips: updates replace, inserts add") {
     import spark.implicits._
     val base = graft.engine.Tables.nation(spark, dir)

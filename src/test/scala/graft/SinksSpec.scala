@@ -21,6 +21,24 @@ class SinksSpec extends AnyFunSuite {
   def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("schema evolution: mergeSchema reads old and widened batches together") {
+    import spark.implicits._
+    val out = tmp("graft_evolve")
+    // v1 batch: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(out)
+    // v2 batch: a new nullable column appears (additive evolution —
+    // the only kind plain parquet supports without a rewrite)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy($"id")
+      .select($"id", $"score").as[(Long, Option[Double])].collect().toSeq
+    // old rows surface the new column as null; new rows carry it
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(9.5))))
+  }
+
   test("parquet append sink accumulates batches (S3 insert semantics)") {
     val out = tmp("graft_append")
     val n = graft.engine.Tables.nation(spark, dir)
