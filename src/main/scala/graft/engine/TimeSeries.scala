@@ -80,6 +80,32 @@ object TimeSeries {
           z.as("z"),
           coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
         .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
+    // Cohort retention matrix: users grouped by first-active day, each
+    // cohort's daily-active counts at every day offset, normalized by
+    // the cohort's day-0 size. Three combine-able aggregations (the
+    // distinct day-grid, the per-user min, the per-cell count) and one
+    // window over the tiny cohort×offset matrix — the corpus-sized
+    // stages all reduce map-side, so the shape holds at 100 TB of
+    // events (the matrix itself is |cohorts|×|horizon|, bounded).
+    "q99_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val days = T.events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val cohort = days.groupBy($"user_id").agg(min($"d").as("c0"))
+      val cell = days.join(cohort, "user_id")
+        .groupBy($"c0".as("cohort_day"),
+          datediff($"d", $"c0").cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val w = Window.partitionBy($"cohort_day")
+      cell
+        .withColumn("cohort_size",
+          max(when($"day_offset" === 0L, $"n_active")).over(w))
+        .select($"cohort_day", $"day_offset", $"n_active",
+          round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+            .as("retention"))
+        .orderBy($"cohort_day", $"day_offset")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -133,5 +159,20 @@ object TimeSeries {
         |  coalesce(abs(CASE WHEN n_24h >= 5 AND std > 0.0
         |       THEN round((value - mean_raw)/std, 6) END) > 2.0, false)
         |    AS is_anomaly
-        |FROM g ORDER BY user_id, ts, event_id""".stripMargin)
+        |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q99_retention_cohorts" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS c0 FROM days GROUP BY user_id),
+        |cell AS (
+        |  SELECT c0 AS cohort_day, CAST(d - c0 AS BIGINT) AS day_offset,
+        |         count(*) AS n_active
+        |  FROM days JOIN coh USING (user_id)
+        |  GROUP BY c0, CAST(d - c0 AS BIGINT))
+        |SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
+        |  round(CAST(n_active AS DOUBLE) /
+        |    CAST(max(CASE WHEN day_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_day) AS DOUBLE), 6) AS retention
+        |FROM cell ORDER BY cohort_day, day_offset""".stripMargin)
 }
