@@ -269,6 +269,50 @@ object Dedup {
         .orderBy($"doc1", $"doc2")
     }),
 
+    // PPJoin-style PREFIX-FILTERED set-similarity join at t = 0.5:
+    // order every document's shingles by global rarity (df, then
+    // shingle), keep only the first |d| − ⌈t·|d|⌉ + 1 as the join
+    // prefix — any pair with Jaccard ≥ t MUST collide inside the
+    // prefixes (I ≥ t·|A| ⇒ a shared shingle appears before either
+    // prefix runs out under one global order), so the candidate join
+    // shuffles prefix tokens instead of every token, and rarity-first
+    // ordering makes those prefixes the LEAST collision-prone
+    // shingles. Verification is per-pair map-side `array_intersect`
+    // over the two full sets — no corpus shuffle. The oracle is the
+    // BRUTE-FORCE all-shared-pairs Jaccard at the same threshold:
+    // hash-equality proves the prefix filter is lossless, not just
+    // plausible.
+    "q100_prefix_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val t = 0.5
+      val sh = shingles(s, dir)
+      val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+      val prefix = sh.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(wDoc))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+        .filter($"rk" <= $"sz" - ceil($"sz" * t) + 1)
+        .select($"doc_id", $"sh")
+      val cand = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      val sets = sh.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"sh")).as("ss"), count(lit(1)).as("sz"))
+      cand
+        .join(sets.select($"doc_id".as("doc1"), $"ss".as("s1"), $"sz".as("sz1")), "doc1")
+        .join(sets.select($"doc_id".as("doc2"), $"ss".as("s2"), $"sz".as("sz2")), "doc2")
+        .select($"doc1", $"doc2",
+          size(array_intersect($"s1", $"s2")).cast("long").as("n_common"),
+          $"sz1", $"sz2")
+        .select($"doc1", $"doc2", $"n_common",
+          ($"n_common".cast("double") / ($"sz1" + $"sz2" - $"n_common").cast("double"))
+            .as("jaccard"))
+        .filter($"jaccard" >= t)
+        .orderBy($"doc1", $"doc2")
+    }),
+
     // Exact n-gram Jaccard on shared-shingle candidate pairs —
     // verification stage after LSH, thresholded at 0.1. Integer
     // intersection/union counts → bit-exact division.
@@ -695,5 +739,22 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc1
          |JOIN sizes sb ON sb.doc_id = doc2
          |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // Deliberately the BRUTE-FORCE form (no prefix logic): matching it
+    // hash-exactly proves the Spark side's prefix filter is lossless.
+    "q100_prefix_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, n_common,
+         |  CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc1
+         |JOIN sizes sb ON sb.doc_id = doc2
+         |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
          |ORDER BY doc1, doc2""".stripMargin)
 }
