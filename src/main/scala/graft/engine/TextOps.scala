@@ -73,6 +73,40 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Executable form of q89's mixture weights: apply the per-source
+    // sampling rate with a DETERMINISTIC keyed-hash coin (md5 fraction
+    // per doc < rate), so the sampled corpus is reproducible across
+    // runs, engines, and partitionings — rand()-based sampling is
+    // none of those. Per-source kept counts/tokens land near
+    // rate·total without any global coordination: the coin is pure
+    // map-side scalar work, the rate table is a broadcast |sources|
+    // rows. This is the step that actually downsamples the
+    // overrepresented crawl before training.
+    "q101_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val tok = T.documents(s, dir)
+        .select($"source", $"doc_id",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"))
+      val wAll = Window.partitionBy(lit(1))
+      val fairShare = sum($"n_tokens").over(wAll).cast("double") /
+        count(lit(1)).over(wAll).cast("double")
+      val rates = tok.groupBy($"source")
+        .agg(sum($"n_toks").as("n_tokens"))
+        .select($"source",
+          least(lit(1.0), fairShare / $"n_tokens".cast("double")).as("rate"))
+      val hfrac = conv(substring(
+        md5(concat($"doc_id".cast("string"), lit(":mix"))), 1, 13), 16, 10)
+        .cast("double") / 4503599627370496.0
+      tok.join(broadcast(rates), "source")
+        .withColumn("keep", hfrac < $"rate")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"keep", 1)).as("n_kept"),
+          sum(when($"keep", $"n_toks").otherwise(0L)).as("kept_tokens"),
+          first($"rate").as("rate"))
+        .orderBy($"source")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -290,6 +324,30 @@ object TextOps {
         |             / CAST(n_tokens AS DOUBLE))
         |    * CAST(n_tokens AS DOUBLE) AS expected_tokens
         |FROM t ORDER BY source""".stripMargin,
+
+    "q101_mixture_sample" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |agg AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |        FROM tok GROUP BY source),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, (CAST(sum(n_tokens) OVER () AS DOUBLE)
+        |                / CAST(count(*) OVER () AS DOUBLE))
+        |               / CAST(n_tokens AS DOUBLE)) AS rate
+        |  FROM agg),
+        |coin AS (
+        |  SELECT t.source, t.doc_id, t.n_toks, r.rate,
+        |    CAST(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < r.rate AS keep
+        |  FROM tok t JOIN rates r ON r.source = t.source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  min(rate) AS rate
+        |FROM coin GROUP BY source ORDER BY source""".stripMargin,
 
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (

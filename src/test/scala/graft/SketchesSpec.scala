@@ -67,6 +67,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("bloom pre-filter for dedup: no false negatives, bounded false positives") {
+    import spark.implicits._
+    // the shuffle-avoidance pattern for incremental dedup at 100 TB: a
+    // compact bloom of already-seen fingerprints broadcasts to the new
+    // batch, and only might-contain hits pay the exact-match join —
+    // sound because bloom filters never report false negatives
+    val fp = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", md5(trim($"text")).as("fingerprint"))
+    val seen = fp.filter($"doc_id" < 100).select($"fingerprint").distinct()
+    val bloom = seen.stat.bloomFilter("fingerprint", 1000, 0.03)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val hit = udf((s: String) => bc.value.mightContainString(s))
+    // every seen fingerprint must hit (soundness of the pre-filter)
+    assert(seen.filter(!hit($"fingerprint")).count() == 0L)
+    // genuinely-unseen fingerprints (exact-dup texts anti-joined away)
+    // hit only at ~fpp rate (cheapness)
+    val unseen = fp.select($"fingerprint").distinct()
+      .join(seen, Seq("fingerprint"), "left_anti").cache()
+    val fpRate = unseen.filter(hit($"fingerprint")).count().toDouble / unseen.count()
+    assert(fpRate < 0.2, s"false-positive rate $fpRate too high")
+    unseen.unpersist()
+  }
+
   test("histogram buckets cover all rows and bounds tile the range") {
     import spark.implicits._
     val h = SparkEntry.queries("q95_histogram")(spark, dir)
