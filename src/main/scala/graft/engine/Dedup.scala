@@ -19,14 +19,6 @@ import graft.engine.{Tables => T}
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, sh): distinct 3-token shingles per document.
-    *
-    * Built map-side with a higher-order array `transform` over the
-    * token array — zero shuffles until the `distinct` (the windowed
-    * `lead` formulation the oracle uses would shuffle the full token
-    * stream; at 100 TB that's the difference between a scan and a
-    * sort). Cached because the LSH and Jaccard stages both reuse it
-    * (self-joins would otherwise recompute the subplan per alias). */
   /** Shared-shingle candidate pairs WITH intersection counts — the
     * spine both verification stages consume (q53 divides the counts
     * into Jaccard, q85 runs the Levenshtein kernel over the pair
@@ -46,6 +38,14 @@ object Dedup {
         .localCheckpoint()
     })
 
+  /** (doc_id, sh): distinct 3-token shingles per document.
+    *
+    * Built map-side with a higher-order array `transform` over the
+    * token array — zero shuffles until the `distinct` (the windowed
+    * `lead` formulation the oracle uses would shuffle the full token
+    * stream; at 100 TB that's the difference between a scan and a
+    * sort). Memoized per (session, dataset) and cached: the LSH,
+    * Jaccard, prefix-join, and edit-distance stages all consume it. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -269,7 +269,7 @@ object Dedup {
         .orderBy($"doc1", $"doc2")
     }),
 
-    // PPJoin-style PREFIX-FILTERED set-similarity join at t = 0.5:
+    // PPJoin-style PREFIX-FILTERED set-similarity join at t = 0.8:
     // order every document's shingles by global rarity (df, then
     // shingle), keep only the first |d| − ⌈t·|d|⌉ + 1 as the join
     // prefix — any pair with Jaccard ≥ t MUST collide inside the
@@ -284,7 +284,7 @@ object Dedup {
     // plausible.
     "q100_prefix_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val t = 0.5
+      val t = 0.8
       val sh = shingles(s, dir)
       val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
@@ -299,7 +299,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
       val sets = sh.groupBy($"doc_id")
-        .agg(sort_array(collect_list($"sh")).as("ss"), count(lit(1)).as("sz"))
+        .agg(collect_list($"sh").as("ss"), count(lit(1)).as("sz"))
       cand
         .join(sets.select($"doc_id".as("doc1"), $"ss".as("s1"), $"sz".as("sz1")), "doc1")
         .join(sets.select($"doc_id".as("doc2"), $"ss".as("s2"), $"sz".as("sz2")), "doc2")
@@ -755,6 +755,6 @@ object Dedup {
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = doc1
          |JOIN sizes sb ON sb.doc_id = doc2
-         |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+         |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
          |ORDER BY doc1, doc2""".stripMargin)
 }
