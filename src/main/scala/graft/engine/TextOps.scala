@@ -130,6 +130,36 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Shannon token entropy per document — the information-theoretic
+    // quality signal (low entropy ⇒ repetitive/templated text). The
+    // float fold is the interesting part: Σ c·ln(c) over per-token
+    // counts is order-dependent in IEEE arithmetic, so both engines
+    // fold the counts in ONE pinned order (tokens sorted, sequential
+    // left-to-right `aggregate`/`list_reduce`) — deterministic at any
+    // parallelism because the fold happens INSIDE a row, not across
+    // rows. Entirely map-side (per-doc O(distinct·n) array work at
+    // document granularity); the only shuffle is the output ordering.
+    "q102_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      T.spread(T.documents(s, dir))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .withColumn("toks", sort_array(array_distinct($"ws")))
+        .withColumn("fold", expr(
+          """aggregate(
+            |  transform(toks, x -> CAST(size(filter(ws, y -> y = x)) AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, c) -> acc + c * ln(c))""".stripMargin))
+        .select($"doc_id",
+          size($"ws").cast("long").as("n_tokens"),
+          size($"toks").cast("long").as("n_distinct"),
+          round(log(size($"ws").cast("double")) -
+            $"fold" / size($"ws").cast("double"), 6).as("token_entropy"),
+          when(size($"toks") > 1,
+            round((log(size($"ws").cast("double")) -
+              $"fold" / size($"ws").cast("double")) /
+              log(size($"toks").cast("double")), 6)).as("norm_entropy"))
+        .orderBy($"doc_id")
+    }),
+
     // Quality scoring + n-gram-free language-ID heuristic (stopword
     // hit counting via the replace trick — pure scalar, no explode).
     "q55_text_quality" -> ((s, dir) => {
@@ -377,6 +407,30 @@ object TextOps {
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q102_token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |u AS (SELECT doc_id, ws, list_sort(list_distinct(ws)) AS toks FROM t),
+        |f AS (
+        |  SELECT doc_id, ws, toks,
+        |    list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(toks,
+        |          x -> CAST(len(list_filter(ws, y -> y = x)) AS DOUBLE)
+        |               * ln(CAST(len(list_filter(ws, y -> y = x)) AS DOUBLE)))),
+        |      (acc, c) -> acc + c) AS fold
+        |  FROM u)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) AS BIGINT) AS n_distinct,
+        |  round(ln(CAST(len(ws) AS DOUBLE)) - fold / CAST(len(ws) AS DOUBLE), 6)
+        |    AS token_entropy,
+        |  CASE WHEN len(toks) > 1 THEN
+        |    round((ln(CAST(len(ws) AS DOUBLE)) - fold / CAST(len(ws) AS DOUBLE))
+        |      / ln(CAST(len(toks) AS DOUBLE)), 6) END AS norm_entropy
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q55_text_quality" ->
       """WITH q AS (

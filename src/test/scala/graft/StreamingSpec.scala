@@ -18,6 +18,27 @@ class StreamingSpec extends AnyFunSuite {
 
   val MIN = 60L * 1000000 // one minute in micros
 
+  test("stateful dedup is provider-agnostic: RocksDB state store ≡ default") {
+    // at 100 TB/day the in-memory HDFS-backed store OOMs on big key
+    // spaces; RocksDB spills state to local disk with the same
+    // semantics — this pins that switching providers changes nothing
+    // but the storage engine
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val dir = "/root/testdata/sf0.001"
+    val default = Streams.streamingDedup(spark, dir).collect().toSeq
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = Streams.streamingDedup(spark, dir).collect().toSeq
+      assert(rocks == default)
+      assert(rocks.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join attributes purchases across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
