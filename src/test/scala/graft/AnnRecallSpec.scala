@@ -62,6 +62,17 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8 == 1.0, s"probing all cells is brute force, recall=$r8")
   }
 
+  test("PQ + re-rank recalls well and degenerates to exact at full rerank") {
+    // rerank bounded at 50 of ~500: the ADC approximation has to put
+    // the true neighbors in its top decile for this to pass
+    val r50 = recallOf(Similarity.pqTopK(spark, dir, k = 3, rerank = 50))
+    assert(r50 >= 0.5, s"PQ rerank=50 recall $r50 below floor")
+    // rerank ≥ corpus: the exact re-rank sees every candidate, so the
+    // PQ stage can only order, never exclude — must equal brute force
+    val rAll = recallOf(Similarity.pqTopK(spark, dir, k = 3, rerank = 1000))
+    assert(rAll == 1.0, s"full-rerank PQ must be exact, got $rAll")
+  }
+
   test("trained-kmeans IVF searches cell-locally and still recalls") {
     val trained = recallOf(Similarity.ivfTopKTrained(spark, dir, k = 3, nprobe = 2))
     assert(trained > 2.0 / 8,
