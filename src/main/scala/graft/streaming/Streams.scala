@@ -141,13 +141,18 @@ object Streams {
     * the state store a provable eviction bound (each side buffers
     * only rows newer than watermark − interval — without the range
     * condition the join state would grow forever). Output rows appear
-    * as soon as both sides arrive; the watermark finalizes misses. */
-  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * as soon as both sides arrive; with `joinType = "left_outer"` a
+    * click whose match window has passed the watermark is FINALIZED
+    * as a null-padded miss — the streaming form of "which clicks
+    * never converted", provably emitted exactly once. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                          joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "1 hour").alias("c")
     val p = purchases.withWatermark("ts", "1 hour").alias("p")
     c.join(p, expr(
       """c.user_id = p.user_id AND
-        |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES""".stripMargin))
+        |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES""".stripMargin),
+      joinType)
       .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
         col("p.ts").as("purchase_ts"), col("p.value").as("amount"))
   }

@@ -87,6 +87,16 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q46_ntile_dist").contains("SinglePartition"))
   }
 
+  test("per-key windowed ops never plan a single-reducer stage") {
+    // q91 packing partitions its running offset by source shard; q98's
+    // z-score frame partitions by user; q99's normalizing window by
+    // cohort — none may degrade to a global SinglePartition sort
+    for (q <- Seq("q91_sequence_pack", "q98_zscore_anomaly", "q99_retention_cohorts")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q grew a single-reducer stage:\n$p")
+    }
+  }
+
   test("aggregates run partial then final (map-side combine present)") {
     val p = plan("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

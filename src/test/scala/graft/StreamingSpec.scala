@@ -72,6 +72,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((7L, 5.0)))
   }
 
+  test("left-outer stream-stream join finalizes unconverted clicks as misses") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{timestamp_micros, col}
+    val clicks = MemoryStream[(Long, Long)]
+    val buys = MemoryStream[(Long, Long, Double)]
+    val cDf = clicks.toDS().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pDf = buys.toDS().toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = Streams.purchaseAttribution(cDf, pDf, "left_outer")
+      .selectExpr("user_id", "amount")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer_test").start()
+
+    val B = 1704067200L * 1000000L
+    val H = 60 * MIN
+    // user 7 converts; user 8 never does
+    clicks.addData((7L, B), (8L, B))
+    q.processAllAvailable()
+    buys.addData((7L, B + 10 * MIN, 5.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past user 8's match window so the
+    // join can prove no purchase can ever arrive for it
+    clicks.addData((97L, B + 4 * H))
+    buys.addData((98L, B + 4 * H, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_outer_test")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(rows.contains((7L, Some(5.0)))) // the conversion
+    assert(rows.contains((8L, None)))      // the finalized miss
+  }
+
   test("dropDuplicatesWithinWatermark suppresses a cross-batch retry") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
