@@ -361,25 +361,27 @@ object Similarity {
     * `rerank ≥ corpus` degenerates to exact search (pinned in
     * AnnRecallSpec).
     */
-  def pqTopK(s: SparkSession, dir: String, k: Int, rerank: Int,
-             m: Int = 8, kSub: Int = 16, queryMod: Int = 25,
-             seed: Long = 42L): DataFrame = {
-    import s.implicits._
+  private val Dim = 64
+
+  /** Fit one `kSub`-centroid codebook per subspace (spark.ml KMeans,
+    * fixed per-subspace seeds). Result shape: m × kSub × (Dim/m). */
+  private def fitBooks(emb: DataFrame, m: Int, kSub: Int,
+                       seed: Long): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = T.spread(T.embeddings(s, dir))
-      .select($"vec_id", $"embedding").cache()
-    val dim = 64
-    val sub = dim / m
-    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { i =>
+    val sub = Dim / m
+    (0 until m).toArray.map { i =>
       new org.apache.spark.ml.clustering.KMeans()
         .setK(kSub).setSeed(seed + i).setMaxIter(10)
         .fit(emb.select(array_to_vector(
           expr(s"slice(embedding, ${i * sub + 1}, $sub)")).as("features")))
         .clusterCenters.map(_.toArray)
     }
-    val bc = s.sparkContext.broadcast(books)
-    val subLen = sub
-    val encode = udf((v: Seq[Float]) => {
+  }
+
+  /** Nearest-centroid code per subspace (the m-byte PQ encoding). */
+  private def encodeUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                        subLen: Int) =
+    udf((v: Seq[Float]) => {
       val b = bc.value
       Array.tabulate(b.length) { i =>
         var best = 0
@@ -399,8 +401,11 @@ object Similarity {
         best
       }
     })
-    // ADC: cosine(query, reconstruction-from-codes)
-    val adc = udf((q: Seq[Float], codes: Seq[Int]) => {
+
+  /** ADC: cosine(query, codebook reconstruction) from codes alone. */
+  private def adcUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                     subLen: Int) =
+    udf((q: Seq[Float], codes: Seq[Int]) => {
       val b = bc.value
       var dot = 0.0; var qn = 0.0; var rn = 0.0
       var i = 0
@@ -416,21 +421,84 @@ object Similarity {
       }
       if (qn == 0.0 || rn == 0.0) 0.0 else dot / math.sqrt(qn * rn)
     })
-    val enc = emb.withColumn("codes", encode($"embedding"))
-    val queries = emb.filter($"vec_id" % queryMod === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+
+  /** ADC-order candidates, keep `rerank` per query, exact-cosine
+    * re-rank to the final top `k`. */
+  private def rerankTopK(s: SparkSession, cand: DataFrame, k: Int,
+                         rerank: Int): DataFrame = {
+    import s.implicits._
     val wApprox = Window.partitionBy($"qid").orderBy($"approx".desc, $"cid")
     val cos = CosineSimilarity.cosineSim(s) _
     val wRank = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
-    enc.crossJoin(broadcast(queries))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"qe", $"vec_id".as("cid"), $"embedding",
-        adc($"qe", $"codes").as("approx"))
+    cand
       .withColumn("arn", row_number().over(wApprox))
       .filter($"arn" <= rerank)
       .select($"qid", $"cid", round(cos($"qe", $"embedding"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= k)
       .orderBy($"qid", $"rank")
+  }
+
+  def pqTopK(s: SparkSession, dir: String, k: Int, rerank: Int,
+             m: Int = 8, kSub: Int = 16, queryMod: Int = 25,
+             seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val emb = T.spread(T.embeddings(s, dir))
+      .select($"vec_id", $"embedding").cache()
+    val sub = Dim / m
+    val bc = s.sparkContext.broadcast(fitBooks(emb, m, kSub, seed))
+    val enc = emb.withColumn("codes", encodeUdf(bc, sub)($"embedding"))
+    val queries = emb.filter($"vec_id" % queryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    rerankTopK(s,
+      enc.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"qe", $"vec_id".as("cid"), $"embedding",
+          adcUdf(bc, sub)($"qe", $"codes").as("approx")),
+      k, rerank)
+  }
+
+  /** The composed FAISS-style IVF-PQ layout: a trained coarse
+    * quantizer routes corpus and queries to cells (only `nprobe`
+    * cells scanned per query), PQ codes order the in-cell candidates
+    * by ADC, and a bounded exact re-rank finishes. At 100 TB the
+    * corpus stores (cell, codes) — a few bytes per vector, partitioned
+    * by cell — and a query touches nprobe/nCells of it, reading raw
+    * vectors only for the re-rank fetch. `nprobe = nCells` +
+    * `rerank ≥ corpus` provably degenerates to exact search. */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int, nprobe: Int,
+                rerank: Int, nCells: Int = 8, m: Int = 8, kSub: Int = 16,
+                queryMod: Int = 25, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nprobe >= 1 && nprobe <= nCells)
+    val emb = T.spread(T.embeddings(s, dir))
+      .select($"vec_id", $"embedding").cache()
+    val sub = Dim / m
+    // coarse quantizer (cell router) + per-subspace PQ codebooks
+    val coarse = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(emb.select(array_to_vector($"embedding").as("features")))
+    val cents = coarse.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cent_id", "ce")
+    val bc = s.sparkContext.broadcast(fitBooks(emb, m, kSub, seed + 100))
+    val cos = CosineSimilarity.cosineSim(s) _
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cent_cos".desc, $"cent_id")
+    val ranked = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        round(cos($"embedding", $"ce"), 6).as("cent_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .withColumn("codes", encodeUdf(bc, sub)($"embedding"))
+    val q = ranked.filter($"rn" <= nprobe && $"vec_id" % queryMod === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cent_id".as("cell"))
+    rerankTopK(s,
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"qe", $"vec_id".as("cid"), $"embedding",
+          adcUdf(bc, sub)($"qe", $"codes").as("approx")),
+      k, rerank)
   }
 }

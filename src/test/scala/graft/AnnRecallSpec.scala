@@ -73,6 +73,13 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rAll == 1.0, s"full-rerank PQ must be exact, got $rAll")
   }
 
+  test("IVF-PQ composes: cell pruning + code ordering still recall, full knobs = exact") {
+    val r = recallOf(Similarity.ivfPqTopK(spark, dir, k = 3, nprobe = 2, rerank = 50))
+    assert(r > 2.0 / 8, s"IVF-PQ (nprobe=2/8, rerank=50) recall $r not above random")
+    val exact = recallOf(Similarity.ivfPqTopK(spark, dir, k = 3, nprobe = 8, rerank = 1000))
+    assert(exact == 1.0, s"all cells + full rerank must be exact, got $exact")
+  }
+
   test("trained-kmeans IVF searches cell-locally and still recalls") {
     val trained = recallOf(Similarity.ivfTopKTrained(spark, dir, k = 3, nprobe = 2))
     assert(trained > 2.0 / 8,
