@@ -35,7 +35,20 @@ object Graph {
     * rank flows referrer → referred. Dangling leaves simply don't
     * propagate (no redistribution term), the usual sparse-graph
     * simplification. */
-  def pagerank(edges0: DataFrame, iters: Int = Iters): DataFrame = {
+  def pagerank(edges0: DataFrame, iters: Int = Iters): DataFrame =
+    pagerankImpl(edges0, iters, sourceId = None)
+
+  /** Personalized PageRank: all restart mass concentrates on one
+    * source node, so ranks measure proximity TO that node's
+    * neighborhood instead of global centrality — the recommendation /
+    * influence-radius primitive over the same referral edges. Same
+    * integer arithmetic, same per-iteration join shape. */
+  def personalizedPagerank(edges0: DataFrame, sourceId: Long,
+                           iters: Int = Iters): DataFrame =
+    pagerankImpl(edges0, iters, Some(sourceId))
+
+  private def pagerankImpl(edges0: DataFrame, iters: Int,
+                           sourceId: Option[Long]): DataFrame = {
     val s = edges0.sparkSession
     import s.implicits._
     // edges/nodes/outdeg are read every iteration — persist once. The
@@ -48,7 +61,15 @@ object Graph {
     val nodes = edges.select($"referred".as("id"))
       .union(edges.select($"referrer".as("id"))).distinct().persist()
     val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od")).persist()
-    var ranks = nodes.select($"id", lit(1000000L).as("r"))
+    // global PR: uniform init + uniform restart; personalized PR: all
+    // initial and restart mass on the source node
+    val init = sourceId
+      .map(sid => when($"id" === sid, lit(1000000L)).otherwise(lit(0L)))
+      .getOrElse(lit(1000000L))
+    val base = sourceId
+      .map(sid => when($"id" === sid, lit(150000L)).otherwise(lit(0L)))
+      .getOrElse(lit(150000L))
+    var ranks = nodes.select($"id", init.as("r"))
     for (_ <- 1 to iters) {
       val inc = edges
         .join(ranks.withColumnRenamed("id", "referrer"), "referrer")
@@ -57,7 +78,7 @@ object Graph {
         .groupBy($"id").agg(sum($"c").as("inc"))
       ranks = nodes.join(inc, Seq("id"), "left")
         .select($"id",
-          expr("CAST(150000 + (85 * coalesce(inc, 0)) div 100 AS BIGINT)").as("r"))
+          (base + expr("CAST((85 * coalesce(inc, 0)) div 100 AS BIGINT)")).as("r"))
     }
     ranks.select($"id", $"r".as("rank_micro"),
       ($"r".cast("double") / 1000000.0).as("rank"))
@@ -78,6 +99,20 @@ object Graph {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try pagerank(edges).orderBy($"id")
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Personalized PageRank from node 10: rank mass diffuses down
+    // node 10's referral subtree only — everyone outside it scores 0,
+    // descendants score by proximity. Same plan as q97.
+    "q104_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val edges = T.customer(s, dir).filter($"c_custkey" >= 1L)
+        .select($"c_custkey".as("referred"),
+          expr("CAST(floor(c_custkey/2) AS BIGINT)").as("referrer"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try personalizedPagerank(edges, sourceId = 10L).orderBy($"id")
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
@@ -108,6 +143,34 @@ object Graph {
          |  SELECT p.iter + 1, n.id,
          |    CAST(150000 + (85 * (CASE WHEN n.id >= 1 THEN p.r // o.od
          |                              ELSE 0 END)) // 100 AS BIGINT)
+         |  FROM nodes n
+         |  JOIN pr p ON p.id = n.id // 2
+         |  JOIN outdeg o ON o.id = p.id
+         |  WHERE p.iter < $Iters)
+         |SELECT id, r AS rank_micro, CAST(r AS DOUBLE)/1000000.0 AS rank
+         |FROM pr WHERE iter = $Iters ORDER BY id""".stripMargin,
+
+    "q104_ppr" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT c_custkey AS referred,
+         |         CAST(floor(c_custkey/2) AS BIGINT) AS referrer
+         |  FROM customer WHERE c_custkey >= 1),
+         |nodes AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT referred AS id FROM edges
+         |    UNION ALL SELECT referrer FROM edges) u),
+         |outdeg AS (SELECT referrer AS id, count(*) AS od
+         |           FROM edges GROUP BY referrer),
+         |pr(iter, id, r) AS (
+         |  SELECT 0, id,
+         |    CAST(CASE WHEN id = 10 THEN 1000000 ELSE 0 END AS BIGINT)
+         |  FROM nodes
+         |  UNION ALL
+         |  SELECT p.iter + 1, n.id,
+         |    CAST(CASE WHEN n.id = 10 THEN 150000 ELSE 0 END
+         |         + (85 * (CASE WHEN n.id >= 1 THEN p.r // o.od
+         |                       ELSE 0 END)) // 100 AS BIGINT)
          |  FROM nodes n
          |  JOIN pr p ON p.id = n.id // 2
          |  JOIN outdeg o ON o.id = p.id

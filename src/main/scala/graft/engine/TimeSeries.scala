@@ -82,6 +82,34 @@ object TimeSeries {
         .orderBy($"user_id", $"ts", $"event_id")
     }),
 
+    // Exponentially weighted moving average per user — the recursive
+    // smoother (s₀ = x₀, sₜ = α·xₜ + (1−α)·sₜ₋₁) that windows can't
+    // express and naive parallel sums get wrong. Same determinism
+    // trick as the entropy fold: collect each user's series ONCE in a
+    // pinned (ts, event_id) order and fold left-to-right inside the
+    // row — identical IEEE sequence in any engine at any parallelism.
+    // Per-user series are bounded (this is a per-key scalar, not a
+    // corpus-wide window), so the collect is the normal sessionize
+    // shape: one shuffle by user key.
+    "q103_ewma" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max($"ts").as("last_ts"),
+          expr(
+            """round(aggregate(
+              |  slice(transform(array_sort(collect_list(struct(ts, event_id, value))),
+              |          e -> e.value),
+              |        2, greatest(0, size(collect_list(value)) - 1)),
+              |  CAST(element_at(transform(array_sort(collect_list(struct(ts, event_id, value))),
+              |          e -> e.value), 1) AS DOUBLE),
+              |  (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
+              |""".stripMargin).as("ewma"))
+        .orderBy($"user_id")
+    }),
+
     // Cohort retention matrix: users grouped by first-active day, each
     // cohort's daily-active counts at every day offset, normalized by
     // the cohort's day-0 size. Three combine-able aggregations (the
@@ -160,6 +188,13 @@ object TimeSeries {
         |       THEN round((value - mean_raw)/std, 6) END) > 2.0, false)
         |    AS is_anomaly
         |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q103_ewma" ->
+      """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
+        |    AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q99_retention_cohorts" ->
       """WITH days AS (
