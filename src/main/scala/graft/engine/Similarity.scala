@@ -130,6 +130,10 @@ object Similarity {
 
     // Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ 0.3
     // (threshold calibrated to the synthetic corpus's score range).
+    // Composed index-build manifest: shard + dedup + quantization
+    // stats in one verified dataflow (see embeddingRefinery).
+    "q105_embedding_refinery" -> ((s, dir) => embeddingRefinery(s, dir)),
+
     "q62_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
@@ -333,6 +337,38 @@ object Similarity {
         |    / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
+    "q105_embedding_refinery" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         CAST($bucketSql AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, bucket, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale
+         |  FROM e),
+         |q2 AS (
+         |  SELECT vec_id, bucket,
+         |    CASE WHEN qscale > 0.0 THEN
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(v,
+         |          x -> abs(x - floor(x / qscale + 0.5) * qscale))),
+         |        (acc, x) -> acc + x) / 64.0
+         |    ELSE 0.0 END AS qerr
+         |  FROM q),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+         |f AS (
+         |  SELECT q2.bucket, q2.qerr, d.vec_id IS NOT NULL AS dropped
+         |  FROM q2 LEFT JOIN drops d ON d.vec_id = q2.vec_id)
+         |SELECT bucket, count(*) AS n_vecs,
+         |  CAST(count(CASE WHEN dropped THEN 1 END) AS BIGINT) AS n_dropped,
+         |  CAST(count(CASE WHEN NOT dropped THEN 1 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CAST(floor(qerr * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_qerr
+         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q62_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
          |           FROM embeddings)
@@ -361,6 +397,47 @@ object Similarity {
     * `rerank ≥ corpus` degenerates to exact search (pinned in
     * AnnRecallSpec).
     */
+  /** Composed embedding-side refinery (the q75 flagship's sibling for
+    * vectors): one pass computes each vector's LSH shard and its int8
+    * quantization error (pinned-order fold ⇒ bit-exact), the bucket-
+    * local near-dup join marks the higher id of every close pair for
+    * dropping (keep-first election, q62's threshold), and the output
+    * is the per-shard index-build manifest: how many vectors, how many
+    * dedup drops, what quantization loss to expect. Scale: the only
+    * pairwise work is inside LSH buckets; the manifest aggregation is
+    * exact scaled-integer sums (order-independent). */
+  private def embeddingRefinery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cos = CosineSimilarity.cosineSim(s) _
+    val e = T.embeddings(s, dir)
+      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
+    val withQ = e
+      .withColumn("qscale", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .withColumn("qerr", when($"qscale" > 0.0, expr(
+        """aggregate(
+          |  transform(embedding, x ->
+          |    abs(CAST(x AS DOUBLE)
+          |        - floor(CAST(x AS DOUBLE) / qscale + 0.5) * qscale)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 64.0""".stripMargin))
+        .otherwise(lit(0.0)))
+    val drops = e.alias("a")
+      .join(e.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cos(col("a.embedding"), col("b.embedding")), 6) >= 0.3)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    withQ.join(drops, Seq("vec_id"), "left")
+      .withColumn("dropped", coalesce($"hit", lit(false)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when($"dropped", 1)).as("n_dropped"),
+        count(when(!$"dropped", 1)).as("n_kept"),
+        round(sum(floor($"qerr" * 1000000000.0 + 0.5).cast("long")).cast("double")
+          / 1000000000.0 / count(lit(1)).cast("double"), 6).as("mean_qerr"))
+      .orderBy($"bucket")
+  }
+
   private val Dim = 64
 
   /** Fit one `kSub`-centroid codebook per subspace (spark.ml KMeans,
