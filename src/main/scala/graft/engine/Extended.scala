@@ -222,6 +222,61 @@ object Extended {
     // the in-partition sort for O(n log k); the window form is the
     // idiomatic default and what Catalyst optimizes with
     // WindowGroupLimit pushdown.)
+    // SCD Type-2 version derivation: turn an event stream into the
+    // warehouse dimension-history shape — per-key version numbers and
+    // [valid_from, valid_to) intervals via lead(), open interval =
+    // current row. Pure per-key window work (distributed sort by key);
+    // the PIT lookup against such a table is q28's as-of join.
+    "q106_scd2_versions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, dir).filter($"user_id" < 20)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"version", $"ts".as("valid_from"),
+          $"valid_to", $"valid_to".isNull.as("is_current"), $"value")
+        .orderBy($"user_id", $"version")
+    }),
+
+    // Multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL keep
+    // duplicates by multiplicity arithmetic, which the DISTINCT forms
+    // (q17) erase; the verified output is the surviving multiplicity
+    // per key so the multiset semantics are visible in the hash.
+    "q107_setops_all" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val a = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      val b = o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+        .groupBy($"op", $"o_custkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"op", $"o_custkey")
+    }),
+
+    // The ANSI NOT IN null trap, demonstrated and verified: a NULL in
+    // the subquery makes `x NOT IN (...)` UNKNOWN for every row (zero
+    // results), while the NOT EXISTS rewrite keeps its filter
+    // semantics — the classic three-valued-logic divergence an engine
+    // must implement exactly, not intuitively.
+    "q108_not_in_null" -> ((s, dir) => {
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      T.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT nullif(c_custkey, 5) FROM customer
+              WHERE c_custkey < 10)) AS n_not_in,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders o
+           WHERE NOT EXISTS
+             (SELECT 1 FROM customer c
+              WHERE c.c_custkey < 10
+                AND nullif(c.c_custkey, 5) = o.o_custkey)) AS n_not_exists
+      """)
+    }),
+
     "q84_grouped_topk" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_orderpriority")
@@ -255,6 +310,41 @@ object Extended {
     s"CAST(sum(CASE WHEN $cond THEN ${scaledSql(expr)} END) AS DOUBLE)/10000.0"
 
   val oracle: Map[String, String] = Map(
+    "q106_scd2_versions" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  lead(ts, 1) OVER w IS NULL AS is_current,
+        |  value
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q107_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |u AS (
+        |  SELECT 'except_all' AS op, o_custkey
+        |  FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b) x
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, o_custkey
+        |  FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b) y)
+        |SELECT op, o_custkey, count(*) AS multiplicity
+        |FROM u GROUP BY op, o_custkey ORDER BY op, o_custkey""".stripMargin,
+
+    "q108_not_in_null" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT nullif(c_custkey, 5) FROM customer
+        |      WHERE c_custkey < 10)) AS n_not_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey < 10
+        |        AND nullif(c.c_custkey, 5) = o.o_custkey)) AS n_not_exists""".stripMargin,
+
     "q44_pivot" ->
       s"""SELECT o_orderpriority,
          |  count(*) FILTER (WHERE o_orderstatus='F') AS n_f,
