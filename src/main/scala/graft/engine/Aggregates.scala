@@ -54,6 +54,23 @@ object Aggregates {
         .orderBy($"l_returnflag")
     }),
 
+    // LISTAGG / string_agg — ordered string aggregation (the report
+    // column every BI surface asks for). Determinism rule: collect →
+    // sort → slice → join, so the string is identical at any
+    // parallelism; an unordered string_agg is nondeterministic under
+    // shuffle and can never hash-verify. Bounded to the first 5 names
+    // per group — at 100 TB an unbounded listagg is an OOM, a bounded
+    // one is a grouped top-k.
+    "q109_listagg" -> ((s, dir) => {
+      import s.implicits._
+      T.customer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", slice(sort_array(collect_list($"c_name")), 1, 5))
+            .as("first_names"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // ROLLUP — hierarchical subtotals (region > nation > grand total).
     "q11_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -210,6 +227,12 @@ object Aggregates {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q109_listagg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  array_to_string(
+        |    list_slice(list(c_name ORDER BY c_name), 1, 5), ',') AS first_names
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q10_multi_agg" ->
       s"""SELECT l_returnflag,
          |  count(*) AS n_rows,
