@@ -110,6 +110,28 @@ object TimeSeries {
         .orderBy($"user_id")
     }),
 
+    // Date-dimension (calendar spine) generator: the warehouse utility
+    // table every time-series join wants, derived from the data's own
+    // span — a 1-row min/max aggregate exploded into one row per day
+    // with the standard calendar attributes. Weekday convention pinned
+    // to Monday=0 explicitly (Spark's dayofweek and DuckDB's dow
+    // disagree on the week start; weekday()/isodow-1 agree).
+    "q110_date_dim" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .agg(to_date(min($"ts")).as("d0"), to_date(max($"ts")).as("d1"))
+        .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("d"))
+        .select($"d",
+          year($"d").cast("long").as("year"),
+          quarter($"d").cast("long").as("quarter"),
+          month($"d").cast("long").as("month"),
+          dayofmonth($"d").cast("long").as("day"),
+          weekday($"d").cast("long").as("weekday0"),
+          weekofyear($"d").cast("long").as("iso_week"),
+          (weekday($"d") >= 5).as("is_weekend"))
+        .orderBy($"d")
+    }),
+
     // Cohort retention matrix: users grouped by first-active day, each
     // cohort's daily-active counts at every day offset, normalized by
     // the cohort's day-0 size. Three combine-able aggregations (the
@@ -195,6 +217,24 @@ object TimeSeries {
         |    (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
         |    AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q110_date_dim" ->
+      """WITH span AS (
+        |  SELECT date_trunc('day', min(ts))::DATE AS d0,
+        |         date_trunc('day', max(ts))::DATE AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM span)
+        |SELECT d,
+        |  CAST(year(d) AS BIGINT) AS year,
+        |  CAST(quarter(d) AS BIGINT) AS quarter,
+        |  CAST(month(d) AS BIGINT) AS month,
+        |  CAST(day(d) AS BIGINT) AS day,
+        |  CAST(isodow(d) - 1 AS BIGINT) AS weekday0,
+        |  CAST(week(d) AS BIGINT) AS iso_week,
+        |  isodow(d) - 1 >= 5 AS is_weekend
+        |FROM days ORDER BY d""".stripMargin,
 
     "q99_retention_cohorts" ->
       """WITH days AS (
