@@ -110,6 +110,27 @@ object TimeSeries {
         .orderBy($"user_id")
     }),
 
+    // Event-transition matrix (first-order Markov counts): per user,
+    // consecutive event-type pairs via lead() inside the per-key
+    // window, rolled up corpus-wide with transition probabilities.
+    // The per-key sequence work shuffles once by user; the matrix is
+    // |event_types|² rows — bounded regardless of event volume.
+    "q111_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+      val wFrom = Window.partitionBy($"event_type")
+      pairs
+        .withColumn("p",
+          round($"n".cast("double") / sum($"n").over(wFrom).cast("double"), 6))
+        .orderBy($"event_type", $"next_type")
+    }),
+
     // Date-dimension (calendar spine) generator: the warehouse utility
     // table every time-series join wants, derived from the data's own
     // span — a 1-row min/max aggregate exploded into one row per day
@@ -217,6 +238,21 @@ object TimeSeries {
         |    (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
         |    AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q111_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+        |FROM m ORDER BY event_type, next_type""".stripMargin,
 
     "q110_date_dim" ->
       """WITH span AS (
