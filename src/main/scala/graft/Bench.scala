@@ -58,6 +58,12 @@ object Bench {
     for (p <- Seq("/tmp/bench.json", "bench_last.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
       catch { case _: Throwable => () }
+    // LAST stdout line: a short summary WITHOUT the per-query map, so a
+    // head-truncated tail-capture of stdout always contains at least one
+    // complete, parseable JSON line (the 110-entry line above is ~4 KB
+    // and has been truncated by log capture three rounds running).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

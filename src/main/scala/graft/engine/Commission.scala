@@ -121,11 +121,9 @@ object Commission {
     * queries consume it, and recomputing 10 joins per query is the
     * materialized-view case: build once per (session, dataset),
     * persist, reuse. */
-  private val ancCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val ancCache = new SessionMemo[String]
   def testAncestors(s: SparkSession, dir: String): DataFrame =
-    ancCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      ancestors(testEdges(s, dir), 10).persist())
+    ancCache.getOrElseUpdate(s, dir)(ancestors(testEdges(s, dir), 10).persist())
 
   private val edgesCte =
     """edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer

@@ -25,10 +25,9 @@ object Dedup {
     * list). The shingle equi-join is the one expensive pass in this
     * family, so it is a memoized materialized view like the LSH pair
     * list: work ∝ true shingle overlap, computed once per dataset. */
-  private val interCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val interCache = new SessionMemo[String]
   private def sharedShinglePairs(s: SparkSession, dir: String): DataFrame =
-    interCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    interCache.getOrElseUpdate(s, dir) {
       val sh = shingles(s, dir)
       sh.alias("a")
         .join(sh.alias("b"),
@@ -36,7 +35,7 @@ object Dedup {
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("n_common"))
         .localCheckpoint()
-    })
+    }
 
   /** (doc_id, sh): distinct 3-token shingles per document.
     *
@@ -46,11 +45,9 @@ object Dedup {
     * stream; at 100 TB that's the difference between a scan and a
     * sort). Memoized per (session, dataset) and cached: the LSH,
     * Jaccard, prefix-join, and edit-distance stages all consume it. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val shingleCache = new SessionMemo[String]
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      shinglesUncached(s, dir))
+    shingleCache.getOrElseUpdate(s, dir)(shinglesUncached(s, dir))
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T.spread(T.documents(s, dir))
@@ -78,11 +75,9 @@ object Dedup {
     * (session, dataset) like Commission.testAncestors: the pair list
     * is a materialized view every downstream dedup stage consumes, so
     * it is computed once, not once per query. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val pairsCache = new SessionMemo[String]
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      lshPairsUncached(s, dir).localCheckpoint())
+    pairsCache.getOrElseUpdate(s, dir)(lshPairsUncached(s, dir).localCheckpoint())
   private def lshPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // spread: the md5 minhash fold is the expensive stage and would
@@ -148,8 +143,9 @@ object Dedup {
     // document can never end up in train while its near-dup sits in
     // test (the classic eval-contamination bug that per-doc random
     // splits commit). The split decision is one md5 nibble of the
-    // cluster id: deterministic, engine-portable, ~90/10. Zero extra
-    // shuffles beyond the clustering itself.
+    // cluster id: deterministic, engine-portable, ~94/6 (15 of the 16
+    // nibble values pass `% 10 < 9`). Zero extra shuffles beyond the
+    // clustering itself.
     "q88_cluster_split" -> ((s, dir) => {
       import s.implicits._
       val nibble = expr(
@@ -175,12 +171,11 @@ object Dedup {
         // star labels memoized like the propagation labels: the
         // contraction loop is a materialized view, computed once per
         // (session, dataset), not once per invocation
-        val labels = starCache.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
-            val edges = lshPairs(s, dir)
-              .select($"doc1".as("a"), $"doc2".as("b"))
-            componentsStar(edges).localCheckpoint()
-          })
+        val labels = starCache.getOrElseUpdate(s, dir) {
+          val edges = lshPairs(s, dir)
+            .select($"doc1".as("a"), $"doc2".as("b"))
+          componentsStar(edges).localCheckpoint()
+        }
         val byCluster = Window.partitionBy($"cluster_id")
         T.documents(s, dir).select($"doc_id")
           .join(labels.withColumnRenamed("doc_id", "n"), $"doc_id" === $"n", "left")
@@ -394,13 +389,10 @@ object Dedup {
     * adversarial chain-shaped graphs whose diameter exceeds the round
     * cap, [[componentsStar]] is the O(log d) alternative
     * (StarComponentsSpec exercises a 300-node chain). */
-  private val compCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val starCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val compCache = new SessionMemo[String]
+  private val starCache = new SessionMemo[String]
   def components(s: SparkSession, dir: String): DataFrame =
-    compCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      componentsUncached(s, dir))
+    compCache.getOrElseUpdate(s, dir)(componentsUncached(s, dir))
   private def componentsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val saved = s.conf.get("spark.sql.shuffle.partitions")

@@ -91,19 +91,140 @@ object Maintenance {
     val touched = updates.select(col(pcol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     touched.foreach { pv =>
-      val pdir = s"$tableDir/$pcol=$pv"
-      val tmp = s"$tableDir/.merge_tmp_$pcol=$pv"
+      val esc = escapePartitionValue(pv)
+      val pdir = s"$tableDir/$pcol=$esc"
+      val tmp = s"$tableDir/.merge_tmp_$pcol=$esc"
       val upd = updates.filter(col(pcol).cast("string") === pv).drop(pcol)
       if (!fs.exists(new Path(pdir))) {
         upd.write.mode("overwrite").parquet(pdir) // brand-new partition
       } else {
         val base = spark.read.parquet(pdir) // partition col not materialized in files
         upsert(base, upd, keys).write.mode("overwrite").parquet(tmp)
-        fs.delete(new Path(pdir), true)
+        // Rename the old partition ASIDE before promoting the staged
+        // one: a crash between the two renames leaves the partition
+        // recoverable at .merge_old_… instead of gone (true atomic
+        // commit needs a table-format manifest; this is the
+        // plain-parquet best effort).
+        val old = new Path(s"$tableDir/.merge_old_$pcol=$esc")
+        fs.delete(old, true)
+        fs.rename(new Path(pdir), old)
         fs.rename(new Path(tmp), new Path(pdir))
+        fs.delete(old, true)
       }
     }
     touched
+  }
+
+  /** Partition directory names must escape special characters exactly
+    * the way Spark's writer does (ExternalCatalogUtils): building
+    * "$pcol=$pv" from the raw value would send a value containing '/'
+    * or ' ' to a different directory and duplicate the partition. */
+  private[engine] def escapePartitionValue(pv: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv)
+
+  /** (min, max) of `key` across one parquet file's row groups, straight
+    * from the footer — no data pages read. None when any row group
+    * lacks usable stats (the caller must then treat the file as a
+    * potential match). */
+  private[engine] def fileKeyRange(conf: org.apache.hadoop.conf.Configuration,
+                                   file: Path, key: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    def asLong(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => other.toString.toLong
+    }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == key)
+          .map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .map(st => (asLong(st.genericGetMin), asLong(st.genericGetMax)))
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+    } finally reader.close()
+  }
+
+  /** File-level pruned MERGE — the remaining step from partition-level
+    * copy-on-write to table-format MERGE semantics over plain parquet:
+    * within each touched partition, only the FILES whose footer
+    * min/max range on the (integral) merge key can contain an update
+    * key are rewritten. Every other file is left physically untouched
+    * — byte-identical, asserted in MaintenanceSpec — so a backfill
+    * that touches 10 keys in a 10k-file partition rewrites a handful
+    * of files, not the partition.
+    *
+    * Kept files are provably disjoint from the update keys (their
+    * footer range contains none), so `kept ∪ upsert(hitFiles, updates)`
+    * is exactly the partition post-image; update keys present in no
+    * file's range surface as inserts in the merged output.
+    *
+    * The per-partition update keys come to the driver as a sorted
+    * array (binary-searched against each file range). That is bounded
+    * by the update batch — the small side of a MERGE by construction;
+    * an update set big enough to strain the driver intersects
+    * essentially every file, at which point [[upsertPartitioned]]'s
+    * whole-partition rewrite is the right tool anyway.
+    *
+    * @return (filesRewritten, filesKept) across all touched partitions
+    */
+  def upsertFilePruned(spark: SparkSession, tableDir: String,
+                       updates: DataFrame, key: String,
+                       pcol: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val touched = updates.select(col(pcol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var rewritten = 0
+    var kept = 0
+    touched.foreach { pv =>
+      val esc = escapePartitionValue(pv)
+      val pdir = new Path(s"$tableDir/$pcol=$esc")
+      val upd = updates.filter(col(pcol).cast("string") === pv).drop(pcol)
+      if (!fs.exists(pdir)) {
+        upd.write.mode("overwrite").parquet(pdir.toString)
+      } else {
+        val updKeys = upd.select(col(key).cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        def rangeHasKey(lo: Long, hi: Long): Boolean = {
+          val i = java.util.Arrays.binarySearch(updKeys, lo)
+          val from = if (i >= 0) i else -i - 1
+          from < updKeys.length && updKeys(from) <= hi
+        }
+        val dataFiles = fs.listStatus(pdir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        val (hit, miss) = dataFiles.partition { p =>
+          fileKeyRange(conf, p, key).forall { case (lo, hi) => rangeHasKey(lo, hi) }
+        }
+        rewritten += hit.length
+        kept += miss.length
+        val basePart =
+          if (hit.isEmpty) upd.limit(0)
+          else spark.read.parquet(hit.map(_.toString).toIndexedSeq: _*)
+        val tmp = new Path(s"$tableDir/.merge_tmp_$pcol=$esc")
+        upsert(basePart, upd, Seq(key)).write.mode("overwrite").parquet(tmp.toString)
+        // promote: move the superseded files aside (crash-recoverable),
+        // land the staged files under their own unique names (Spark
+        // part-file names carry a fresh UUID — no collision with kept
+        // files), then drop the old copies
+        val old = new Path(s"$tableDir/.merge_old_$pcol=$esc")
+        fs.delete(old, true)
+        fs.mkdirs(old)
+        hit.foreach(p => fs.rename(p, new Path(old, p.getName)))
+        fs.listStatus(tmp)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach(f => fs.rename(f.getPath, new Path(pdir, f.getPath.getName)))
+        fs.delete(tmp, true)
+        fs.delete(old, true)
+      }
+    }
+    (rewritten, kept)
   }
 
   /** Latest-version-wins upsert: union base and updates, keep one row

@@ -12,14 +12,28 @@ import org.apache.spark.sql.functions._
   * the row (binaryFile source → BinaryType column), so decode/feature
   * stages are data-local — no sidecar fetches at 100 TB.
   *
-  * The decode kernels are STUBS (deterministic fakes — no image/audio
-  * codecs ship in this environment); everything around them — source,
-  * schema, batch iteration via mapPartitions, output feature schema,
-  * size-aware repartitioning — is real and tested. Swap `stubDecode*`
-  * for a JNI/codec call and nothing else changes.
+  * Image decode is REAL for the formats the JRE itself can read
+  * (PNG/JPEG/BMP/GIF via `javax.imageio` — no external codecs needed);
+  * bytes no reader claims (e.g. parquet files standing in for an
+  * uploads dir) fall back to a deterministic STUB so the distribution
+  * plumbing stays oracle-checkable. Audio/video kernels remain stubs
+  * (no codecs ship in this environment); everything around them —
+  * source, schema, batch iteration via mapPartitions, output feature
+  * schema — is real and tested. Swap the stub for a JNI/codec call and
+  * nothing else changes.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
+
+  /** The binary-corpus directory: a binary corpus is an artifact store,
+    * not a scale-factor table, so it does not follow sfDir — but it
+    * must not be a hardcoded absolute path either (ADVICE r3). Resolve:
+    * session conf > env var > the testdata default the static oracle
+    * SQL is pinned to. */
+  def binaryCorpusDir(s: SparkSession): String =
+    s.conf.getOption("spark.graft.binaryCorpusDir")
+      .orElse(sys.env.get("SPARK_GRAFT_BINARY_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
 
   case class MediaMeta(path: String, ext: String, length: Long,
                        content_md5: String)
@@ -47,25 +61,61 @@ object Multimodal {
       md5(hex(col("content"))).as("content_md5"),
       col("content"))
 
-  /** ==== STUB ==== deterministic fake image decode: derives fake
-    * dimensions and a 16-bin byte histogram from the raw bytes. A real
-    * implementation calls an image codec here; the per-partition batch
-    * iteration, the output schema, and the driver-free distribution are
-    * exactly what the real kernel would use. */
+  /** Real image decode via the JRE's own `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF — present in every JVM, no external codecs).
+    * Features: true width/height, raster band count, and a 16-bin
+    * luminance histogram over the first 64 Ki pixels (bounded work per
+    * row regardless of image size). Returns None for bytes no
+    * registered reader recognizes. */
+  private[graft] def imageioDecode(path: String, bytes: Array[Byte]): Option[ImageFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](16)
+        var y = 0
+        var n = 0
+        while (y < h && n < 65536) {
+          var x = 0
+          while (x < w && n < 65536) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            hist(lum / 16) += 1f
+            x += 1; n += 1
+          }
+          y += 1
+        }
+        Some(ImageFeatures(path, w, h, img.getRaster.getNumBands, hist))
+      }
+    } catch { case _: Throwable => None }
+
+  /** ==== STUB fallback ==== deterministic fake decode for bytes that
+    * are not a JRE-readable image: fake dimensions and a 16-bin byte
+    * histogram derived from the raw bytes, fully reproducible from
+    * DuckDB's read_blob — which is what keeps the plumbing
+    * oracle-checkable over a non-image corpus. */
+  private[graft] def stubDecode(path: String, bytes: Array[Byte]): ImageFeatures = {
+    val w = 64 + (bytes.length % 512)
+    val h = 64 + ((bytes.length / 7) % 512)
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length && i < 65536) {
+      hist((bytes(i) & 0xff) / 16) += 1f; i += 1
+    }
+    ImageFeatures(path, w, h, 3, hist)
+  }
+
+  /** Per-partition batch decode: real `javax.imageio` first, stub
+    * fallback for unrecognized bytes. The typed-Dataset mapPartitions
+    * shape is the real kernel's distribution plumbing either way. */
   def decodeImages(bin: DataFrame): Dataset[ImageFeatures] = {
     import bin.sparkSession.implicits._
     bin.select("path", "content").as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (path, bytes) =>
-          // STUB: fake W/H from byte length; real code: codec.decode(bytes)
-          val w = 64 + (bytes.length % 512)
-          val h = 64 + ((bytes.length / 7) % 512)
-          val hist = new Array[Float](16)
-          var i = 0
-          while (i < bytes.length && i < 65536) {
-            hist((bytes(i) & 0xff) / 16) += 1f; i += 1
-          }
-          ImageFeatures(path, w, h, 3, hist)
+          imageioDecode(path, bytes).getOrElse(stubDecode(path, bytes))
         }
       }
   }
@@ -86,13 +136,13 @@ object Multimodal {
     // testdata parquets standing in for an uploads/ dir) — real
     // binaryFile scan + metadata/hash extraction. Oracle: DuckDB
     // read_blob() over the same files gives (filename, size, content),
-    // so name/length/md5 are fully cross-checkable. Both sides pin the
-    // same literal directory because a binary corpus is an artifact
-    // store, not a scale-factor table — and the oracle SQL (static
-    // text) cannot interpolate the runtime sfDir.
+    // so name/length/md5 are fully cross-checkable. The corpus dir is
+    // config-resolved (binaryCorpusDir) rather than following sfDir: a
+    // binary corpus is an artifact store, not a scale-factor table —
+    // and the oracle SQL (static text) is pinned to the default dir.
     "q70_binary_ingest" -> ((s, _) => {
       import s.implicits._
-      withMeta(readBinary(s, "/root/testdata/sf0.01", "*.parquet"))
+      withMeta(readBinary(s, binaryCorpusDir(s), "*.parquet"))
         .select(
           element_at(split($"path", "/"), -1).as("file_name"),
           $"ext", $"length", $"content_md5")
@@ -101,15 +151,16 @@ object Multimodal {
 
     // Image-feature extraction through the REAL distribution plumbing
     // (typed Dataset → mapPartitions batch iteration → feature schema).
-    // The decode kernel is the documented deterministic stub, which is
-    // exactly what makes the plumbing oracle-checkable: width/height
-    // derive from byte length and the histogram mass equals
-    // min(length, 64KiB), all reproducible from DuckDB's read_blob —
-    // so path carry, per-partition iteration, and the output schema
-    // are verified even though no codec ships in this environment.
+    // The corpus here is parquet bytes, which no javax.imageio reader
+    // claims, so every row goes through the documented deterministic
+    // stub — which is exactly what makes the plumbing oracle-checkable:
+    // width/height derive from byte length and the histogram mass
+    // equals min(length, 64KiB), all reproducible from DuckDB's
+    // read_blob. Real images take the true ImageIO decode path instead
+    // (MultimodalSpec decodes a generated PNG end-to-end).
     "q83_image_features" -> ((s, _) => {
       import s.implicits._
-      decodeImages(readBinary(s, "/root/testdata/sf0.01", "*.parquet")).toDF()
+      decodeImages(readBinary(s, binaryCorpusDir(s), "*.parquet")).toDF()
         .select(
           element_at(split($"path", "/"), -1).as("file_name"),
           $"width".cast("long").as("width"),

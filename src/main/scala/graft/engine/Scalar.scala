@@ -69,6 +69,14 @@ object Scalar {
     // decimal type-widening rules can't diverge. The only rounding
     // anywhere is the input double→decimal(…,2) cast, which is exact
     // for 2-decimal money values.
+    //
+    // The FINAL projection casts each decimal aggregate to its
+    // canonical string ("253942.00" — scale-many fractional digits,
+    // identical text in Spark and DuckDB). The arithmetic stays
+    // DECIMAL end-to-end (that is the demo); only the output column
+    // is a string, because downstream hashers differ on DECIMAL
+    // *representation* (INT128 vs fixed-len-byte-array physical
+    // encodings) even when every value is bit-exact.
     "q80_decimal_money" -> ((s, dir) => {
       import s.implicits._
       val qty = $"l_quantity".cast("decimal(12,2)")
@@ -80,10 +88,15 @@ object Scalar {
             .cast("decimal(18,4)").as("disc_px"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"qty").cast("decimal(38,2)").as("sum_qty"),
-          sum($"px").cast("decimal(38,2)").as("sum_base"),
-          sum($"disc_px").cast("decimal(38,4)").as("sum_disc"),
+          sum($"qty").cast("decimal(38,2)").as("sum_qty_dec"),
+          sum($"px").cast("decimal(38,2)").as("sum_base_dec"),
+          sum($"disc_px").cast("decimal(38,4)").as("sum_disc_dec"),
           count(lit(1)).as("n"))
+        .select($"l_returnflag", $"l_linestatus",
+          $"sum_qty_dec".cast("string").as("sum_qty"),
+          $"sum_base_dec".cast("string").as("sum_base"),
+          $"sum_disc_dec".cast("string").as("sum_disc"),
+          $"n")
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
@@ -213,11 +226,11 @@ object Scalar {
 
     "q80_decimal_money" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |      (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        |      AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
+        |      AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -70,7 +70,10 @@ object Sketches {
       else {
         val frac = java.lang.Long.parseLong(b(k - 1).substring(0, 13), 16)
           .toDouble / 4503599627370496.0 // 16^13 = 2^52
-        BigDecimal((k - 1).toDouble / frac)
+        // an all-zero 13-hex-digit prefix (p = 16^-13) would make frac
+        // 0.0 and BigDecimal(Infinity) throw — clamp to the smallest
+        // positive double so the estimate stays finite
+        BigDecimal((k - 1).toDouble / math.max(frac, java.lang.Double.MIN_VALUE))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     def bufferEncoder =
@@ -150,7 +153,10 @@ object Sketches {
       val stats = li.agg(min($"p").as("mn"), max($"p").as("mx"))
       val width = ($"mx" - $"mn") / 20.0
       li.crossJoin(broadcast(stats))
-        .select(least(lit(19L), floor(($"p" - $"mn") / width)).as("bucket"),
+        // constant column (mx = mn) ⇒ width 0 ⇒ NaN buckets: short-
+        // circuit everything into bucket 0 (mirrored in the oracle)
+        .select(when($"mx" === $"mn", lit(0L))
+          .otherwise(least(lit(19L), floor(($"p" - $"mn") / width))).as("bucket"),
           $"mn", $"mx")
         .groupBy($"bucket")
         .agg(count(lit(1)).as("cnt"), first($"mn").as("mn"), first($"mx").as("mx"))
@@ -219,8 +225,9 @@ object Sketches {
         |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
         |  FROM lineitem),
         |b AS (SELECT
-        |    least(19, CAST(floor((l_extendedprice - s.mn) / ((s.mx - s.mn) / 20.0))
-        |      AS BIGINT)) AS bucket, s.mn, s.mx
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE least(19, CAST(floor((l_extendedprice - s.mn) / ((s.mx - s.mn) / 20.0))
+        |      AS BIGINT)) END AS bucket, s.mn, s.mx
         |  FROM lineitem, s),
         |g AS (SELECT bucket, count(*) AS cnt, min(mn) AS mn, min(mx) AS mx
         |      FROM b GROUP BY bucket)

@@ -24,10 +24,9 @@ object Tables {
     * transparent — data is still scanned per action, only the listing/
     * schema step is shared. (The metastore swap at scale gets this for
     * free from the catalog's relation cache.) */
-  private val relCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private val relCache = new SessionMemo[(String, String)]
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+    relCache.getOrElseUpdate(spark, (sfDir, name))(
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -84,29 +84,33 @@ object TimeSeries {
 
     // Exponentially weighted moving average per user — the recursive
     // smoother (s₀ = x₀, sₜ = α·xₜ + (1−α)·sₜ₋₁) that windows can't
-    // express and naive parallel sums get wrong. Same determinism
-    // trick as the entropy fold: collect each user's series ONCE in a
-    // pinned (ts, event_id) order and fold left-to-right inside the
-    // row — identical IEEE sequence in any engine at any parallelism.
-    // Per-user series are bounded (this is a per-key scalar, not a
-    // corpus-wide window), so the collect is the normal sessionize
-    // shape: one shuffle by user key.
+    // express and naive parallel sums get wrong. Each step is the
+    // affine map acc → α·x + β·acc and affine composition is
+    // associative, so a mergeable Aggregator carries just (m, b) per
+    // key — O(1) state, no per-key history materialized (the
+    // round-3 form collect_list'd the whole series into one row; a
+    // hot key with millions of events would blow that bound). The
+    // repartition + sortWithinPartitions child hands the aggregator
+    // each key's rows contiguous and in (ts, event_id) order, so the
+    // partial buffer is a single composed run and the post-shuffle
+    // merge is trivial. Oracle bit-parity: the composition
+    // reassociates IEEE arithmetic vs a plain value fold, so the
+    // DuckDB oracle runs the SAME identity-seeded struct(m, b) fold,
+    // operand order mirrored token for token (graft.functions
+    // .EwmaAffine).
     "q103_ewma" -> ((s, dir) => {
       import s.implicits._
+      val ewma = graft.functions.EwmaAffine.udafFor(0.2)
       T.events(s, dir)
+        .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
+          $"event_id", $"value")
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
         .groupBy($"user_id")
         .agg(
           count(lit(1)).as("n_events"),
           max($"ts").as("last_ts"),
-          expr(
-            """round(aggregate(
-              |  slice(transform(array_sort(collect_list(struct(ts, event_id, value))),
-              |          e -> e.value),
-              |        2, greatest(0, size(collect_list(value)) - 1)),
-              |  CAST(element_at(transform(array_sort(collect_list(struct(ts, event_id, value))),
-              |          e -> e.value), 1) AS DOUBLE),
-              |  (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
-              |""".stripMargin).as("ewma"))
+          round(ewma($"ts_us", $"event_id", $"value"), 6).as("ewma"))
         .orderBy($"user_id")
     }),
 
@@ -232,12 +236,25 @@ object TimeSeries {
         |    AS is_anomaly
         |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
 
+    // Mirrors the affine-map composition in graft.functions.EwmaAffine
+    // step for step: identity-seeded (m, b) fold with b' = α·x + β·b
+    // computed as e.b + e.m * acc.b (e.b = α·x at element build, the
+    // same op placement as the Scala reduce), finish = m·x₁ + b.
     "q103_ewma" ->
-      """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
-        |  round(list_reduce(list(value ORDER BY ts, event_id),
-        |    (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc), 6)
-        |    AS ewma
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+        |         list(value ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events, last_ts, l[1] AS x1,
+        |    list_reduce(
+        |      [struct_pack(m := CAST(1.0 AS DOUBLE), b := CAST(0.0 AS DOUBLE))] ||
+        |      list_transform(l[2:], x -> struct_pack(m := CAST(0.8 AS DOUBLE),
+        |                                             b := CAST(0.2 AS DOUBLE) * x)),
+        |      (acc, e) -> struct_pack(m := e.m * acc.m, b := e.b + e.m * acc.b)) AS r
+        |  FROM s)
+        |SELECT user_id, n_events, last_ts, round(r.m * x1 + r.b, 6) AS ewma
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "q111_event_transitions" ->
       """WITH seq AS (

@@ -113,6 +113,80 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.filter($"c_name" === "MERGED" && $"c_mktsegment" =!= touchedSeg).count() == 0)
   }
 
+  test("file-level pruned MERGE rewrites ONLY intersecting files within a partition") {
+    import spark.implicits._
+    val table = tmp("graft_ftable")
+    val pdir = s"$table/seg=a"
+    // three files with disjoint key ranges inside ONE partition
+    (1 to 300).map(k => (k.toLong, s"name$k")).toDF("k", "v")
+      .repartitionByRange(3, $"k").write.parquet(pdir)
+
+    def files(): Seq[(String, Long, String)] = {
+      val p = new org.apache.hadoop.fs.Path(pdir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .toSeq.map { f =>
+          val in = fs.open(f.getPath)
+          val bytes = new Array[Byte](f.getLen.toInt)
+          in.readFully(bytes); in.close()
+          (f.getPath.getName, f.getLen,
+            java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString)
+        }.sortBy(_._1)
+    }
+    val before = files()
+    assert(before.size >= 3)
+
+    // one matched key (k=5, first file's range only) + one pure insert
+    // (k=1000, beyond every file's range)
+    val updates = Seq((5L, "MERGED", "a"), (1000L, "INSERTED", "a"))
+      .toDF("k", "v", "seg")
+    val (rewritten, kept) =
+      Maintenance.upsertFilePruned(spark, table, updates, "k", "seg")
+    assert(rewritten == 1, s"expected exactly the one intersecting file, got $rewritten")
+    assert(kept == before.size - 1)
+
+    // untouched files within the touched partition: byte-identical
+    val after = files()
+    val survivors = after.toSet.intersect(before.toSet)
+    assert(survivors.size == before.size - 1,
+      s"kept files must be physically untouched: before=$before after=$after")
+
+    // post-image: update applied, insert present, nothing lost
+    val back = spark.read.parquet(pdir)
+    assert(back.count() == 301)
+    assert(back.filter($"k" === 5L).select($"v").as[String].head() == "MERGED")
+    assert(back.filter($"k" === 1000L).select($"v").as[String].head() == "INSERTED")
+    assert(back.filter($"v".startsWith("name")).count() == 299)
+  }
+
+  test("partition values with special characters resolve to the existing escaped dir") {
+    import spark.implicits._
+    val table = tmp("graft_esc")
+    Seq((1L, "x", "US east/1"), (2L, "y", "US east/1"), (3L, "z", "eu=2"))
+      .toDF("k", "v", "seg")
+      .write.partitionBy("seg").mode("overwrite").parquet(table)
+    def partDirs(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq.sorted
+    }
+    val dirsBefore = partDirs()
+    assert(dirsBefore.size == 2)
+
+    // raw "$pcol=$pv" would be a THIRD directory ("seg=US east/1" with a
+    // literal slash); the escaped path must land in the existing one
+    Maintenance.upsertPartitioned(spark, table,
+      Seq((1L, "MERGED", "US east/1")).toDF("k", "v", "seg"),
+      Seq("k"), "seg")
+    assert(partDirs() == dirsBefore, "merge must not invent a new partition dir")
+    val back = spark.read.parquet(table)
+    assert(back.count() == 3)
+    assert(back.filter($"v" === "MERGED").select($"seg").as[String].head() == "US east/1")
+  }
+
   test("z-order layout skips files on the NON-leading column; linear sort cannot") {
     import spark.implicits._
     val src = graft.engine.Tables.orders(spark, "/root/testdata/sf0.01")

@@ -5,8 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke: every declared operator query executes at sf0.001, the
   * driver contract invariants hold. (Value-level correctness is the
-  * driver's DuckDB oracle + scripts/check.py — see
-  * .claude/skills/verify/SKILL.md.) */
+  * driver's DuckDB oracle — reproduce locally with scripts/check.py.) */
 class QueriesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
