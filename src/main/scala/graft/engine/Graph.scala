@@ -84,6 +84,119 @@ object Graph {
       ($"r".cast("double") / 1000000.0).as("rank"))
   }
 
+  /** One synchronous rank update: r' = base + 0.85·(in-contributions),
+    * all integer. Shared by the fixed-iteration, fixpoint, and
+    * incremental forms so every variant runs the SAME map. */
+  private def step(edges: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+                   ranks: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val inc = edges
+      .join(ranks.withColumnRenamed("id", "referrer"), "referrer")
+      .join(outdeg, "referrer")
+      .select($"referred".as("id"), expr("r div od").as("c"))
+      .groupBy($"id").agg(sum($"c").as("inc"))
+    nodes.join(inc, Seq("id"), "left")
+      .select($"id",
+        (lit(150000L) + expr("CAST((85 * coalesce(inc, 0)) div 100 AS BIGINT)")).as("r"))
+  }
+
+  /** Iterate the integer map to its EXACT fixpoint (no rank changes at
+    * all — detectable precisely because the arithmetic is integral; a
+    * float PageRank can only stop at a tolerance). Returns the rank
+    * vector and the number of rounds taken. The integer map contracts
+    * differences by ~0.85 per round and truncation floors tiny
+    * residuals to zero, so the fixpoint lands in O(log range) rounds. */
+  def pagerankFixpoint(edges0: DataFrame, maxRounds: Int = 200): (DataFrame, Int) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0.select($"referred", $"referrer").persist()
+    val nodes = edges.select($"referred".as("id"))
+      .union(edges.select($"referrer".as("id"))).distinct().persist()
+    val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od")).persist()
+    var ranks = nodes.select($"id", lit(1000000L).as("r")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val next = step(edges, nodes, outdeg, ranks).localCheckpoint()
+      changed = next.alias("n").join(ranks.alias("p"), "id")
+        .filter(col("n.r") =!= col("p.r")).count()
+      ranks = next
+      rounds += 1
+    }
+    (ranks.select($"id", $"r".as("rank_micro"),
+      ($"r".cast("double") / 1000000.0).as("rank")), rounds)
+  }
+
+  /** Incremental PageRank over an edge-delta batch: converge from the
+    * PREVIOUS fixpoint instead of restarting, touching only the nodes
+    * a change can actually reach — rank maintenance ∝ delta, not ∝
+    * graph (STATUS.md round-4 item; IncrementalPagerankSpec asserts
+    * the result is integer-identical to a full recompute).
+    *
+    * Residual propagation: the initially-dirty set is every node whose
+    * in-contributions changed structurally (receivers of added/removed
+    * edges, plus ALL targets of a referrer whose out-degree changed —
+    * its per-edge contribution r div od changed for every one). Each
+    * round recomputes ONLY the frontier from its full in-edge set,
+    * then advances the frontier to the out-targets of nodes whose rank
+    * actually changed. Work per round ∝ frontier in-edges; on a
+    * bucketed edge table the frontier join is partition-pruned too.
+    *
+    * @param prevRanks previous (id, rank_micro) fixpoint vector
+    * @return (ranks, rounds, recompute-count across all rounds)
+    */
+  def pagerankIncremental(edgesNew0: DataFrame, prevRanks: DataFrame,
+                          added: DataFrame, removed: DataFrame,
+                          maxRounds: Int = 200): (DataFrame, Int, Long) = {
+    val s = edgesNew0.sparkSession
+    import s.implicits._
+    val edges = edgesNew0.select($"referred", $"referrer").persist()
+    val nodes = edges.select($"referred".as("id"))
+      .union(edges.select($"referrer".as("id"))).distinct().persist()
+    val outdeg = edges.groupBy($"referrer").agg(count(lit(1)).as("od")).persist()
+    // seed: previous fixpoint restricted to surviving nodes; brand-new
+    // nodes start at the restart mass (corrected in round 1 — they are
+    // in the initial dirty set by construction)
+    var ranks = nodes
+      .join(prevRanks.select($"id", $"rank_micro".as("pr")), Seq("id"), "left")
+      .select($"id", coalesce($"pr", lit(150000L)).as("r")).localCheckpoint()
+    val delta = added.select($"referred", $"referrer")
+      .unionByName(removed.select($"referred", $"referrer")).persist()
+    val dirtyRefs = delta.select($"referrer").distinct()
+    var frontier = delta.select($"referred".as("id"))
+      .union(edges.join(dirtyRefs, "referrer").select($"referred".as("id")))
+      .union(nodes.join(prevRanks.select($"id"), Seq("id"), "left_anti")) // new nodes
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var work = 0L
+    var fsize = frontier.count()
+    while (fsize > 0 && rounds < maxRounds) {
+      work += fsize
+      val tgt = frontier.withColumnRenamed("id", "referred")
+      val inc = edges.join(tgt, "referred")
+        .join(ranks.withColumnRenamed("id", "referrer"), "referrer")
+        .join(outdeg, "referrer")
+        .select($"referred".as("id"), expr("r div od").as("c"))
+        .groupBy($"id").agg(sum($"c").as("inc"))
+      val newr = frontier.join(inc, Seq("id"), "left")
+        .select($"id",
+          (lit(150000L) + expr("CAST((85 * coalesce(inc, 0)) div 100 AS BIGINT)")).as("nr"))
+      val changed = newr.join(ranks, "id").filter($"nr" =!= $"r")
+        .select($"id", $"nr").localCheckpoint()
+      ranks = ranks.join(changed.withColumnRenamed("nr", "r2")
+          .withColumnRenamed("id", "cid"), $"id" === $"cid", "left")
+        .select($"id", coalesce($"r2", $"r").as("r")).localCheckpoint()
+      frontier = edges
+        .join(changed.select($"id".as("referrer")), "referrer")
+        .select($"referred".as("id")).distinct().localCheckpoint()
+      fsize = frontier.count()
+      rounds += 1
+    }
+    (ranks.select($"id", $"r".as("rank_micro"),
+      ($"r".cast("double") / 1000000.0).as("rank")), rounds, work)
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =

@@ -24,10 +24,22 @@ object Tables {
     * transparent — data is still scanned per action, only the listing/
     * schema step is shared. (The metastore swap at scale gets this for
     * free from the catalog's relation cache.) */
+  /** The metastore seam: a dataset "dir" of the form `metastore:<db>`
+    * routes every loader through `spark.table("<db>.<name>")` instead
+    * of parquet paths — the whole query surface then runs against
+    * Hive-catalog tables with ZERO per-query changes (CatalogSpec
+    * asserts result parity). Register the tables first with
+    * [[Catalog.registerAll]]. */
+  def metastoreDb(d: String): Option[String] =
+    if (d.startsWith("metastore:")) Some(d.stripPrefix("metastore:")) else None
+
   private val relCache = new SessionMemo[(String, String)]
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     relCache.getOrElseUpdate(spark, (sfDir, name))(
-      spark.read.parquet(s"$sfDir/$name.parquet"))
+      metastoreDb(sfDir) match {
+        case Some(db) => spark.table(s"$db.$name")
+        case None => spark.read.parquet(s"$sfDir/$name.parquet")
+      })
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -41,12 +53,17 @@ object Tables {
     * microsecond TimestampType — the same truncation DuckDB applies, so
     * oracle comparisons stay exact. Integer `div` avoids the double
     * round-trip (ns-since-epoch exceeds 2^53). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    if (metastoreDb(d).isDefined) {
+      // the registered table was saved through this accessor, so its
+      // ts column is already micro-precision TimestampType
+      load(s, d, "events")
+    } else {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(s, d, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
