@@ -201,6 +201,31 @@ object Aggregates {
         .orderBy($"o_orderstatus")
     }),
 
+    // arg-extremum battery: max_by/min_by — "the row attribute AT the
+    // group's extremum" without a join-back or a window sort, the
+    // single-pass partial-aggregating form (shuffle carries one
+    // candidate per group per partition, not the group's rows).
+    // Engines break extremum ties arbitrarily, so the ordering value
+    // is a FIXED-WIDTH sortable string (zero-padded scaled price +
+    // orderkey) — unique per row, making the winner well-defined and
+    // identical in both engines. Scaled-integer `round(p*100)` is
+    // exact for 2-decimal money (the Exact discipline).
+    "q113_arg_extremum" -> ((s, dir) => {
+      import s.implicits._
+      val key = format_string("%015d:%012d",
+        round($"o_totalprice" * 100).cast("long"), $"o_orderkey")
+      T.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          max_by($"o_orderkey", key).as("top_order"),
+          max_by($"o_custkey", key).as("top_customer"),
+          round(max_by($"o_totalprice", key), 4).as("top_price"),
+          min_by($"o_orderkey", key).as("bottom_order"),
+          round(min_by($"o_totalprice", key), 4).as("bottom_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // TPC-H Q3 shape: segment-filtered star join, grouped revenue,
     // top-10 — the canonical "scan big, shuffle small" analytics query.
     "q64_tpch_q3" -> ((s, dir) => {
@@ -328,6 +353,20 @@ object Aggregates {
         |  round(stddev_samp(o_totalprice), 4) AS sd_price,
         |  round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q113_arg_extremum" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  arg_max(o_orderkey,
+        |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)) AS top_order,
+        |  arg_max(o_custkey,
+        |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)) AS top_customer,
+        |  round(arg_max(o_totalprice,
+        |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)), 4) AS top_price,
+        |  arg_min(o_orderkey,
+        |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)) AS bottom_order,
+        |  round(arg_min(o_totalprice,
+        |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)), 4) AS bottom_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q64_tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -197,6 +197,43 @@ object Graph {
       ($"r".cast("double") / 1000000.0).as("rank")), rounds, work)
   }
 
+  /** Unnormalized integer HITS (Kleinberg): for `rounds` iterations,
+    * a_t(i) = Σ_{j→i} h_{t-1}(j), then h_t(i) = Σ_{i→j} a_t(j) — the
+    * authority update reads the PREVIOUS hubs, the hub update reads
+    * the CURRENT authorities, h_0 = 1 everywhere. Skipping the norm
+    * step keeps every score an exact alternating-path count (BIGINT),
+    * so the oracle can replay the identical rounds as unrolled SQL —
+    * the same integer-exactness trick as [[pagerank]]. Each round is
+    * two bucketable equi-join + groupBy passes over the edge list
+    * (in-neighbors then out-neighbors); nothing is ever collected.
+    *
+    * @param edges0 (src, dst) directed edges
+    */
+  def hits(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0.select($"src", $"dst").persist()
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().persist()
+    var h = nodes.select($"id", lit(1L).as("h")).localCheckpoint()
+    var a = nodes.select($"id", lit(1L).as("a"))
+    for (_ <- 1 to rounds) {
+      // a stays LAZY: it is one join deep off the checkpointed h, so
+      // folding it into h's round keeps lineage bounded while paying
+      // one materialization per round instead of two
+      val aSum = edges.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(sum($"h").as("s"))
+      a = nodes.join(aSum, Seq("id"), "left")
+        .select($"id", coalesce($"s", lit(0L)).as("a"))
+      val hSum = edges.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy($"src".as("id")).agg(sum($"a").as("s"))
+      h = nodes.join(hSum, Seq("id"), "left")
+        .select($"id", coalesce($"s", lit(0L)).as("h")).localCheckpoint()
+    }
+    nodes.join(a, "id").join(h, "id")
+      .select($"id", $"a".as("authority"), $"h".as("hub"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
@@ -226,6 +263,22 @@ object Graph {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try personalizedPagerank(edges, sourceId = 10L).orderBy($"id")
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // HITS hubs/authorities over the referral tree (edges parent →
+    // child): 3 integer-exact rounds. On a tree, authority(i) counts
+    // alternating walks ending at i's parent-side, hub(i) weighs i's
+    // subtree breadth — the two-sided centrality PageRank's single
+    // score can't express. Same narrow-width sizing rule as q97.
+    "q114_hits" -> ((s, dir) => {
+      import s.implicits._
+      val edges = T.customer(s, dir).filter($"c_custkey" >= 1L)
+        .select(expr("CAST(floor(c_custkey/2) AS BIGINT)").as("src"),
+          $"c_custkey".as("dst"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try hits(edges).orderBy($"id")
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
@@ -289,5 +342,41 @@ object Graph {
          |  JOIN outdeg o ON o.id = p.id
          |  WHERE p.iter < $Iters)
          |SELECT id, r AS rank_micro, CAST(r AS DOUBLE)/1000000.0 AS rank
-         |FROM pr WHERE iter = $Iters ORDER BY id""".stripMargin)
+         |FROM pr WHERE iter = $Iters ORDER BY id""".stripMargin,
+
+    // Unrolled 3-round integer HITS — each round is the same
+    // (LEFT JOIN edges, aggregate, coalesce-to-0) pair the DataFrame
+    // loop runs; sums CAST back to BIGINT because DuckDB widens
+    // sum(BIGINT) to HUGEINT.
+    "q114_hits" ->
+      """WITH edges AS (
+        |  SELECT CAST(floor(c_custkey/2) AS BIGINT) AS src,
+        |         c_custkey AS dst
+        |  FROM customer WHERE c_custkey >= 1),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM edges
+        |    UNION ALL SELECT dst FROM edges) u),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes),
+        |a1 AS (SELECT n.id, CAST(coalesce(sum(h0.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h0 ON h0.id = e.src GROUP BY n.id),
+        |h1 AS (SELECT n.id, CAST(coalesce(sum(a1.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a1 ON a1.id = e.dst GROUP BY n.id),
+        |a2 AS (SELECT n.id, CAST(coalesce(sum(h1.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h1 ON h1.id = e.src GROUP BY n.id),
+        |h2 AS (SELECT n.id, CAST(coalesce(sum(a2.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a2 ON a2.id = e.dst GROUP BY n.id),
+        |a3 AS (SELECT n.id, CAST(coalesce(sum(h2.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h2 ON h2.id = e.src GROUP BY n.id),
+        |h3 AS (SELECT n.id, CAST(coalesce(sum(a3.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a3 ON a3.id = e.dst GROUP BY n.id)
+        |SELECT n.id, a3.a AS authority, h3.h AS hub
+        |FROM nodes n JOIN a3 ON a3.id = n.id JOIN h3 ON h3.id = n.id
+        |ORDER BY n.id""".stripMargin)
 }

@@ -83,6 +83,53 @@ object Sketches {
 
   private val K = 128
 
+  /** Misra-Gries heavy-hitters summary as a typed Aggregator: at most
+    * `cap` (key → weight) counters. An unseen key past capacity
+    * decrements every counter instead of inserting (the classic MG
+    * step); merge sums counters pointwise, keeps the `cap` largest,
+    * and subtracts the (cap+1)-th value from the survivors (Agarwal
+    * et al., "Mergeable Summaries", PODS 2012) — so partial
+    * aggregation runs map-side and the shuffle carries ≤ cap entries
+    * per group. Bounds: true − N/(cap+1) ≤ weight ≤ true, and every
+    * key with true count > N/(cap+1) survives (SketchesSpec pins both
+    * on planted-skew data).
+    *
+    * Determinism discipline (see the object doc): MG is
+    * order-sensitive ONCE EVICTING, so the oracle-verified query runs
+    * it strictly in the EXACT regime — distinct keys ≤ cap, where no
+    * decrement ever fires, the state is the exact count map, and the
+    * result is partitioning-invariant. Under-capacity behavior is
+    * spec'd, not oracled. `finish` renders "key:weight" entries sorted
+    * by (weight desc, key) — a canonical string both engines can
+    * produce. */
+  class MisraGries(cap: Int) extends Aggregator[String, Map[String, Long], String] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1)
+        case None if b.size < cap => b.updated(key, 1L)
+        case None => b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (sum.size <= cap) sum
+      else {
+        // deterministic truncation: order by (weight desc, key asc)
+        val ordered = sum.toSeq.sortBy { case (k, c) => (-c, k) }
+        val cut = ordered(cap)._2
+        ordered.take(cap).map { case (k, c) => k -> (c - cut) }
+          .filter(_._2 > 0).toMap
+      }
+    }
+    def finish(b: Map[String, Long]): String =
+      b.toSeq.sortBy { case (k, c) => (-c, k) }
+        .map { case (k, c) => s"$k:$c" }.mkString(",")
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder = org.apache.spark.sql.Encoders.STRING
+  }
+
   /** Count-min slot for depth row `r`: 52-bit md5 prefix mod width. */
   private def slot(c: Column, r: Int, width: Int): Column =
     conv(substring(md5(concat(c, lit(s":cms$r"))), 1, 13), 16, 10)
@@ -137,6 +184,25 @@ object Sketches {
           least($"c0", $"c1").as("est_cnt"),
           (least($"c0", $"c1") - $"true_cnt").as("overcount"))
         .orderBy($"w")
+    }),
+
+    // Misra-Gries heavy hitters per user cohort: which event types
+    // dominate each shard of the user base. cap = 8 > the 5 distinct
+    // event types, so the sketch runs in its EXACT regime (no
+    // eviction ⇒ order- and partitioning-independent — the only
+    // regime an oracle can check; under-capacity bounds are spec'd in
+    // SketchesSpec). At 100 TB the shuffle carries ≤ cap counters per
+    // cohort instead of the full (cohort × type) count matrix, and
+    // the summary merges associatively across any executor layout.
+    "q112_heavy_hitters_mg" -> ((s, dir) => {
+      import s.implicits._
+      val mg = udaf(new MisraGries(8))
+      T.events(s, dir)
+        .select(($"user_id" % 5L).as("cohort"), $"event_type")
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_events"),
+          mg($"event_type").as("heavy_hitters"))
+        .orderBy($"cohort")
     }),
 
     // Equi-width histogram (20 buckets over the full price range).
@@ -219,6 +285,16 @@ object Sketches {
         |  least(m0.c0, m1.c1) - sl.true_cnt AS overcount
         |FROM sl JOIN m0 ON m0.s0 = sl.s0 JOIN m1 ON m1.s1 = sl.s1
         |ORDER BY sl.w""".stripMargin,
+
+    "q112_heavy_hitters_mg" ->
+      """WITH c AS (
+        |  SELECT user_id % 5 AS cohort, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT cohort,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  string_agg(event_type || ':' || cnt, ','
+        |             ORDER BY cnt DESC, event_type) AS heavy_hitters
+        |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q95_histogram" ->
       """WITH s AS (

@@ -49,6 +49,38 @@ class SketchesSpec extends AnyFunSuite {
     rows.foreach { case (t, e) => assert(e >= t, s"CMS undercounted: $e < $t") }
   }
 
+  test("Misra-Gries exact regime is partitioning-invariant; eviction keeps MG bounds") {
+    import spark.implicits._
+    // exact regime (distinct 5 ≤ cap 8): any partitioning, same summary
+    val mg8 = udaf(new graft.engine.Sketches.MisraGries(8))
+    val skew = (1 to 6000).map { i =>
+      if (i % 10 < 6) "hot" else s"cold${i % 10}" // 60% one key, 4 cold keys
+    }
+    def summary(parts: Int): String =
+      skew.toDF("x").repartition(parts).agg(mg8($"x")).as[String].head()
+    assert(summary(1) == summary(13))
+    assert(summary(1).startsWith("hot:3600"))
+
+    // under capacity (cap 3 < 5 distinct): summary weights obey the MG
+    // guarantee true − N/(cap+1) ≤ weight ≤ true, and the 60% key —
+    // far above the N/(cap+1) retention threshold — must survive
+    // whatever the partition layout
+    val mg3 = udaf(new graft.engine.Sketches.MisraGries(3))
+    for (parts <- Seq(1, 7)) {
+      val out = skew.toDF("x").repartition(parts).agg(mg3($"x")).as[String].head()
+      val weights = out.split(",").filter(_.nonEmpty)
+        .map { e => val Array(k, c) = e.split(":"); k -> c.toLong }.toMap
+      val trueCnt = skew.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = skew.size / 4 // N/(cap+1)
+      assert(weights.contains("hot"), s"heavy key evicted at parts=$parts: $out")
+      weights.foreach { case (k, w) =>
+        val t = trueCnt(k)
+        assert(w <= t && w >= t - slack,
+          s"MG bound violated for $k: weight $w vs true $t (slack $slack)")
+      }
+    }
+  }
+
   test("chunks reconstruct every document exactly (stride-overlap inverse)") {
     import spark.implicits._
     val docs = graft.engine.Tables.documents(spark, dir)
