@@ -226,6 +226,26 @@ object Aggregates {
         .orderBy($"o_orderpriority")
     }),
 
+    // Conditional-aggregate battery: count_if / bool_or / bool_and /
+    // FILTER-style extremum — predicate aggregation WITHOUT a
+    // pre-filter scan per predicate (one pass computes all of them;
+    // the reference's per-status count endpoints would be N scans).
+    // Every aggregate here is order-independent (counts, bools, max),
+    // so no float-sum exactness machinery is needed.
+    "q115_conditional_aggs" -> ((s, dir) => {
+      import s.implicits._
+      T.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count_if($"value" > 90.0).as("n_high"),
+          bool_or($"value" > 99.5).as("any_crit"),
+          bool_and($"value" >= 0.0).as("all_nonneg"),
+          max(when($"value" < 10.0, $"value")).as("max_low"),
+          min(when($"value" > 100.0, $"value")).as("min_over_100"))
+        .orderBy($"event_type")
+    }),
+
     // TPC-H Q3 shape: segment-filtered star join, grouped revenue,
     // top-10 — the canonical "scan big, shuffle small" analytics query.
     "q64_tpch_q3" -> ((s, dir) => {
@@ -367,6 +387,15 @@ object Aggregates {
         |  round(arg_min(o_totalprice,
         |    printf('%015d:%012d', CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)), 4) AS bottom_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q115_conditional_aggs" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE value > 90.0) AS n_high,
+        |  bool_or(value > 99.5) AS any_crit,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  max(value) FILTER (WHERE value < 10.0) AS max_low,
+        |  min(value) FILTER (WHERE value > 100.0) AS min_over_100
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -172,6 +172,49 @@ object Streams {
     * 30-minute gap closes it; `GroupState` holds the open session.
     * (Used by the streaming spec on a MemoryStream; batch-oracle
     * equivalence is covered by q42's window construction.) */
+  /** Per-key streaming EWMA state: the SAME O(1) composed affine run
+    * the batch aggregator keeps (graft.functions.EwmaAffine.Run,
+    * minus the lo-span bookkeeping a single growing run never needs). */
+  case class EwmaRunState(firstX: Double, m: Double, b: Double,
+                          n: Long, hiTs: Long, hiId: Long)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Stateful streaming EWMA: one bounded run per key, updated with
+    * the IDENTICAL operand order as the batch aggregator
+    * (m' = β·m, b' = α·x + β·b, result m·x₀ + b) — so after the last
+    * event the streaming answer equals the batch q103 answer
+    * bit-exactly (StreamingSpec asserts), the one-engine-two-modes
+    * property. Same input contract as the batch sorted-partition form:
+    * each key's events arrive in (ts, event_id) order across
+    * micro-batches (within a batch the group is sorted here); an
+    * out-of-order arrival fails loudly instead of folding wrong.
+    * State is three doubles + three longs per key — no history. */
+  def ewmaStateful(events: Dataset[Event], alpha: Double): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaRunState, EwmaOut](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[EwmaRunState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var st = state.getOption
+          sorted.foreach { e =>
+            st = st match {
+              case None =>
+                Some(EwmaRunState(e.value, 1.0, 0.0, 1L, e.tsUs, e.event_id))
+              case Some(r) =>
+                require(r.hiTs < e.tsUs || (r.hiTs == e.tsUs && r.hiId < e.event_id),
+                  s"ewmaStateful: out-of-order arrival (${e.tsUs},${e.event_id}) " +
+                    s"after (${r.hiTs},${r.hiId}) for key $uid")
+                Some(EwmaRunState(r.firstX, beta * r.m,
+                  alpha * e.value + beta * r.b, r.n + 1, e.tsUs, e.event_id))
+            }
+          }
+          st.foreach(state.update)
+          val r = st.get
+          EwmaOut(uid, r.n, r.m * r.firstX + r.b)
+      }
+  }
+
   def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000

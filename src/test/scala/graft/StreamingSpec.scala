@@ -181,6 +181,46 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stateful streaming EWMA equals the batch aggregator bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // feed every event in global (ts, event_id) order across three
+    // micro-batches — per-key order across batches, the state contract
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("tsUs"), $"user_id",
+        $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.tsUs, e.event_id))
+    val input = MemoryStream[Event]
+    val q = Streams.ewmaStateful(input.toDS(), 0.2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_stream_test").start()
+    ev.grouped(ev.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // final per-key update = the row with the largest n_events
+    val streamed = spark.table("ewma_stream_test").as[Streams.EwmaOut]
+      .collect().groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    // batch side: q103's exact shape minus the display round
+    val ewma = graft.functions.EwmaAffine.udafFor(0.2)
+    val batch = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), ewma($"ts_us", $"event_id", $"value").as("e"))
+      .as[(Long, Long, Double)].collect()
+    assert(batch.nonEmpty && streamed.nonEmpty)
+    batch.foreach { case (u, n, e) =>
+      val s = streamed(u)
+      assert(s.n_events == n, s"user $u event count: stream ${s.n_events} vs batch $n")
+      assert(s.ewma == e, s"user $u ewma: stream ${s.ewma} != batch $e (bit-exact contract)")
+    }
+  }
+
   test("streaming LSH band claims flag a late near-dup across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
