@@ -57,6 +57,52 @@ object Maintenance {
       (col("sum_scaled").cast("double") / col("n").cast("double") /
         Exact.MoneyScale.toDouble).as("mean"))
 
+  /** Order-independent per-bucket checksum of a table: rows are
+    * canonicalized (every column cast to string, null-marked, joined
+    * with a field separator), hashed, and bucketed by hash prefix;
+    * each bucket's checksum is the SUM of its 52-bit row hashes —
+    * addition commutes, so the summary is partitioning- and
+    * order-invariant, mergeable map-side, and O(buckets) in size.
+    *
+    * This is the 100 TB reconciliation tool: comparing two copies of a
+    * table (post-MERGE vs expected, pre/post compaction or migration,
+    * replica vs primary) costs one scan of each side + a
+    * `buckets`-row join, instead of a full sort-and-compare shuffle of
+    * both tables. A divergent bucket narrows the search space by
+    * `buckets`×; recursing with a second salt localizes single-row
+    * differences in O(log) scans (MaintenanceSpec pins detection and
+    * localization).
+    *
+    * Multiset semantics: duplicate rows hash identically and the sum
+    * counts multiplicity — the checksum distinguishes copies that
+    * differ only in duplicate counts (an equality join can't). */
+  def tableChecksum(df: DataFrame, buckets: Int = 1024,
+                    salt: String = ""): DataFrame = {
+    val canon = concat_ws("",
+      df.columns.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    df.select(md5(concat(lit(salt), canon)).as("h"))
+      .select(
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % buckets).as("bucket"),
+        conv(substring(col("h"), 5, 13), 16, 10).cast("long").as("rh"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+  }
+
+  /** Buckets where two tables disagree (empty ⇔ identical as
+    * multisets up to the checksum's collision probability). Full
+    * outer join so a bucket present on one side only still surfaces. */
+  def tableDiff(a: DataFrame, b: DataFrame, buckets: Int = 1024,
+                salt: String = ""): DataFrame = {
+    val ca = tableChecksum(a, buckets, salt)
+      .withColumnRenamed("n_rows", "a_rows").withColumnRenamed("checksum", "a_sum")
+    val cb = tableChecksum(b, buckets, salt)
+      .withColumnRenamed("n_rows", "b_rows").withColumnRenamed("checksum", "b_sum")
+    ca.join(cb, Seq("bucket"), "full_outer")
+      .filter(not(coalesce(col("a_rows"), lit(0L)) === coalesce(col("b_rows"), lit(0L)) &&
+        coalesce(col("a_sum"), lit(0L)) === coalesce(col("b_sum"), lit(0L))))
+  }
+
   /** MERGE … WHEN MATCHED THEN DELETE: base rows whose key appears in
     * `tombstones` are dropped. */
   def deleteMatching(base: DataFrame, tombstones: DataFrame,

@@ -223,6 +223,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() == src.count())
   }
 
+  test("bucketed checksum diff: identical ⇒ empty, one changed row ⇒ located bucket") {
+    import spark.implicits._
+    val orders = graft.engine.Tables.orders(spark, dir)
+
+    // identical content, different partitioning and row order ⇒ empty diff
+    val shuffled = orders.repartition(7).sortWithinPartitions($"o_totalprice")
+    assert(Maintenance.tableDiff(orders, shuffled).count() == 0)
+
+    // duplicate-count sensitivity: appending a copy of one existing row
+    // must surface (an equality-based compare would miss it)
+    val dupped = orders.unionByName(orders.limit(1))
+    assert(Maintenance.tableDiff(orders, dupped).count() == 1)
+
+    // one mutated row ⇒ at most 2 divergent buckets (old row's and new
+    // row's), and re-salting narrows it: the same mutation diverges
+    // under an independent salt too, while agreeing buckets stay clean
+    val mutated = orders.withColumn("o_totalprice",
+      when($"o_orderkey" === 7L, $"o_totalprice" + 1.0).otherwise($"o_totalprice"))
+    val d1 = Maintenance.tableDiff(orders, mutated).collect()
+    assert(d1.nonEmpty && d1.length <= 2,
+      s"one changed row should hit ≤2 buckets, got ${d1.length}")
+    val d2 = Maintenance.tableDiff(orders, mutated, salt = "pass2").collect()
+    assert(d2.nonEmpty && d2.length <= 2)
+
+    // the checksum is a bounded summary: buckets rows regardless of input
+    assert(Maintenance.tableChecksum(orders, buckets = 32).count() <= 32)
+  }
+
   test("incremental foreachBatch upsert converges to the batch latest-per-key") {
     import spark.implicits._
     val dir001 = "/root/testdata/sf0.001"
