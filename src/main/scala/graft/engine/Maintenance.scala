@@ -76,18 +76,25 @@ object Maintenance {
     * Multiset semantics: duplicate rows hash identically and the sum
     * counts multiplicity — the checksum distinguishes copies that
     * differ only in duplicate counts (an equality join can't). */
-  def tableChecksum(df: DataFrame, buckets: Int = 1024,
-                    salt: String = ""): DataFrame = {
+  /** Rows of `df` annotated with their checksum bucket (`__bucket`)
+    * and 52-bit row hash (`__rh`) — the shared spine of
+    * [[tableChecksum]] and [[patchFrom]]. */
+  private def bucketed(df: DataFrame, buckets: Int, salt: String): DataFrame = {
     val canon = concat_ws("",
       df.columns.sorted.map(c =>
         coalesce(col(c).cast("string"), lit("NULL"))): _*)
-    df.select(md5(concat(lit(salt), canon)).as("h"))
-      .select(
-        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % buckets).as("bucket"),
-        conv(substring(col("h"), 5, 13), 16, 10).cast("long").as("rh"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+    df.withColumn("__h", md5(concat(lit(salt), canon)))
+      .withColumn("__bucket",
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % buckets)
+      .withColumn("__rh", conv(substring(col("__h"), 5, 13), 16, 10).cast("long"))
+      .drop("__h")
   }
+
+  def tableChecksum(df: DataFrame, buckets: Int = 1024,
+                    salt: String = ""): DataFrame =
+    bucketed(df, buckets, salt)
+      .groupBy(col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__rh")).as("checksum"))
 
   /** Buckets where two tables disagree (empty ⇔ identical as
     * multisets up to the checksum's collision probability). Full
@@ -101,6 +108,25 @@ object Maintenance {
     ca.join(cb, Seq("bucket"), "full_outer")
       .filter(not(coalesce(col("a_rows"), lit(0L)) === coalesce(col("b_rows"), lit(0L)) &&
         coalesce(col("a_sum"), lit(0L)) === coalesce(col("b_sum"), lit(0L))))
+  }
+
+  /** Repair a divergent copy from the authoritative table using the
+    * checksum diff: rows of `b` in agreeing buckets are kept as-is,
+    * rows of `a` in divergent buckets replace whatever `b` had there.
+    * The result is multiset-equal to `a` (MaintenanceSpec asserts via
+    * exceptAll both ways), but the work is proportional to the
+    * DIVERGENCE, not the table: the divergent-bucket set is tiny by
+    * construction (it is the defect being repaired), both joins
+    * against it broadcast, and only the rows of those buckets move.
+    * This is how a 100 TB replica converges after tableDiff flags a
+    * handful of buckets — fetch+patch, not re-copy. */
+  def patchFrom(a: DataFrame, b: DataFrame, buckets: Int = 1024,
+                salt: String = ""): DataFrame = {
+    val bad = broadcast(
+      tableDiff(a, b, buckets, salt).select(col("bucket").as("__bucket")))
+    val keep = bucketed(b, buckets, salt).join(bad, Seq("__bucket"), "left_anti")
+    val fetch = bucketed(a, buckets, salt).join(bad, Seq("__bucket"), "left_semi")
+    keep.unionByName(fetch).drop("__bucket", "__rh")
   }
 
   /** MERGE … WHEN MATCHED THEN DELETE: base rows whose key appears in

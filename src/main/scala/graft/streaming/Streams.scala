@@ -215,6 +215,33 @@ object Streams {
       }
   }
 
+  case class HeavyHittersOut(cohort: Long, n_events: Long, heavy_hitters: String)
+
+  /** Stateful streaming Misra-Gries heavy hitters: per-cohort state is
+    * the SAME ≤ cap counter map as the batch Aggregator
+    * (graft.engine.Sketches.MisraGries), fed through the identical
+    * reduce step — in the exact regime (distinct keys ≤ cap, no
+    * eviction) the streaming summary after the last event equals the
+    * batch q112 summary exactly, for any micro-batch slicing
+    * (StreamingSpec asserts). State stays ≤ cap entries per cohort no
+    * matter how many events flow — the bounded-state property that
+    * makes a top-k dashboard deployable over an unbounded stream. */
+  def heavyHittersStateful(events: Dataset[(Long, String)],
+                           cap: Int): Dataset[HeavyHittersOut] = {
+    import events.sparkSession.implicits._
+    val mg = new graft.engine.Sketches.MisraGries(cap)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Map[String, Long], Long), HeavyHittersOut](
+        GroupStateTimeout.NoTimeout()) {
+        (cohort: Long, it: Iterator[(Long, String)],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          var (m, n) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          it.foreach { case (_, key) => m = mg.reduce(m, key); n += 1 }
+          state.update((m, n))
+          HeavyHittersOut(cohort, n, mg.finish(m))
+      }
+  }
+
   def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000

@@ -251,6 +251,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.tableChecksum(orders, buckets = 32).count() <= 32)
   }
 
+  test("patchFrom repairs a divergent copy to multiset-equality with the source") {
+    import spark.implicits._
+    val orders = graft.engine.Tables.orders(spark, dir)
+    // divergent copy: one mutated row, one dropped row, one duplicated row
+    val broken = orders
+      .withColumn("o_totalprice", when($"o_orderkey" === 7L,
+        $"o_totalprice" + 9.0).otherwise($"o_totalprice"))
+      .filter($"o_orderkey" =!= 11L)
+      .unionByName(orders.filter($"o_orderkey" === 13L))
+    assert(Maintenance.tableDiff(orders, broken).count() > 0)
+
+    val repaired = Maintenance.patchFrom(orders, broken)
+    assert(Maintenance.tableDiff(orders, repaired).count() == 0)
+    // independent exact check: multiset equality both directions
+    assert(orders.exceptAll(repaired).count() == 0)
+    assert(repaired.exceptAll(orders).count() == 0)
+  }
+
   test("incremental foreachBatch upsert converges to the batch latest-per-key") {
     import spark.implicits._
     val dir001 = "/root/testdata/sf0.001"

@@ -221,6 +221,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming heavy hitters equal the batch summary in the exact regime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select(($"user_id" % 5L).as("cohort"), $"event_type")
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.heavyHittersStateful(input.toDS(), cap = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hh_stream_test").start()
+    // arbitrary micro-batch slicing: exact-regime MG is order-free
+    ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("hh_stream_test").as[Streams.HeavyHittersOut]
+      .collect().groupBy(_.cohort)
+      .map { case (c, rows) => c -> rows.maxBy(_.n_events) }
+    // batch side = q112's summary on the same fixture
+    val batch = SparkEntry.queries("q112_heavy_hitters_mg")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (c, n, hh) =>
+      val s = streamed(c)
+      assert(s.n_events == n && s.heavy_hitters == hh,
+        s"cohort $c: stream (${s.n_events}, ${s.heavy_hitters}) vs batch ($n, $hh)")
+    }
+  }
+
   test("streaming LSH band claims flag a late near-dup across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
