@@ -236,6 +236,115 @@ object Graph {
       .select($"id", $"a".as("authority"), $"h".as("hub"))
   }
 
+  /** [[hits]] plus the per-round history an incremental update needs:
+    * returns (h_0 … h_rounds, a_1 … a_rounds), each materialized.
+    * At scale this history is what a maintained HITS view persists
+    * alongside the final scores (R small vectors of |V| rows). */
+  def hitsHistory(edges0: DataFrame,
+                  rounds: Int = 3): (Seq[DataFrame], Seq[DataFrame]) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val edges = edges0.select($"src", $"dst").persist()
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().persist()
+    var h = nodes.select($"id", lit(1L).as("h")).localCheckpoint()
+    var hs = List(h); var as = List.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val aSum = edges.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(sum($"h").as("s"))
+      val a = nodes.join(aSum, Seq("id"), "left")
+        .select($"id", coalesce($"s", lit(0L)).as("a")).localCheckpoint()
+      val hSum = edges.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy($"src".as("id")).agg(sum($"a").as("s"))
+      h = nodes.join(hSum, Seq("id"), "left")
+        .select($"id", coalesce($"s", lit(0L)).as("h")).localCheckpoint()
+      hs :+= h; as :+= a
+    }
+    (hs, as)
+  }
+
+  /** Incremental HITS over an edge-delta batch: patch the stored
+    * per-round history ([[hitsHistory]]) instead of recomputing every
+    * node — the same residual-propagation pattern as
+    * [[pagerankIncremental]], generalized to a two-phase round.
+    *
+    * Dirty-set recurrence (exact, because each score depends only on
+    * direct neighbors one half-round back): a_t is dirty for receivers
+    * of changed edges and for nodes with an in-neighbor whose h_{t-1}
+    * is dirty; h_t is dirty for sources of changed edges and for nodes
+    * with an out-neighbor whose a_t is dirty. Each dirty set is
+    * recomputed from its full in/out-edge slice against the PATCHED
+    * previous vector (stored ∪ recomputed overrides); everything
+    * outside the delta's ≤2·rounds-hop influence cone keeps its stored
+    * score untouched. Work ∝ cone size, not |V|·rounds
+    * (IncrementalPagerankSpec's sibling assertion in
+    * IncrementalHitsSpec: integer-identical to a full recompute,
+    * dirty-slots < |V|).
+    *
+    * @return (scores, total dirty slots recomputed)
+    */
+  def hitsIncremental(edgesNew0: DataFrame, added: DataFrame,
+                      removed: DataFrame, hHist: Seq[DataFrame],
+                      aHist: Seq[DataFrame]): (DataFrame, Long) = {
+    val s = edgesNew0.sparkSession
+    import s.implicits._
+    val rounds = aHist.size
+    val edges = edgesNew0.select($"src", $"dst").persist()
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().persist()
+    val delta = added.select($"src", $"dst")
+      .unionByName(removed.select($"src", $"dst")).persist()
+    val deltaDst = delta.select($"dst".as("id")).distinct().persist()
+    val deltaSrc = delta.select($"src".as("id")).distinct().persist()
+
+    /** stored vector patched with recomputed rows on the dirty set,
+      * restricted to the CURRENT node set (drops vanished nodes). */
+    def patch(stored: DataFrame, recomputed: DataFrame,
+              dirty: DataFrame, valueCol: String): DataFrame =
+      nodes.join(stored, Seq("id"), "left")
+        .join(dirty.withColumn("__d", lit(true)), Seq("id"), "left")
+        .join(recomputed.withColumnRenamed(valueCol, "__v"), Seq("id"), "left")
+        // a current node absent from history is brand-new ⇒ always in
+        // the dirty set by construction, so __v covers it
+        .select($"id", when($"__d", coalesce($"__v", lit(0L)))
+          .otherwise(col(valueCol)).as(valueCol))
+
+    var hPrev = nodes.join(hHist.head, Seq("id"), "left")
+      .select($"id", coalesce($"h", lit(1L)).as("h")) // h_0 ≡ 1, new nodes included
+    var dirtyH = s.emptyDataFrame.select(lit(0L).as("id")).limit(0).localCheckpoint()
+    var aPatched: DataFrame = null
+    var work = 0L
+    for (t <- 1 to rounds) {
+      val dirtyA = deltaDst
+        .union(edges.join(dirtyH.withColumnRenamed("id", "src"), "src")
+          .select($"dst".as("id")))
+        .union(nodes.join(hHist.head, Seq("id"), "left_anti")) // brand-new nodes
+        .distinct().localCheckpoint()
+      work += dirtyA.count()
+      val aRec = dirtyA.withColumnRenamed("id", "dst")
+        .join(edges, Seq("dst"), "left")
+        .join(hPrev.withColumnRenamed("id", "src"), Seq("src"), "left")
+        .groupBy($"dst".as("id")).agg(sum($"h").as("a"))
+        .select($"id", coalesce($"a", lit(0L)).as("a"))
+      aPatched = patch(aHist(t - 1), aRec, dirtyA, "a").localCheckpoint()
+      dirtyH = deltaSrc
+        .union(edges.join(dirtyA.withColumnRenamed("id", "dst"), "dst")
+          .select($"src".as("id")))
+        .union(nodes.join(hHist.head, Seq("id"), "left_anti"))
+        .distinct().localCheckpoint()
+      work += dirtyH.count()
+      val hRec = dirtyH.withColumnRenamed("id", "src")
+        .join(edges, Seq("src"), "left")
+        .join(aPatched.withColumnRenamed("id", "dst")
+          .withColumnRenamed("a", "av"), Seq("dst"), "left")
+        .groupBy($"src".as("id")).agg(sum($"av").as("h"))
+        .select($"id", coalesce($"h", lit(0L)).as("h"))
+      hPrev = patch(hHist(t), hRec, dirtyH, "h").localCheckpoint()
+    }
+    (nodes.join(aPatched, "id").join(hPrev, "id")
+      .select($"id", $"a".as("authority"), $"h".as("hub")), work)
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
