@@ -495,6 +495,59 @@ object Dedup {
   def componentsStar(edges0: DataFrame, maxRounds: Int = 40): DataFrame =
     componentsStarWithRounds(edges0, maxRounds)._1
 
+  /** Incremental connected components for an APPEND-ONLY edge delta —
+    * the dedup-clustering maintenance path: when a new crawl batch
+    * lands, near-dup edges only ever ADD (a pair once similar stays
+    * similar), so cluster labels never split and maintenance reduces
+    * to merging.
+    *
+    * The trick is to run the merge on the CONTRACTED component graph:
+    * each delta endpoint is replaced by its previous component label
+    * (new nodes label themselves), and [[componentsStar]] runs over
+    * that label graph — whose size is |affected components + new
+    * nodes|, NOT the corpus. The corpus itself is touched exactly
+    * once, by a broadcast-join relabel (map-side, no corpus shuffle):
+    * labels in the merge mapping move to their merged minimum,
+    * everything else keeps its label untouched. Labels stay canonical
+    * (min doc_id per component), so the result is row-identical to a
+    * full recompute (IncrementalComponentsSpec).
+    *
+    * @param prevLabels (doc_id, cluster_id) from the previous run
+    * @param newEdges   (a, b) new similarity pairs
+    * @return (labels, contracted-graph node count — the work measure)
+    */
+  def componentsIncremental(prevLabels: DataFrame,
+                            newEdges: DataFrame): (DataFrame, Long) = {
+    val lbl = prevLabels.select(col("doc_id"), col("cluster_id"))
+    val le = newEdges
+      .join(lbl.select(col("doc_id").as("a"), col("cluster_id").as("la")),
+        Seq("a"), "left")
+      .join(lbl.select(col("doc_id").as("b"), col("cluster_id").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val contractedN = le.select(col("a")).union(le.select(col("b")))
+      .distinct().count()
+    if (contractedN == 0)
+      return (prevLabels.select(col("doc_id"), col("cluster_id")), 0L)
+    // merge mapping over the tiny contracted graph: old label → new min
+    val merged = componentsStar(le)
+    val mapping = broadcast(merged
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("new_label")))
+    val kept = prevLabels.join(mapping, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    // brand-new nodes all carry delta edges, so `merged` labels them
+    val news = newEdges.select(col("a").as("doc_id"))
+      .union(newEdges.select(col("b").as("doc_id"))).distinct()
+      .join(prevLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(merged.withColumnRenamed("cluster_id", "nl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("cluster_id"))
+    (kept.unionByName(news), contractedN)
+  }
+
   /** (doc_id, n_overlap) for training docs (doc_id >= benchCut):
     * distinct-shingle overlap with the held-out docs below benchCut.
     * The benchmark shingle set broadcasts; the corpus-side check is a
