@@ -251,6 +251,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.tableChecksum(orders, buckets = 32).count() <= 32)
   }
 
+  test("checksum agrees across storage tiers: parquet path vs metastore table") {
+    import spark.implicits._
+    // the canonicalization (sorted columns, string casts) must make the
+    // checksum a property of the DATA, not the storage: the same rows
+    // read through the Hive catalog and through the parquet path hash
+    // identically, so tableDiff can reconcile across tiers
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_diff")
+    val parquetSide = graft.engine.Tables.orders(spark, dir)
+    parquetSide.write.mode("overwrite").saveAsTable("graft_diff.orders_copy")
+    val catalogSide = spark.table("graft_diff.orders_copy")
+    assert(Maintenance.tableDiff(parquetSide, catalogSide).count() == 0)
+  }
+
   test("patchFrom repairs a divergent copy to multiset-equality with the source") {
     import spark.implicits._
     val orders = graft.engine.Tables.orders(spark, dir)
