@@ -78,11 +78,16 @@ object Dedup {
   private val pairsCache = new SessionMemo[String]
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir)(lshPairsUncached(s, dir).localCheckpoint())
-  private def lshPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bandkey) LSH band signatures for any (doc_id,
+    * text) frame — the per-document map-side stage of the near-dup
+    * pipeline, factored out so an INCREMENTAL batch can compute its
+    * signatures alone and probe the stored index
+    * ([[dedupIncremental]]). Identical expression as the full
+    * pipeline, so signatures are comparable across runs. */
+  def bandsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    // spread: the md5 minhash fold is the expensive stage and would
-    // otherwise run in the scan's single task (one-row-group file)
-    val bands = T.spread(T.documents(s, dir))
+    docs
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= 3)
       .withColumn("shs", expr(
@@ -96,6 +101,13 @@ object Dedup {
           |    array_min(transform(shs, sh -> md5(concat(CAST(b*2+1 AS STRING), ':', sh)))))
           |    AS bandkey))""".stripMargin)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bandkey".as("bandkey"))
+  }
+
+  private def lshPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // spread: the md5 minhash fold is the expensive stage and would
+    // otherwise run in the scan's single task (one-row-group file)
+    val bands = bandsOf(T.spread(T.documents(s, dir)))
       .cache() // both sides of the candidate self-join consume it
     bands.alias("a")
       .join(bands.alias("b"),
@@ -546,6 +558,65 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("cluster_id"))
     (kept.unionByName(news), contractedN)
+  }
+
+  /** Within-frame LSH candidate pairs: equi-self-join on (band,
+    * bandkey), id-ordered. */
+  private def selfPairs(bands: DataFrame): DataFrame =
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+
+  /** Full-pipeline candidate pairs for any (doc_id, text) frame — the
+    * from-scratch comparator IncrementalDedupSpec checks
+    * [[dedupIncremental]] against. */
+  def pairsOf(docs: DataFrame): DataFrame = selfPairs(bandsOf(docs))
+
+  /** End-to-end incremental near-dup maintenance for a NEW document
+    * batch — the composition a 100 TB crawl pipeline actually runs per
+    * ingest cycle, with every stage ∝ the BATCH, never the corpus:
+    *
+    *  1. band signatures for the batch only ([[bandsOf]] — map-side);
+    *  2. candidate pairs = batch self-join ∪ batch-probe of the STORED
+    *     band index (both equi-joins on (band, bandkey); the corpus
+    *     index is probed, never self-joined again);
+    *  3. [[componentsIncremental]] merges the new pairs into the
+    *     stored labels on the contracted component graph;
+    *  4. batch docs that collide with nothing become their own
+    *     singleton clusters.
+    *
+    * Returns the updated (bandIndex, labels) state pair — exactly what
+    * the next cycle feeds back in. IncrementalDedupSpec asserts the
+    * composed result is row-identical to re-running the FULL pipeline
+    * on the union corpus.
+    *
+    * @param prevBands  stored (doc_id, band, bandkey) index
+    * @param prevLabels stored (doc_id, cluster_id) labels
+    * @param newDocs    (doc_id, text) batch, ids disjoint from corpus
+    */
+  def dedupIncremental(prevBands: DataFrame, prevLabels: DataFrame,
+                       newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val nb = bandsOf(newDocs).localCheckpoint()
+    val within = selfPairs(nb)
+    val cross = nb.alias("n")
+      .join(prevBands.alias("p"),
+        col("n.band") === col("p.band") && col("n.bandkey") === col("p.bandkey"))
+      .select(least(col("n.doc_id"), col("p.doc_id")).as("a"),
+        greatest(col("n.doc_id"), col("p.doc_id")).as("b"))
+    val newPairs = within.unionByName(cross)
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    val (merged, _) = componentsIncremental(prevLabels, newPairs)
+    // batch docs colliding with nothing: their own singleton clusters
+    val paired = newPairs.select($"a".as("doc_id"))
+      .union(newPairs.select($"b".as("doc_id")))
+    val singletons = newDocs.select($"doc_id")
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+    (prevBands.unionByName(nb), merged.unionByName(singletons))
   }
 
   /** (doc_id, n_overlap) for training docs (doc_id >= benchCut):
