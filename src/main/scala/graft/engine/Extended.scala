@@ -165,6 +165,24 @@ object Extended {
         .orderBy($"c_custkey")
     }),
 
+    // The reconciliation checksum as a verified query: order- and
+    // partitioning-invariant per-bucket multiset summaries of a table
+    // (Maintenance.tableChecksum — hash-bucketed SUM of 52-bit row
+    // hashes). Restricted to integer/string columns because the
+    // canonicalization casts values to strings and double→string
+    // renderings are not engine-portable; the oracle replays the
+    // identical md5 arithmetic, proving the checksum is a property of
+    // the DATA both engines can agree on — which is the whole point of
+    // a cross-system reconciliation tool.
+    "q116_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      Maintenance.tableChecksum(
+        T.customer(s, dir)
+          .select($"c_custkey", $"c_mktsegment", $"c_name", $"c_nationkey"),
+        buckets = 64)
+        .orderBy($"bucket")
+    }),
+
     // Two-pass range-partitioned global rank — the 100 TB replacement
     // for q46's unpartitioned window (which plans an Exchange
     // SinglePartition + one-reducer sort). Pass 1: approxQuantile
@@ -437,6 +455,18 @@ object Extended {
         |UNION ALL
         |SELECT * FROM upd
         |ORDER BY c_custkey""".stripMargin,
+
+    "q116_table_checksum" ->
+      """WITH h AS (SELECT md5(concat(
+        |    COALESCE(CAST(c_custkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(c_name AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(c_nationkey AS VARCHAR), chr(2)||'NULL'))) AS h
+        |  FROM customer)
+        |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q84_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (

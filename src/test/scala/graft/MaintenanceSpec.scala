@@ -258,6 +258,12 @@ class MaintenanceSpec extends AnyFunSuite {
     // read through the Hive catalog and through the parquet path hash
     // identically, so tableDiff can reconcile across tiers
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_diff")
+    spark.sql("DROP TABLE IF EXISTS graft_diff.orders_copy")
+    // a previous JVM's warehouse dir survives on disk while this run's
+    // catalog has no entry for it — clear the location so the managed
+    // CREATE can't collide (LOCATION_ALREADY_EXISTS)
+    val loc = new org.apache.hadoop.fs.Path("spark-warehouse/graft_diff.db/orders_copy")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     val parquetSide = graft.engine.Tables.orders(spark, dir)
     parquetSide.write.mode("overwrite").saveAsTable("graft_diff.orders_copy")
     val catalogSide = spark.table("graft_diff.orders_copy")
