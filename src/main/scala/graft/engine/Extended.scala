@@ -183,6 +183,34 @@ object Extended {
         .orderBy($"bucket")
     }),
 
+    // Exact discrete quantiles WITHOUT a global sort — the scalable
+    // sibling of q39's interpolated percentile() (which sorts each
+    // group's values) for bounded-cardinality domains: count rows per
+    // (group, value) — the only corpus-sized shuffle, combine-able —
+    // then a cumulative sum over the tiny (group × |domain|) count
+    // frame and pick the smallest value whose cumulative count reaches
+    // ceil(q·n). That is percentile_disc (lower) semantics, computed
+    // exactly, with the window running over ≤ |domain| rows per group
+    // instead of the data. l_quantity's domain is the integers 1..50,
+    // so the post-shuffle frame is ≤ 300 rows at ANY corpus size.
+    // The oracle replays the identical counting construction.
+    "q117_quantiles_nosort" -> ((s, dir) => {
+      import s.implicits._
+      val counts = T.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_quantity".cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+      val cum = counts
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+      def qAt(q: Double) =
+        min(when($"cum" >= ceil(lit(q) * $"n"), $"v"))
+      cum.groupBy($"l_returnflag")
+        .agg(max($"n").as("n"),
+          qAt(0.5).as("p50"), qAt(0.9).as("p90"), qAt(0.99).as("p99"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Two-pass range-partitioned global rank — the 100 TB replacement
     // for q46's unpartitioned window (which plans an Exchange
     // SinglePartition + one-reducer sort). Pass 1: approxQuantile
@@ -467,6 +495,21 @@ object Extended {
         |  count(*) AS n_rows,
         |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q117_quantiles_nosort" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM counts)
+        |SELECT l_returnflag, max(n) AS n,
+        |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+        |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q84_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (

@@ -66,4 +66,26 @@ class ExtendedSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(s >= v && v >= f, s"funnel must narrow: $s >= $v >= $f")
   }
+
+  test("q117 counting quantiles equal sort-based percentile_disc") {
+    import spark.implicits._
+    // independent comparator: literally sort each group's values and
+    // index at ceil(q·n) — the defining percentile_disc construction
+    val byFlag = graft.engine.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def disc(vs: IndexedSeq[Long], q: Double): Long =
+      vs(math.ceil(q * vs.size).toLong.toInt - 1)
+    val rows = Extended.queries("q117_quantiles_nosort")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, n, p50, p90, p99) =>
+      val vs = byFlag(flag)
+      assert(n == vs.size)
+      assert(p50 == disc(vs, 0.5) && p90 == disc(vs, 0.9) && p99 == disc(vs, 0.99),
+        s"$flag: ($p50,$p90,$p99) vs sorted " +
+          s"(${disc(vs, 0.5)},${disc(vs, 0.9)},${disc(vs, 0.99)})")
+    }
+  }
 }
