@@ -72,6 +72,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components equal full recompute on random append splits") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(60)
+      val m = n + rnd.nextInt(n)
+      val all = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (all.size >= 4) {
+        // random append-only split: base gets a random prefix, the rest
+        // arrives as the delta batch
+        val cut = 1 + rnd.nextInt(all.size - 2)
+        val (base, delta) = all.splitAt(cut)
+        // restrict to deltas whose endpoints stay in the node universe
+        // of base ∪ delta (always true here) — no other precondition
+        val prev = graft.engine.Dedup.componentsStar(base.toDF("a", "b"))
+          .localCheckpoint()
+        val (inc, _) = graft.engine.Dedup.componentsIncremental(
+          prev, delta.toDF("a", "b"))
+        val full = graft.engine.Dedup.componentsStar(all.toDF("a", "b"))
+        val (gi, gf) = (inc.as[(Long, Long)].collect().toMap,
+          full.as[(Long, Long)].collect().toMap)
+        // incremental also labels base-only singleton side: compare on
+        // the full graph's node set (nodes with at least one edge)
+        assert(gf.keySet.subsetOf(gi.keySet), s"trial=$trial missing nodes")
+        gf.foreach { case (k, v) =>
+          assert(gi(k) == v, s"trial=$trial node $k: inc=${gi(k)} full=$v")
+        }
+      }
+    }
+  }
+
+  test("table checksum is invariant to order/partitioning and sensitive to any cell") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, s"name$i", if (i % 7 == 0) null else s"v${i % 13}"))
+    val df = rows.toDF("id", "name", "tag")
+    def sig(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      graft.engine.Maintenance.tableChecksum(d, buckets = 16)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = sig(df)
+    // invariance: any partitioning/order, and column order too
+    assert(sig(df.repartition(7)) == base)
+    assert(sig(df.orderBy($"name".desc)) == base)
+    assert(sig(df.select($"tag", $"id", $"name")) == base)
+    // sensitivity: mutate one random cell → some bucket diverges
+    (1 to 3).foreach { _ =>
+      val k = rnd.nextInt(rows.size).toLong
+      val mutated = df.withColumn("name",
+        when($"id" === k, concat($"name", lit("X"))).otherwise($"name"))
+      assert(sig(mutated) != base, s"mutation of row $k undetected")
+      assert(graft.engine.Maintenance.tableDiff(df, mutated).count() >= 1)
+    }
+    // null vs the literal string "NULL" must hash differently
+    val nulls = Seq((1L, "a", null.asInstanceOf[String])).toDF("id", "name", "tag")
+    val lits = Seq((1L, "a", "NULL")).toDF("id", "name", "tag")
+    assert(graft.engine.Maintenance.tableDiff(nulls, lits).count() > 0)
+  }
+
   test("running balance window final row equals group total (exact)") {
     import spark.implicits._
     val rnd = new Random(7)
