@@ -311,6 +311,50 @@ object TextOps {
         .select($"doc_id", fp.as("fingerprint"),
           substring(fp, 1, 4).as("bucket"))
         .orderBy($"doc_id")
+    }),
+
+    // Corpus-trained bigram LM fluency — the perplexity-filter stage of
+    // a CCNet-style quality pipeline, with the corpus itself as the LM:
+    // per-doc mean conditional log-prob (1/(n-1))·Σ ln(C(wᵢ,wᵢ₊₁)/C(wᵢ))
+    // over corpus bigram/unigram counts. Unsmoothed is total here
+    // because every scored bigram exists in the training corpus (it IS
+    // the corpus); a held-out scorer would add-one. Shapes: two
+    // combine-able count aggregations (bigram + unigram vocab, the
+    // only corpus-sized shuffles), a vocab-keyed join, then a per-doc
+    // sum. Float determinism: each ln is scaled to integer micro-nats
+    // BEFORE the per-doc sum, so the reduction is exact integer
+    // addition (the Exact discipline) — no partition-order drift, and
+    // the oracle replays the identical rounding. At 100 TB the bigram
+    // table is the LM artifact you'd persist; pruning it to the top-k
+    // bigrams bounds the join's build side.
+    "q118_bigram_fluency" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.spread(T.documents(s, dir))
+        .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+        .select($"doc_id", $"pos", $"col".as("w"))
+      // adjacent pairs via lead() inside the per-doc window (the q111
+      // idiom): one shuffle by doc, no positional self-join
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bi = toks
+        .withColumn("b", lead($"w", 1).over(w))
+        .filter($"b".isNotNull)
+        .select($"doc_id", $"w".as("a"), $"b")
+      // pre-aggregate to DISTINCT per-doc bigrams (combine-able) so
+      // the LM join carries one row per (doc, bigram), weighted by its
+      // in-doc multiplicity — not one row per occurrence
+      val docBi = bi.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("k"))
+      val cBi = docBi.groupBy($"a", $"b").agg(sum($"k").as("c_ab"))
+      val cUni = toks.groupBy($"w".as("a")).agg(count(lit(1)).as("c_a"))
+      docBi.join(cBi, Seq("a", "b")).join(cUni, Seq("a"))
+        .select($"doc_id", $"k",
+          round(log($"c_ab".cast("double") / $"c_a".cast("double")) * 1e6)
+            .cast("long").as("lp_micro"))
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_bigrams"), sum($"lp_micro" * $"k").as("s"))
+        .select($"doc_id", $"n_bigrams",
+          round($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"), 6)
+            .as("mean_logprob"))
+        .orderBy($"doc_id")
     }))
 
   /** Per-document quality signals + composite keep decision (q58; also
@@ -339,6 +383,29 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q118_bigram_fluency" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w AS a,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        |  FROM raw),
+        |bi2 AS (SELECT doc_id, a, b FROM bi WHERE b IS NOT NULL),
+        |c_bi AS (SELECT a, b, count(*) AS c_ab FROM bi2 GROUP BY a, b),
+        |c_uni AS (SELECT w AS a, count(*) AS c_a FROM raw GROUP BY w),
+        |scored AS (
+        |  SELECT bi2.doc_id,
+        |    CAST(round(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lp_micro
+        |  FROM bi2 JOIN c_bi USING (a, b) JOIN c_uni USING (a))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0
+        |        / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q89_mixture_weights" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs,
