@@ -252,6 +252,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest maintains dedup clusters identical to batch clustering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+
+    // maintained state: (band index, labels) — starts empty, each
+    // micro-batch flows through the SAME dedupIncremental the batch
+    // maintenance path uses
+    var bands = Seq.empty[(Long, Long, String)]
+      .toDF("doc_id", "band", "bandkey").localCheckpoint()
+    var labels = Seq.empty[(Long, Long)]
+      .toDF("doc_id", "cluster_id").localCheckpoint()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (b2, l2) = graft.engine.Dedup.dedupIncremental(bands, labels, batch)
+          bands = b2.localCheckpoint(); labels = l2.localCheckpoint()
+        }
+        ()
+      }.start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // ground truth: the from-scratch batch pipeline over the full corpus
+    val all = docs.toSeq.toDF("doc_id", "text")
+    val pairs = graft.engine.Dedup.pairsOf(all).localCheckpoint()
+    val clustered = graft.engine.Dedup.componentsStar(pairs)
+    val singletons = all.select($"doc_id")
+      .join(pairs.select($"a".as("doc_id"))
+        .union(pairs.select($"b".as("doc_id"))), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+    val full = clustered.unionByName(singletons)
+      .as[(Long, Long)].collect().toSet
+    val streamed = labels.as[(Long, Long)].collect().toSet
+    assert(streamed == full, {
+      val d1 = streamed -- full; val d2 = full -- streamed
+      s"stream-only ${d1.take(5)}, batch-only ${d2.take(5)}"
+    })
+  }
+
   test("streaming LSH band claims flag a late near-dup across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
