@@ -305,14 +305,15 @@ object Dedup {
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
-      val sets = sh.groupBy($"doc_id")
-        .agg(collect_list($"sh").as("ss"), count(lit(1)).as("sz"))
+      // verification rides the memoized shared-shingle spine (the q53/
+      // q85 materialized view) instead of re-collecting per-doc shingle
+      // ARRAYS and intersecting them per pair — candidates share a
+      // prefix shingle by construction, so the inner join loses nothing
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       cand
-        .join(sets.select($"doc_id".as("doc1"), $"ss".as("s1"), $"sz".as("sz1")), "doc1")
-        .join(sets.select($"doc_id".as("doc2"), $"ss".as("s2"), $"sz".as("sz2")), "doc2")
-        .select($"doc1", $"doc2",
-          size(array_intersect($"s1", $"s2")).cast("long").as("n_common"),
-          $"sz1", $"sz2")
+        .join(sharedShinglePairs(s, dir), Seq("doc1", "doc2"))
+        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
         .select($"doc1", $"doc2", $"n_common",
           ($"n_common".cast("double") / ($"sz1" + $"sz2" - $"n_common").cast("double"))
             .as("jaccard"))
