@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * stages are data-local — no sidecar fetches at 100 TB.
   *
   * Image decode is REAL for the formats the JRE itself can read
-  * (PNG/JPEG/BMP/GIF via `javax.imageio` — no external codecs needed);
-  * bytes no reader claims (e.g. parquet files standing in for an
-  * uploads dir) fall back to a deterministic STUB so the distribution
-  * plumbing stays oracle-checkable. Audio/video kernels remain stubs
-  * (no codecs ship in this environment); everything around them —
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`), and audio decode is REAL
+  * for JRE-readable PCM containers (WAV/AIFF/AU via
+  * `javax.sound.sampled`) — no external codecs needed for either.
+  * Bytes no reader claims (e.g. parquet files standing in for an
+  * uploads dir) fall back to deterministic STUBS so the distribution
+  * plumbing stays oracle-checkable. Only the VIDEO kernel remains a
+  * stub (no video codecs ship in any JRE); everything around it —
   * source, schema, batch iteration via mapPartitions, output feature
   * schema — is real and tested. Swap the stub for a JNI/codec call and
   * nothing else changes.
@@ -116,6 +118,73 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (path, bytes) =>
           imageioDecode(path, bytes).getOrElse(stubDecode(path, bytes))
+        }
+      }
+  }
+
+  case class AudioFeatures(path: String, sample_rate: Int, channels: Int,
+                           n_frames: Long, duration_sec: Double, rms: Double)
+
+  /** Real audio decode via the JRE's own `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — present in every JVM, no external codecs).
+    * Features: true sample rate / channel count / frame count /
+    * duration, plus RMS amplitude over the first 64 Ki frames of
+    * 16-bit PCM (bounded work per row regardless of clip length).
+    * Returns None for bytes no registered reader recognizes. */
+  private[graft] def audioDecode(path: String, bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val dur =
+          if (fmt.getFrameRate > 0) nFrames / fmt.getFrameRate.toDouble else 0.0
+        var rms = 0.0
+        if (fmt.getSampleSizeInBits == 16) {
+          val maxFrames = math.min(nFrames, 65536L).toInt
+          val buf = new Array[Byte](maxFrames * fmt.getFrameSize)
+          var off = 0
+          var read = 0
+          while (off < buf.length && read >= 0) {
+            read = ais.read(buf, off, buf.length - off)
+            if (read > 0) off += read
+          }
+          val bb = java.nio.ByteBuffer.wrap(buf, 0, off)
+            .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                   else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0.0
+          var n = 0
+          while (bb.remaining() >= 2) {
+            val v = bb.getShort.toDouble / 32768.0
+            sumSq += v * v; n += 1
+          }
+          if (n > 0) rms = math.sqrt(sumSq / n)
+        }
+        Some(AudioFeatures(path, fmt.getSampleRate.toInt, fmt.getChannels,
+          nFrames, dur, rms))
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+
+  /** ==== STUB fallback ==== deterministic fake audio features for
+    * bytes that are not JRE-readable audio, derived from the raw bytes
+    * (same discipline as [[stubDecode]]). */
+  private[graft] def stubAudio(path: String, bytes: Array[Byte]): AudioFeatures = {
+    val frames = math.max(1L, bytes.length.toLong / 4)
+    AudioFeatures(path, 16000, 1, frames, frames / 16000.0,
+      (bytes.length % 1000) / 1000.0)
+  }
+
+  /** Per-partition batch audio decode: real `javax.sound.sampled`
+    * first, stub fallback — the same real-kernel-or-documented-fake
+    * contract as [[decodeImages]] (MultimodalSpec decodes a generated PCM
+    * WAV end-to-end and checks rate/frames/duration/RMS). */
+  def decodeAudio(bin: DataFrame): Dataset[AudioFeatures] = {
+    import bin.sparkSession.implicits._
+    bin.select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          audioDecode(path, bytes).getOrElse(stubAudio(path, bytes))
         }
       }
   }

@@ -59,4 +59,43 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = graft.engine.Multimodal.imageioDecode("m.png", bos.toByteArray)
     assert(decoded.exists(f => f.width == 5 && f.height == 9))
   }
+
+  /** 16-bit PCM mono WAV of a full-scale-ish sine at `hz`. */
+  private def writeWav(dir: java.nio.file.Path, name: String,
+                       sampleRate: Int, nFrames: Int, hz: Double,
+                       amp: Double): Unit = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * hz * i / sampleRate) * amp * 32767).toShort)
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, dir.resolve(name).toFile)
+  }
+
+  test("generated WAVs decode end-to-end with true rate/frames/duration/RMS") {
+    val dir = Files.createTempDirectory("graft_wav")
+    writeWav(dir, "tone.wav", sampleRate = 8000, nFrames = 4000,
+      hz = 440.0, amp = 0.5)
+    val feats = graft.engine.Multimodal
+      .decodeAudio(graft.engine.Multimodal.readBinary(spark, dir.toString, "*.wav"))
+      .collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.n_frames == 4000L)
+    assert(math.abs(f.duration_sec - 0.5) < 1e-9)
+    // a sine of amplitude a has RMS a/sqrt(2)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2.0)) < 0.01,
+      s"rms ${f.rms} should be ~${0.5 / math.sqrt(2.0)}")
+  }
+
+  test("non-audio bytes fall back to the deterministic audio stub") {
+    val junk = Array.tabulate[Byte](800)(i => (i % 97).toByte)
+    assert(graft.engine.Multimodal.audioDecode("x.bin", junk).isEmpty)
+    val stub = graft.engine.Multimodal.stubAudio("x.bin", junk)
+    assert(stub.n_frames == 200L && stub.sample_rate == 16000)
+  }
 }
