@@ -77,15 +77,44 @@ object Pipeline {
       .orderBy($"lang", $"source")
   }
 
-  val queries: Map[String, Q] = Map(
-    "q75_corpus_refinery" -> ((s, dir) => refinery(s, dir)))
+  /** Refinery v2: the q75 funnel extended with the round-4 fluency
+    * gate — after decontamination, documents must also clear the
+    * corpus-trained bigram LM score (q118's spine, mean conditional
+    * log-prob ≥ −3.42; the gate compares the UNROUNDED mean, which is
+    * identical in both engines because the numerator is an exact
+    * integer micro-nat sum). Same single per-doc spine discipline:
+    * fluency is one more boolean column, the census one more rollup. */
+  def refineryV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fl = TextOps.fluencySpine(s, dir)
+      .select($"doc_id",
+        ($"s".cast("double") / 1e6 / $"n_bigrams".cast("double")).as("mean_lp"))
+    def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    stageFlags(s, dir)
+      .join(fl, Seq("doc_id"), "left")
+      .withColumn("f_keep",
+        $"c_keep" && coalesce($"mean_lp" >= -3.42, lit(false)))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        n($"q_keep").as("n_quality"),
+        n($"e_keep").as("n_exact"),
+        n($"n_keep").as("n_neardup"),
+        n($"c_keep").as("n_clean"),
+        n($"f_keep").as("n_fluent"),
+        sum(when($"f_keep", $"n_tokens").otherwise(0L)).as("fluent_tokens"))
+      .orderBy($"lang", $"source")
+  }
 
-  val oracle: Map[String, String] = Map(
-    // The same funnel in one SQL statement: quality CTEs from q58,
-    // fingerprint election from q56/q50, recursive-reachability
-    // components from q57, contamination probe from q74.
-    "q75_corpus_refinery" ->
-      """WITH RECURSIVE
+  val queries: Map[String, Q] = Map(
+    "q75_corpus_refinery" -> ((s, dir) => refinery(s, dir)),
+    "q119_refinery_fluency" -> ((s, dir) => refineryV2(s, dir)))
+
+  /** Shared oracle CTE prefix (through the near-dup election):
+    * quality CTEs from q58, fingerprint election from q56/q50,
+    * recursive-reachability components from q57, contamination probe
+    * from q74. q75 and q119 append their own flags/census on top. */
+  private val OracleCtes =
+    """WITH RECURSIVE
         |tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents),
@@ -155,7 +184,11 @@ object Pipeline {
         |  JOIN comp c ON c.doc_id = sp.doc_id),
         |nmin AS (
         |  SELECT cluster_id, min(doc_id) AS n_min FROM withe WHERE e_keep
-        |  GROUP BY cluster_id),
+        |  GROUP BY cluster_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q75_corpus_refinery" -> (OracleCtes +
+      """,
         |flags AS (
         |  SELECT w.lang, w.source, w.n_tokens, w.q_keep, w.e_keep,
         |    w.e_keep AND w.doc_id = n.n_min AS n_keep,
@@ -171,5 +204,42 @@ object Pipeline {
         |  CAST(sum(CASE WHEN n_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
         |  CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
         |  CAST(sum(CASE WHEN c_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS clean_tokens
-        |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+
+    // v2: the same funnel + the q118 fluency gate (mean bigram
+    // conditional log-prob over the corpus LM, exact micro-nat sums).
+    "q119_refinery_fluency" -> (OracleCtes +
+      """,
+        |bi2 AS (
+        |  SELECT doc_id, w AS a, w1 AS b FROM toks2 WHERE w1 IS NOT NULL),
+        |c_bi AS (SELECT a, b, count(*) AS c_ab FROM bi2 GROUP BY a, b),
+        |c_uni AS (SELECT w AS a, count(*) AS c_a FROM tok GROUP BY w),
+        |fl AS (
+        |  SELECT bi2.doc_id,
+        |    CAST(sum(CAST(round(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+        |      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |      / CAST(count(*) AS DOUBLE) AS mean_lp
+        |  FROM bi2 JOIN c_bi USING (a, b) JOIN c_uni USING (a)
+        |  GROUP BY bi2.doc_id),
+        |flags AS (
+        |  SELECT w.lang, w.source, w.n_tokens, w.q_keep, w.e_keep,
+        |    w.e_keep AND w.doc_id = n.n_min AS n_keep,
+        |    w.e_keep AND w.doc_id = n.n_min
+        |      AND coalesce(h.n_overlap, 0) = 0 AS c_keep,
+        |    w.e_keep AND w.doc_id = n.n_min
+        |      AND coalesce(h.n_overlap, 0) = 0
+        |      AND coalesce(f.mean_lp >= -3.42, false) AS f_keep
+        |  FROM withe w
+        |  LEFT JOIN nmin n ON n.cluster_id = w.cluster_id
+        |  LEFT JOIN hits h ON h.doc_id = w.doc_id
+        |  LEFT JOIN fl f ON f.doc_id = w.doc_id)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN e_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN n_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+        |  CAST(sum(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN f_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent,
+        |  CAST(sum(CASE WHEN f_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS fluent_tokens
+        |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 }

@@ -329,6 +329,21 @@ object TextOps {
     // bigrams bounds the join's build side.
     "q118_bigram_fluency" -> ((s, dir) => {
       import s.implicits._
+      fluencySpine(s, dir)
+        .select($"doc_id", $"n_bigrams",
+          round($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"), 6)
+            .as("mean_logprob"))
+        .orderBy($"doc_id")
+    }))
+
+  /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
+    * shared by q118 and the refinery-v2 gate (q119), memoized like the
+    * other cross-query spines. See q118's doc comment for the shapes
+    * and the integer-exactness argument. */
+  private val fluencyCache = new SessionMemo[String]
+  private[engine] def fluencySpine(s: SparkSession, dir: String): DataFrame =
+    fluencyCache.getOrElseUpdate(s, dir) {
+      import s.implicits._
       val toks = T.spread(T.documents(s, dir))
         .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
         .select($"doc_id", $"pos", $"col".as("w"))
@@ -351,11 +366,8 @@ object TextOps {
             .cast("long").as("lp_micro"))
         .groupBy($"doc_id")
         .agg(sum($"k").as("n_bigrams"), sum($"lp_micro" * $"k").as("s"))
-        .select($"doc_id", $"n_bigrams",
-          round($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"), 6)
-            .as("mean_logprob"))
-        .orderBy($"doc_id")
-    }))
+        .localCheckpoint()
+    }
 
   /** Per-document quality signals + composite keep decision (q58; also
     * stage 1 of Pipeline.refinery). Shape: explode → count per (doc,
