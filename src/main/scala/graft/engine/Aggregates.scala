@@ -201,6 +201,26 @@ object Aggregates {
         .orderBy($"o_orderstatus")
     }),
 
+    // Grouped ordinary-least-squares battery: slope / intercept / R² /
+    // means / count per group in ONE aggregation pass — the built-in
+    // regr_* functions compute from co-moments exactly like corr (q39),
+    // so the same discipline applies: partial-aggregating, scan-speed,
+    // and rounded to 6 decimals because co-moment merges reassociate
+    // float adds in the last ulps.
+    "q120_regression" -> ((s, dir) => {
+      import s.implicits._
+      T.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(regr_slope($"o_totalprice", $"o_custkey".cast("double")), 6).as("slope"),
+          round(regr_intercept($"o_totalprice", $"o_custkey".cast("double")), 6).as("icept"),
+          round(regr_r2($"o_totalprice", $"o_custkey".cast("double")), 6).as("r2"),
+          round(regr_avgx($"o_totalprice", $"o_custkey".cast("double")), 6).as("ax"),
+          round(regr_avgy($"o_totalprice", $"o_custkey".cast("double")), 6).as("ay"),
+          regr_count($"o_totalprice", $"o_custkey".cast("double")).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // arg-extremum battery: max_by/min_by — "the row attribute AT the
     // group's extremum" without a join-back or a window sort, the
     // single-pass partial-aggregating form (shuffle carries one
@@ -372,6 +392,16 @@ object Aggregates {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |  round(stddev_samp(o_totalprice), 4) AS sd_price,
         |  round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q120_regression" ->
+      """SELECT o_orderstatus,
+        |  round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS slope,
+        |  round(regr_intercept(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS icept,
+        |  round(regr_r2(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS r2,
+        |  round(regr_avgx(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS ax,
+        |  round(regr_avgy(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS ay,
+        |  CAST(regr_count(o_totalprice, CAST(o_custkey AS DOUBLE)) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q113_arg_extremum" ->
