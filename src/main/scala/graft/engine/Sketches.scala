@@ -130,6 +130,148 @@ object Sketches {
     def outputEncoder = org.apache.spark.sql.Encoders.STRING
   }
 
+  /** Mergeable quantile-sketch buffer: `buf` is the weight-1 append
+    * buffer (first `used` slots valid); `levels(l)` is a SORTED run of
+    * items with weight 2^(l+1). Total item count is exactly
+    * `used + Σ levels(l).length · 2^(l+1)` — compactions preserve
+    * weight (odd runs leave one element behind), so no separate count
+    * field can drift. */
+  case class QuantBuf(var buf: Array[Double], var used: Int,
+                      var levels: Array[Array[Double]])
+
+  /** Deterministic mergeable quantile summary (MRL98/KLL-family, with
+    * the random compaction selector replaced by a FIXED every-other
+    * selector — trading the randomized bound for a deterministic
+    * worst-case one, the property the oracle check needs). State is
+    * ≤ k weight-1 items plus ≤ k items per power-of-two level —
+    * O(k log(n/k)) no matter how many rows flow in — and merge is
+    * level-wise sorted-merge + compact, so partial aggregation runs
+    * map-side and the shuffle carries one bounded sketch per group.
+    *
+    * Rank-error guarantee (hard, not probabilistic): each compaction
+    * of a weight-w level introduces ≤ w rank error and runs ≤ n/(k·w)
+    * times, so total error ≤ n·L/k with L = ⌈log2(n/k)⌉ levels. With
+    * k = 2048 that is ≤ 0.2% of n at 10^6 rows and ≤ 1.5% at 10^12
+    * rows — q121 asserts a fixed ε = 2% (valid to n ≈ 2·10^15).
+    * Returned quantiles are actual data values (compaction keeps
+    * elements, never averages), so their true rank is well-defined.
+    *
+    * The estimate itself is merge-order-sensitive (unlike the
+    * hash-defined KMV), so the oracle-verified query outputs the
+    * ε-bound CHECK (always-true booleans under the hard bound) plus
+    * the exact quantiles as the auditable companion — the same
+    * discipline as q93's `est ≥ true` overcount column. SketchesSpec
+    * pins exactness in the ≤ k regime and the ε bound across
+    * partitionings. */
+  class QuantileSketch(k: Int, qs: Seq[Double])
+      extends Aggregator[Double, QuantBuf, Array[Double]] {
+    require(k >= 8 && k % 2 == 0, "capacity must be even")
+
+    def zero: QuantBuf = QuantBuf(Array.empty, 0, Array.empty)
+
+    /** Every-other selector over a sorted run; an odd tail element is
+      * returned separately so total weight is exactly preserved. */
+    private def halve(sorted: Array[Double]): (Array[Double], Option[Double]) = {
+      val even = sorted.length - (sorted.length % 2)
+      val out = new Array[Double](even / 2)
+      var i = 0
+      while (i < out.length) { out(i) = sorted(2 * i); i += 1 }
+      (out, if (even < sorted.length) Some(sorted(even)) else None)
+    }
+
+    private def mergeSorted(a: Array[Double], b: Array[Double]): Array[Double] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Double](a.length + b.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) <= b(j)) { out(o) = a(i); i += 1 }
+        else { out(o) = b(j); j += 1 }
+        o += 1
+      }
+      while (i < a.length) { out(o) = a(i); i += 1; o += 1 }
+      while (j < b.length) { out(o) = b(j); j += 1; o += 1 }
+      out
+    }
+
+    /** Merge a sorted run into `levels(l)` (weight 2^(l+1)), cascading
+      * compactions upward while a level exceeds k. */
+    private def push(b: QuantBuf, run0: Array[Double], level0: Int): Unit = {
+      var run = run0; var l = level0
+      while (run.nonEmpty) {
+        if (b.levels.length <= l)
+          b.levels = b.levels ++ Array.fill(l + 1 - b.levels.length)(Array.empty[Double])
+        val merged = mergeSorted(b.levels(l), run)
+        if (merged.length <= k) { b.levels(l) = merged; run = Array.empty }
+        else {
+          val (up, leftover) = halve(merged)
+          b.levels(l) = leftover.toArray
+          run = up; l += 1
+        }
+      }
+    }
+
+    /** Sort + compact the weight-1 buffer into level 0. */
+    private def flush(b: QuantBuf): Unit = if (b.used > 0) {
+      val s = java.util.Arrays.copyOf(b.buf, b.used)
+      java.util.Arrays.sort(s)
+      val (up, leftover) = halve(s)
+      b.used = 0
+      leftover.foreach { v => b.buf(0) = v; b.used = 1 }
+      push(b, up, 0)
+    }
+
+    def reduce(b: QuantBuf, v: Double): QuantBuf = {
+      if (b.buf.length < k) b.buf = java.util.Arrays.copyOf(b.buf, k)
+      b.buf(b.used) = v; b.used += 1
+      if (b.used >= k) flush(b)
+      b
+    }
+
+    def merge(a: QuantBuf, b: QuantBuf): QuantBuf = {
+      // weight-1 buffers concatenate; in the ≤ k regime this never
+      // compacts, so small-group results are EXACT and invariant
+      if (a.used + b.used <= k) {
+        if (a.buf.length < k && b.used > 0) a.buf = java.util.Arrays.copyOf(a.buf, k)
+        System.arraycopy(b.buf, 0, a.buf, a.used, b.used)
+        a.used += b.used
+      } else { flush(a); flush(b); if (b.used > 0) { a.buf = java.util.Arrays.copyOf(a.buf, k); System.arraycopy(b.buf, 0, a.buf, a.used, b.used); a.used += b.used; if (a.used >= k) flush(a) } }
+      var l = 0
+      while (l < b.levels.length) {
+        if (b.levels(l).nonEmpty) push(a, b.levels(l), l)
+        l += 1
+      }
+      a
+    }
+
+    def finish(b: QuantBuf): Array[Double] = {
+      // weighted k-way merge via one flat sort (state is O(k log n/k))
+      val s = java.util.Arrays.copyOf(b.buf, b.used)
+      java.util.Arrays.sort(s)
+      val runs: Seq[(Array[Double], Long)] =
+        (s, 1L) +: b.levels.toSeq.zipWithIndex.map { case (arr, l) => (arr, 1L << (l + 1)) }
+      val flat = runs.flatMap { case (arr, w) => arr.map(v => (v, w)) }
+        .sortBy(_._1).toArray
+      val n = flat.iterator.map(_._2).sum
+      if (n == 0) return qs.map(_ => Double.NaN).toArray
+      qs.map { q =>
+        val target = math.max(1L, math.ceil(q * n.toDouble).toLong)
+        var cum = 0L; var i = 0; var out = flat.last._1
+        while (i < flat.length && cum < target) {
+          cum += flat(i)._2
+          if (cum >= target) out = flat(i)._1
+          i += 1
+        }
+        out
+      }.toArray
+    }
+
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[QuantBuf]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** Count-min slot for depth row `r`: 52-bit md5 prefix mod width. */
   private def slot(c: Column, r: Int, width: Int): Column =
     conv(substring(md5(concat(c, lit(s":cms$r"))), 1, 13), 16, 10)
@@ -203,6 +345,53 @@ object Sketches {
         .agg(count(lit(1)).as("n_events"),
           mg($"event_type").as("heavy_hitters"))
         .orderBy($"cohort")
+    }),
+
+    // Mergeable quantile sketch over an unbounded continuous domain
+    // (l_extendedprice) — the missing sibling of KMV/CMS/MG closed.
+    // The sketch column (p50/p90/p99 estimates) is merge-order-
+    // sensitive, so the VERIFIED output is (a) the exact discrete
+    // quantiles computed the expensive way (per-group sort — the
+    // auditable companion, like q92's true_distinct) and (b) the
+    // hard ε-bound rank checks on the sketch estimates, which the
+    // deterministic compaction guarantees always-true (ε = 2% covers
+    // n up to ~2·10^15 at k = 2048). At 100 TB the sketch path is the
+    // one you'd keep: one combine-able aggregation, O(k log n/k)
+    // state per group, no global sort.
+    "q121_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val eps = 0.02
+      val qsk = udaf(new QuantileSketch(2048, Seq(0.5, 0.9, 0.99)))
+      val d = T.spread(T.lineitem(s, dir))
+        .select($"l_returnflag".as("grp"), $"l_extendedprice".as("v"))
+      val est = d.groupBy($"grp")
+        .agg(count(lit(1)).as("n"), qsk($"v").as("est"))
+      // rank the estimates in the true data: lo = #{v < est}, hi = #{v ≤ est}
+      val ranks = d.join(broadcast(est), "grp").groupBy($"grp").agg(
+        first($"n").as("n"),
+        sum(when($"v" < element_at($"est", 1), 1L).otherwise(0L)).as("lo50"),
+        sum(when($"v" <= element_at($"est", 1), 1L).otherwise(0L)).as("hi50"),
+        sum(when($"v" < element_at($"est", 2), 1L).otherwise(0L)).as("lo90"),
+        sum(when($"v" <= element_at($"est", 2), 1L).otherwise(0L)).as("hi90"),
+        sum(when($"v" < element_at($"est", 3), 1L).otherwise(0L)).as("lo99"),
+        sum(when($"v" <= element_at($"est", 3), 1L).otherwise(0L)).as("hi99"))
+      val w = Window.partitionBy($"grp").orderBy($"v")
+      val exact = d.withColumn("rn", row_number().over(w))
+        .join(broadcast(est.select($"grp", $"n")), "grp")
+        .groupBy($"grp").agg(
+          max(when($"rn" === greatest(lit(1L), ceil(lit(0.5) * $"n")), $"v")).as("p50_exact"),
+          max(when($"rn" === greatest(lit(1L), ceil(lit(0.9) * $"n")), $"v")).as("p90_exact"),
+          max(when($"rn" === greatest(lit(1L), ceil(lit(0.99) * $"n")), $"v")).as("p99_exact"))
+      def ok(lo: Column, hi: Column, q: Double, n: Column): Column =
+        (lo <= n * (q + eps)) && (hi >= n * (q - eps))
+      ranks.join(exact, "grp")
+        .select($"grp", $"n",
+          $"p50_exact", $"p90_exact", $"p99_exact",
+          ok($"lo50", $"hi50", 0.5, $"n").as("ok50"),
+          ok($"lo90", $"hi90", 0.9, $"n").as("ok90"),
+          ok($"lo99", $"hi99", 0.99, $"n").as("ok99"))
+        .orderBy($"grp")
     }),
 
     // Equi-width histogram (20 buckets over the full price range).
@@ -295,6 +484,23 @@ object Sketches {
         |  string_agg(event_type || ':' || cnt, ','
         |             ORDER BY cnt DESC, event_type) AS heavy_hitters
         |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q121_quantile_sketch" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem),
+        |n AS (SELECT grp, count(*) AS n FROM d GROUP BY grp),
+        |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |      FROM d)
+        |SELECT n.grp, CAST(n.n AS BIGINT) AS n,
+        |  max(CASE WHEN r.rn = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))
+        |           THEN r.v END) AS p50_exact,
+        |  max(CASE WHEN r.rn = greatest(1, CAST(ceil(0.9 * n.n) AS BIGINT))
+        |           THEN r.v END) AS p90_exact,
+        |  max(CASE WHEN r.rn = greatest(1, CAST(ceil(0.99 * n.n) AS BIGINT))
+        |           THEN r.v END) AS p99_exact,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM r JOIN n ON r.grp = n.grp
+        |GROUP BY n.grp, n.n ORDER BY n.grp""".stripMargin,
 
     "q95_histogram" ->
       """WITH s AS (

@@ -81,6 +81,52 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch is exact (and partitioning-invariant) in the ≤ k regime") {
+    import spark.implicits._
+    val k = 64
+    val qsk = udaf(new graft.engine.Sketches.QuantileSketch(k, Seq(0.5, 0.9, 0.99)))
+    // 60 values ≤ k: sketch must return the exact discrete quantiles
+    // (value at rank ceil(q·n)) for ANY partition layout
+    val vals = (1 to 60).map(i => ((i * 37) % 61).toDouble)
+    val sortedV = vals.sorted
+    def exact(q: Double): Double = sortedV(math.ceil(q * vals.size).toInt - 1)
+    for (parts <- Seq(1, 7, 16)) {
+      val est = vals.toDF("v").repartition(parts)
+        .agg(qsk($"v")).as[Array[Double]].head()
+      assert(est.toSeq == Seq(exact(0.5), exact(0.9), exact(0.99)),
+        s"parts=$parts: ${est.toSeq}")
+    }
+  }
+
+  test("quantile sketch rank error stays within the deterministic bound") {
+    import spark.implicits._
+    val k = 256
+    val n = 50000
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val qsk = udaf(new graft.engine.Sketches.QuantileSketch(k, qs))
+    // adversarial-ish input: skewed duplicates + a smooth tail, keyed
+    // hash order so the data is deterministic but unsorted
+    val vals = (1 to n).map { i =>
+      val h = ((i * 2654435761L) & 0x7fffffff) % n
+      if (h % 3 == 0) 42.0 else h.toDouble / 7.0
+    }
+    val sortedV = vals.sorted.toArray
+    // hard bound: ε = L/k with L levels; generous 2x headroom
+    val levels = math.max(1, math.ceil(math.log(n.toDouble / k) / math.log(2)).toInt)
+    val eps = 2.0 * levels.toDouble / k
+    for (parts <- Seq(1, 32)) {
+      val est = vals.toDF("v").repartition(parts)
+        .agg(qsk($"v")).as[Array[Double]].head()
+      qs.zip(est).foreach { case (q, e) =>
+        val lo = sortedV.count(_ < e)   // est rank interval [lo+1, hi]
+        val hi = sortedV.count(_ <= e)
+        val target = q * n
+        assert(lo <= target + eps * n && hi >= target - eps * n,
+          s"parts=$parts q=$q est=$e rank=[$lo,$hi] target=$target eps=$eps")
+      }
+    }
+  }
+
   test("chunks reconstruct every document exactly (stride-overlap inverse)") {
     import spark.implicits._
     val docs = graft.engine.Tables.documents(spark, dir)
