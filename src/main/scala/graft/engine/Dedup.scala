@@ -123,6 +123,42 @@ object Dedup {
       lshPairs(s, dir).orderBy($"doc1", $"doc2")
     }),
 
+    // Incremental near-dup maintenance AS A VERIFIED QUERY (the
+    // IncrementalDedupSpec scenario promoted into the oracle matrix):
+    // cluster the seed corpus (doc_id < 400) from scratch, then ingest
+    // the remaining documents through [[dedupIncremental]] — batch-only
+    // signatures, stored-index probe, contracted-graph label merge.
+    // The oracle is the FULL-RECOMPUTE clustering SQL (identical to
+    // q57's), so the driver independently re-proves that delta
+    // maintenance ≡ recompute. At 100 TB this is the difference
+    // between re-clustering the corpus per crawl cycle and paying
+    // ∝ batch: every incremental stage is bounded by the delta.
+    "q122_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = T.documents(s, dir).select($"doc_id", $"text")
+        val seed = docs.filter($"doc_id" < 400L)
+        val delta = docs.filter($"doc_id" >= 400L)
+        // seed state = full pipeline on the seed corpus only
+        val pairs = pairsOf(seed).localCheckpoint()
+        val touched = pairs.select($"a".as("doc_id"))
+          .union(pairs.select($"b".as("doc_id")))
+        val singles = seed.select($"doc_id")
+          .join(touched, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"doc_id".as("cluster_id"))
+        val prevLabels = componentsStar(pairs).unionByName(singles)
+        val (_, labels) =
+          dedupIncremental(bandsOf(seed).localCheckpoint(), prevLabels, delta)
+        val byCluster = Window.partitionBy($"cluster_id")
+        labels
+          .withColumn("cluster_size", count(lit(1)).over(byCluster))
+          .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+          .orderBy($"doc_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
     // Dedup CLUSTERING — the stage after candidate generation: group
     // near-duplicate pairs into connected components and elect one
     // canonical document per component (cluster_id = min doc_id). This
@@ -693,7 +729,42 @@ object Dedup {
       |  SELECT DISTINCT doc_id, w || ' ' || w1 || ' ' || w2 AS sh
       |  FROM toks WHERE w1 IS NOT NULL AND w2 IS NOT NULL)""".stripMargin
 
+  /** Full-recompute clustering SQL — the shared oracle for every path
+    * that must land on the same (doc_id, cluster_id) labeling: q57
+    * (label propagation), q86 (star contraction), and q122 (the
+    * incremental maintenance path — delta ingest must be
+    * indistinguishable from this full recompute). */
+  private def clustersOracleSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |sigs AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+       |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+       |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+       |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+       |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc1 AS a, doc2 AS b FROM pairs
+       |  UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q122_incremental_dedup" -> clustersOracleSql,
+
     "q51_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |sigs AS (

@@ -189,9 +189,116 @@ object Multimodal {
       }
   }
 
+  case class VideoMeta(path: String, duration_sec: Double, n_tracks: Int,
+                       video_codec: String, width: Int, height: Int)
+
+  /** REAL MP4/ISO-BMFF container metadata via pure-JVM box parsing —
+    * no codec involved, so no environment limit: walk the box tree
+    * (`moov → mvhd` for timescale/duration, `trak → tkhd` for the
+    * 16.16 fixed-point dimensions, `trak → mdia → hdlr` for the
+    * 'vide' handler, `… → stbl → stsd` for the sample-entry fourcc).
+    * Frame DECODE stays environment-limited (no JRE video codec);
+    * metadata is now a real code path (MultimodalSpec builds a minimal
+    * MP4 byte-exactly and checks every field). Returns None unless the
+    * bytes carry a well-formed `ftyp`+`moov`. */
+  private[graft] def mp4Probe(path: String, bytes: Array[Byte]): Option[VideoMeta] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      // (type, payloadStart, payloadEnd) of each child box in [start, end)
+      def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var off = start.toLong
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val o = off.toInt
+          val size32 = bb.getInt(o).toLong & 0xffffffffL
+          val typ = new String(
+            Array(bb.get(o + 4), bb.get(o + 5), bb.get(o + 6), bb.get(o + 7)),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          var hdr = 8L
+          val boxSize =
+            if (size32 == 1L && off + 16 <= end) { hdr = 16L; bb.getLong(o + 8) }
+            else if (size32 == 0L) end - off // last box runs to EOF
+            else size32
+          if (boxSize < hdr || off + boxSize > end) ok = false // corrupt: stop
+          else {
+            out += ((typ, (off + hdr).toInt, (off + boxSize).toInt))
+            off += boxSize
+          }
+        }
+        out.toSeq
+      }
+      val top = children(0, bytes.length)
+      if (!top.exists(_._1 == "ftyp")) None
+      else top.find(_._1 == "moov").map { case (_, ms, me) =>
+        val mv = children(ms, me)
+        var durationSec = 0.0
+        mv.find(_._1 == "mvhd").foreach { case (_, s0, _) =>
+          val v = bb.get(s0) & 0xff
+          if (v == 1) {
+            val ts = bb.getInt(s0 + 20)
+            if (ts > 0) durationSec = bb.getLong(s0 + 24).toDouble / ts
+          } else {
+            val ts = bb.getInt(s0 + 12)
+            if (ts > 0)
+              durationSec = (bb.getInt(s0 + 16).toLong & 0xffffffffL).toDouble / ts
+          }
+        }
+        val traks = mv.filter(_._1 == "trak").map { case (_, ts0, te0) =>
+          val tk = children(ts0, te0)
+          val (w, h) = tk.find(_._1 == "tkhd").map { case (_, s0, _) =>
+            val shift = if ((bb.get(s0) & 0xff) == 1) 12 else 0
+            (bb.getInt(s0 + 76 + shift) >>> 16, bb.getInt(s0 + 80 + shift) >>> 16)
+          }.getOrElse((0, 0))
+          val mdia = tk.find(_._1 == "mdia").map(b => children(b._2, b._3))
+            .getOrElse(Seq.empty)
+          val isVideo = mdia.find(_._1 == "hdlr").exists { case (_, s0, _) =>
+            new String(Array(bb.get(s0 + 8), bb.get(s0 + 9), bb.get(s0 + 10),
+              bb.get(s0 + 11)), java.nio.charset.StandardCharsets.ISO_8859_1) == "vide"
+          }
+          val codec = mdia.find(_._1 == "minf").map(b => children(b._2, b._3))
+            .flatMap(_.find(_._1 == "stbl")).map(b => children(b._2, b._3))
+            .flatMap(_.find(_._1 == "stsd")).flatMap { case (_, s0, e0) =>
+              if (s0 + 16 <= e0 && bb.getInt(s0 + 4) > 0)
+                Some(new String(Array(bb.get(s0 + 12), bb.get(s0 + 13),
+                  bb.get(s0 + 14), bb.get(s0 + 15)),
+                  java.nio.charset.StandardCharsets.ISO_8859_1))
+              else None
+            }
+          (w, h, codec, isVideo)
+        }
+        val vid = traks.find(t => t._4 || t._1 > 0)
+        VideoMeta(path, durationSec, traks.size,
+          vid.flatMap(_._3).getOrElse("unknown"),
+          vid.map(_._1).getOrElse(0), vid.map(_._2).getOrElse(0))
+      }
+    } catch { case _: Throwable => None }
+
+  /** ==== STUB fallback ==== deterministic fake video metadata for
+    * bytes that are not ISO-BMFF, derived from the byte length (same
+    * discipline and oracle-replicable arithmetic as [[stubDecode]]). */
+  private[graft] def stubVideo(path: String, bytes: Array[Byte]): VideoMeta =
+    VideoMeta(path, (bytes.length % 3600).toDouble, (1 + bytes.length % 3).toInt,
+      "stub", (64 + bytes.length % 1024).toInt,
+      (64 + (bytes.length / 7) % 1024).toInt)
+
+  /** Per-partition batch video probe: real [[mp4Probe]] first, stub
+    * fallback — the same contract as [[decodeImages]]/[[decodeAudio]]. */
+  def probeVideos(bin: DataFrame): Dataset[VideoMeta] = {
+    import bin.sparkSession.implicits._
+    bin.select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          mp4Probe(path, bytes).getOrElse(stubVideo(path, bytes))
+        }
+      }
+  }
+
   /** ==== STUB ==== deterministic fake frame sampling for video bytes:
     * emits every k-th "frame offset" with a content hash — the
-    * explode-shaped plumbing of a real frame sampler. */
+    * explode-shaped plumbing of a real frame sampler. (Frame DECODE is
+    * the only remaining stub in the multimodal family — no JRE video
+    * codec exists; container METADATA is real, see [[mp4Probe]].) */
   def sampleFrames(bin: DataFrame, everyNth: Int = 10): DataFrame = {
     val frames = bin.select(col("path"), col("length"))
       .withColumn("frame_idx",
@@ -238,6 +345,25 @@ object Multimodal {
           aggregate($"histogram", lit(0.0d),
             (acc, x) => acc + x.cast("double")).cast("long").as("n_hist_bytes"))
         .orderBy($"file_name")
+    }),
+
+    // Video container metadata through the real distribution plumbing
+    // (binaryFile scan → typed mapPartitions probe → metadata schema).
+    // The fixture corpus is parquet bytes — not ISO-BMFF — so every
+    // row takes the documented stub fallback here (arithmetic the
+    // oracle replays from read_blob size); the REAL mp4Probe path is
+    // exercised in MultimodalSpec on a generated minimal MP4.
+    "q123_video_metadata" -> ((s, _) => {
+      import s.implicits._
+      probeVideos(readBinary(s, binaryCorpusDir(s), "*.parquet")).toDF()
+        .select(
+          element_at(split($"path", "/"), -1).as("file_name"),
+          $"duration_sec",
+          $"n_tracks".cast("long").as("n_tracks"),
+          $"video_codec",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"))
+        .orderBy($"file_name")
     }))
 
   /** The driver verifies at sf0.01; read_blob needs a literal path (the
@@ -257,6 +383,16 @@ object Multimodal {
         |  CAST(64 + (size // 7) % 512 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
         |  CAST(least(size, 65536) AS BIGINT) AS n_hist_bytes
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
+
+    "q123_video_metadata" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+        |  CAST(size % 3600 AS DOUBLE) AS duration_sec,
+        |  CAST(1 + size % 3 AS BIGINT) AS n_tracks,
+        |  'stub' AS video_codec,
+        |  CAST(64 + size % 1024 AS BIGINT) AS width,
+        |  CAST(64 + (size // 7) % 1024 AS BIGINT) AS height
         |FROM read_blob('/root/testdata/sf0.01/*.parquet')
         |ORDER BY file_name""".stripMargin)
 }

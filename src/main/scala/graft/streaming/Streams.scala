@@ -26,15 +26,29 @@ object Streams {
                         session_end_us: Long, n_events: Long)
 
   /** Streaming read of the events parquet (nanos ts → micros, same as
-    * the batch loader). */
-  def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // glob (not the bare file path): FileStreamSource requires its
-    // basePath to be a directory, which the glob's parent provides
-    s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * the batch loader). In `metastore:<db>` mode the stream tails the
+    * MANAGED table's file location (catalog lookup) — a file stream
+    * over a catalog table's directory is exactly how a production
+    * ingest tails a Hive-registered landing table, and it keeps the
+    * whole streaming surface runnable against the catalog seam. */
+  def eventStream(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Tables.metastoreDb(dir) match {
+      case Some(db) =>
+        // the registered table was saved through the batch accessor, so
+        // ts is already micro-precision TimestampType
+        val loc = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("events", Some(db)))
+          .location.toString
+        val schema = s.table(s"$db.events").schema
+        s.readStream.schema(schema).parquet(loc)
+      case None =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        // glob (not the bare file path): FileStreamSource requires its
+        // basePath to be a directory, which the glob's parent provides
+        s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Tumbling 1-hour windowed aggregation as a true streaming query,
     * drained synchronously into a memory sink and returned as a batch

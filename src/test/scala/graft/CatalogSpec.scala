@@ -111,26 +111,26 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
-  test("catalog-mode parity: the query surface over spark.table ≡ the parquet path") {
+  test("catalog-mode parity: the FULL query surface over spark.table ≡ the parquet path") {
     // the declared-schema parquet loaders and the Hive-metastore tables
     // must be the SAME engine: register all 10 fixtures as managed
-    // tables, then run a representative slice of the verified query
-    // surface (scan/join/agg/window/set-ops/recursion/dedup/ANN/sketch/
-    // time-series/graph) through the `metastore:<db>` seam and demand
-    // row-identical results, doubles included
+    // tables, then run EVERY declared query through the
+    // `metastore:<db>` seam and demand row-identical results, doubles
+    // included. (The north star names metastore integration; this is
+    // the whole verified surface running against Hive-catalog tables
+    // with zero per-query changes.)
     graft.engine.Catalog.registerAll(spark, dir, "graft")
-    val names = Seq(
-      "q01_pricing_summary", "q05_regional_revenue", "q14_window_rank",
-      "q17_setops", "q30_upline_ancestors", "q50_exact_dedup",
-      "q51_minhash_lsh", "q60_cosine_topk", "q64_tpch_q3",
-      "q92_kmv_distinct", "q94_gapfill_ffill", "q97_pagerank")
-    names.foreach { n =>
-      val fromParquet = SparkEntry.queries(n)(spark, dir).collect().toSeq
-      val fromCatalog = SparkEntry.queries(n)(spark, "metastore:graft").collect().toSeq
-      assert(fromParquet.nonEmpty, s"$n returned no rows")
-      assert(fromParquet == fromCatalog,
-        s"$n diverges between parquet and metastore paths")
+    val diverged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      scala.util.Try {
+        val fromParquet = fn(spark, dir).collect().toSeq
+        val fromCatalog = fn(spark, "metastore:graft").collect().toSeq
+        if (fromParquet == fromCatalog) None
+        else Some(s"$n (parquet ${fromParquet.size} rows vs catalog ${fromCatalog.size})")
+      }.recover { case e => Some(s"$n (threw ${e.getClass.getSimpleName}: ${e.getMessage.take(120)})") }
+        .get
     }
+    assert(diverged.isEmpty,
+      s"queries diverging between parquet and metastore paths: $diverged")
   }
 
   test("partitioned table prunes partitions on filter") {

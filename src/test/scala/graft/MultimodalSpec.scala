@@ -98,4 +98,90 @@ class MultimodalSpec extends AnyFunSuite {
     val stub = graft.engine.Multimodal.stubAudio("x.bin", junk)
     assert(stub.n_frames == 200L && stub.sample_rate == 16000)
   }
+
+  /** Build a minimal but spec-shaped ISO-BMFF file byte-by-byte:
+    * ftyp + moov(mvhd, trak(tkhd, mdia(hdlr, minf(stbl(stsd(avc1)))))). */
+  private def minimalMp4(timescale: Int, duration: Int,
+                         w: Int, h: Int, fourcc: String): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0) ++ "isom".getBytes)
+    val mvhd = { // version 0: ts at offset 12, duration at 16, payload 100 bytes
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = { // version 0: width/height as 16.16 fixed at offsets 76/80
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76); b.putInt(w << 16).putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    val hdlr = { // handler_type 'vide' at payload offset 8
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.position(8); b.put("vide".getBytes("ISO-8859-1"))
+      box("hdlr", b.array())
+    }
+    val stsd = { // entry_count 1, then a 16-byte sample entry with the fourcc
+      val entry = java.nio.ByteBuffer.allocate(16)
+      entry.putInt(16).put(fourcc.getBytes("ISO-8859-1"))
+      val b = java.nio.ByteBuffer.allocate(8 + 16)
+      b.putInt(0).putInt(1).put(entry.array())
+      box("stsd", b.array())
+    }
+    val trak = box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stsd))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  test("minimal MP4 container metadata parses with true duration/dims/codec") {
+    val bytes = minimalMp4(timescale = 1000, duration = 7500, w = 640, h = 360,
+      fourcc = "avc1")
+    val meta = graft.engine.Multimodal.mp4Probe("clip.mp4", bytes)
+    assert(meta.isDefined, "well-formed ftyp+moov must parse")
+    val m = meta.get
+    assert(m.duration_sec == 7.5)
+    assert(m.n_tracks == 1)
+    assert(m.video_codec == "avc1")
+    assert(m.width == 640 && m.height == 360)
+  }
+
+  test("mp4 probe routed through probeVideos uses the real parser; junk stubs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp4")
+    java.nio.file.Files.write(dir.resolve("clip.mp4"),
+      minimalMp4(600, 1200, 320, 240, "hvc1"))
+    java.nio.file.Files.write(dir.resolve("junk.mp4"),
+      Array.tabulate[Byte](700)(i => (i % 89).toByte))
+    val rows = graft.engine.Multimodal
+      .probeVideos(graft.engine.Multimodal.readBinary(spark, dir.toString, "*.mp4"))
+      .collect().map(v => v.path.split('/').last -> v).toMap
+    assert(rows("clip.mp4").video_codec == "hvc1")
+    assert(rows("clip.mp4").duration_sec == 2.0)
+    assert(rows("clip.mp4").width == 320 && rows("clip.mp4").height == 240)
+    // truncated/garbage bytes: deterministic stub, never a crash
+    assert(rows("junk.mp4").video_codec == "stub")
+    assert(rows("junk.mp4").n_tracks == 1 + 700 % 3)
+  }
+
+  test("corrupt box sizes terminate the walk instead of looping or throwing") {
+    val good = minimalMp4(1000, 1000, 64, 64, "avc1")
+    // lie about the moov size: point it past EOF
+    val bad = good.clone()
+    val moovOff = {
+      var off = 0; var found = -1
+      while (found < 0 && off + 8 <= bad.length) {
+        val t = new String(bad.slice(off + 4, off + 8), "ISO-8859-1")
+        if (t == "moov") found = off
+        else off += java.nio.ByteBuffer.wrap(bad, off, 4).getInt
+      }
+      found
+    }
+    java.nio.ByteBuffer.wrap(bad, moovOff, 4).putInt(Int.MaxValue)
+    // must not throw; moov walk aborts → treated as unparseable
+    assert(graft.engine.Multimodal.mp4Probe("x.mp4", bad).isEmpty)
+    // and zero-length / tiny buffers are safe too
+    assert(graft.engine.Multimodal.mp4Probe("e.mp4", Array.emptyByteArray).isEmpty)
+  }
 }
