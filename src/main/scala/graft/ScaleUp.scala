@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf0.1 → sf1 scale-up generator (dev tool, not part of
+  * the query surface): 10 key-shifted copies of every fact table, so
+  * the scaling-curve bench (SCALE.md) runs on ×10 data with sane join
+  * semantics — copy k's keys live in their own 1e6-stride keyspace, so
+  * per-copy join fan-outs match the sf0.1 originals instead of
+  * cross-multiplying.
+  *
+  * Documents: copy k > 0 marks every 3rd token with a `_k` suffix.
+  * Every 3-gram shingle then contains ≥ 1 marked token, so shingle
+  * sets NEVER overlap across copies while each copy preserves the
+  * original internal near-dup structure exactly — the honest model of
+  * a ×10 crawl (10 shards, same per-shard dup rate), and the property
+  * that keeps candidate-pair counts scaling ×10 instead of ×100.
+  *
+  * Embeddings are cloned with shifted ids only: the ANN queries' query
+  * SETS (`vec_id % 25 = 0`) grow ×10 with the corpus by construction,
+  * so their total work model is ×100 at ×10 data — SCALE.md normalizes
+  * against that model rather than hiding it.
+  *
+  * Events keep `ts` as raw NANO longs (the driver fixture's physical
+  * type), so `Tables.events`' nanos→micros conversion — and the
+  * streaming tail — run unchanged against the generated directory.
+  */
+object ScaleUp {
+  private val Stride = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      // the fixture's events.ts is TIMESTAMP(NANOS): read it as a raw
+      // long and write it back as a raw long — the loaders' nanos
+      // handling then applies to the generated dir identically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def copiesOf(name: String, shift: (DataFrame, Column) => DataFrame): DataFrame = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map(i => shift(base, lit(i.toLong * Stride))).reduce(_ union _)
+    }
+
+    def write(df: DataFrame, name: String, parts: Int = 8): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // dims: unchanged
+    for (t <- Seq("region", "nation"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t, parts = 1)
+
+    write(copiesOf("customer", (df, o) =>
+      df.withColumn("c_custkey", $"c_custkey" + o)), "customer")
+    write(copiesOf("supplier", (df, o) =>
+      df.withColumn("s_suppkey", $"s_suppkey" + o)), "supplier")
+    write(copiesOf("part", (df, o) =>
+      df.withColumn("p_partkey", $"p_partkey" + o)), "part")
+    write(copiesOf("orders", (df, o) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + o)
+        .withColumn("o_custkey", $"o_custkey" + o)), "orders")
+    write(copiesOf("lineitem", (df, o) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + o)
+        .withColumn("l_partkey", $"l_partkey" + o)
+        .withColumn("l_suppkey", $"l_suppkey" + o)), "lineitem", parts = 16)
+    // events: ts stays a NANO long (see scaladoc)
+    write(copiesOf("events", (df, o) =>
+      df.withColumn("event_id", $"event_id" + o)
+        .withColumn("user_id", $"user_id" + o)), "events")
+    write(copiesOf("documents", (df, o) => {
+      val marked = array_join(
+        zip_with(split($"text", " "),
+          sequence(lit(0), size(split($"text", " ")) - 1),
+          (w, p) => when(o === 0L || p % 3 =!= 0, w)
+            .otherwise(concat(w, lit("_"), (o / Stride).cast("string")))),
+        " ")
+      df.withColumn("doc_id", $"doc_id" + o)
+        .withColumn("text", marked)
+        .withColumn("n_chars", length(marked))
+    }), "documents")
+    write(copiesOf("embeddings", (df, o) =>
+      df.withColumn("vec_id", $"vec_id" + o)), "embeddings")
+
+    spark.stop()
+  }
+}
