@@ -291,6 +291,36 @@ object Dedup {
         .orderBy($"doc1", $"doc2")
     }),
 
+    // The PRODUCTION-WIDTH SimHash (SCALE.md's q68 scaling note made
+    // executable): a 60-bit fingerprint (15 md5 hex chars per token —
+    // the widest value that stays positive in a signed BIGINT on both
+    // engines) with 4 × 15-bit pigeonhole blocks. Same lossless-banding
+    // theorem (Hamming ≤ 3 ⇒ some block matches exactly), but block
+    // buckets now span 2^15 values, so bucket occupancy — and with it
+    // the candidate count — stays bounded through ~10^8 docs where the
+    // 16-bit q68 fingerprint saturates at ~10^5. Oracle is the brute-
+    // force all-pairs check, so the banding is again PROVEN lossless.
+    "q124_simhash64_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val hd = graft.functions.HammingDistance.hamming(s) _
+      val sh = simhash64Of(s, dir)
+      val blocks = sh.select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("blk"))
+        .withColumn("bval",
+          expr("(simhash div shiftleft(CAST(1 AS BIGINT), blk * 15)) % 32768"))
+        .cache() // both sides of the candidate self-join consume it
+      blocks.alias("a")
+        .join(blocks.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+        .distinct() // a close pair can collide in several blocks
+        .select($"doc1", $"doc2", hd($"h1", $"h2").as("hamming"))
+        .filter($"hamming" <= 3L)
+        .orderBy($"doc1", $"doc2")
+    }),
+
     // Edit-distance fuzzy verification over shared-shingle candidates —
     // the character-level sibling of q53's token-level Jaccard. The
     // Levenshtein kernel is O(|t1|·|t2|) per pair, which is exactly why
@@ -692,6 +722,44 @@ object Dedup {
         expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
   }
 
+  /** (doc_id, simhash): 60-bit md5-majority SimHash — [[simhashOf]]
+    * at the production width (see q124). */
+  def simhash64Of(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+      .withColumn("v", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+      .withColumn("bit", explode(sequence(lit(0), lit(59))))
+      .withColumn("contrib",
+        when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
+          .otherwise(-1L))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum($"contrib").as("lean"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"lean" > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** 60-bit variant of [[simhashCte]] (q124): token value = first 15
+    * md5 hex chars via hex cast (both engines parse the same 60-bit
+    * positive BIGINT). */
+  private val simhash64Cte =
+    """tv AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS v
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents) raw),
+      |bits AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS lean
+      |  FROM tv CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+      |  GROUP BY doc_id, bit),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN lean > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   private val simhashCte =
     """toks AS (
       |  SELECT doc_id, substr(md5(w), 1, 4) AS h4
@@ -892,6 +960,15 @@ object Dedup {
 
     "q68_simhash_pairs" ->
       s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // brute-force ground truth again ⇒ the 4×15-bit banding is lossless
+    "q124_simhash64_pairs" ->
+      s"""WITH $simhash64Cte
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
