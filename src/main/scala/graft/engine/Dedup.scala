@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables => T}
@@ -247,6 +247,53 @@ object Dedup {
         .join(hits, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"n_overlap", lit(0L)).as("n_overlap"),
           (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
+    // Bloom-filter decontamination pre-filter next to q74's exact
+    // answer: a 4096-bit bitmap (Sketches.BloomBits — 64 longs,
+    // merge = pointwise OR) is built from the benchmark's distinct
+    // shingles and broadcast as ONE row; every corpus shingle then
+    // tests its k = 3 md5-derived bit positions MAP-SIDE (codegen'd
+    // shifts over the broadcast array — no join against the benchmark
+    // set at all). No false negatives by construction (n_bloom ≥
+    // n_overlap per doc, bloom_flagged ⊇ contaminated — BloomSpec
+    // pins both); false_positive shows the price of the 512-byte
+    // state. At 100 TB this is the shape that matters: the bitmap (a
+    // few MB in production) ships to every executor, and only
+    // bloom-positive docs pay q74's exact verification join.
+    "q126_bloom_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val mBits = 4096
+      val bloomAgg = udaf(new Sketches.BloomBits(mBits / 64))
+      val sh = shingles(s, dir)
+      def posCol(sfx: Column): Column =
+        conv(substring(md5(concat($"sh", lit(":bf"), sfx)), 1, 13), 16, 10)
+          .cast("long") % mBits
+      val bloom = sh.filter($"doc_id" < 25).select($"sh").distinct()
+        .withColumn("i", explode(sequence(lit(0), lit(2))))
+        .agg(bloomAgg(posCol($"i")).as("bm"))
+      def bitTest(p: String): String =
+        s"(shiftright(element_at(bm, CAST($p div 64 AS INT) + 1), CAST($p % 64 AS INT)) & 1) = 1"
+      val probed = sh.filter($"doc_id" >= 25)
+        .withColumn("p0", posCol(lit(0)))
+        .withColumn("p1", posCol(lit(1)))
+        .withColumn("p2", posCol(lit(2)))
+        .crossJoin(broadcast(bloom))
+        .withColumn("in_bloom",
+          expr(bitTest("p0")) && expr(bitTest("p1")) && expr(bitTest("p2")))
+        .groupBy($"doc_id")
+        .agg(sum(when($"in_bloom", 1L).otherwise(0L)).as("n_bloom"))
+      T.documents(s, dir).filter($"doc_id" >= 25).select($"doc_id")
+        .join(contaminationCounts(s, dir), Seq("doc_id"), "left")
+        .join(probed, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+          coalesce($"n_bloom", lit(0L)).as("n_bloom"),
+          (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"),
+          (coalesce($"n_bloom", lit(0L)) > 0L).as("bloom_flagged"),
+          (coalesce($"n_bloom", lit(0L)) > 0L &&
+            coalesce($"n_overlap", lit(0L)) === 0L).as("false_positive"))
         .orderBy($"doc_id")
     }),
 
@@ -952,6 +999,39 @@ object Dedup {
          |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(h.n_overlap, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin,
+
+    "q126_bloom_decontamination" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id < 25),
+         |bpos AS (SELECT DISTINCT
+         |    CAST(('0x' || substr(md5(b.sh || ':bf' || CAST(t.i AS VARCHAR)), 1, 13))
+         |      AS BIGINT) % 4096 AS p
+         |  FROM bench b, range(3) t(i)),
+         |shf AS (SELECT s.doc_id,
+         |    (CAST(('0x' || substr(md5(s.sh || ':bf0'), 1, 13)) AS BIGINT) % 4096
+         |       IN (SELECT p FROM bpos))
+         |    AND (CAST(('0x' || substr(md5(s.sh || ':bf1'), 1, 13)) AS BIGINT) % 4096
+         |       IN (SELECT p FROM bpos))
+         |    AND (CAST(('0x' || substr(md5(s.sh || ':bf2'), 1, 13)) AS BIGINT) % 4096
+         |       IN (SELECT p FROM bpos)) AS in_bloom
+         |  FROM shingles s WHERE s.doc_id >= 25),
+         |blm AS (SELECT doc_id,
+         |    CAST(count(CASE WHEN in_bloom THEN 1 END) AS BIGINT) AS n_bloom
+         |  FROM shf GROUP BY doc_id),
+         |hits AS (SELECT s.doc_id, count(*) AS n_overlap
+         |         FROM shingles s JOIN bench b ON s.sh = b.sh
+         |         WHERE s.doc_id >= 25 GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(b.n_bloom, 0) AS n_bloom,
+         |  coalesce(h.n_overlap, 0) > 0 AS contaminated,
+         |  coalesce(b.n_bloom, 0) > 0 AS bloom_flagged,
+         |  coalesce(b.n_bloom, 0) > 0 AND coalesce(h.n_overlap, 0) = 0
+         |    AS false_positive
+         |FROM documents d
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |LEFT JOIN blm b ON b.doc_id = d.doc_id
          |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin,
 
     "q52_simhash" ->

@@ -35,9 +35,11 @@ object Sketches {
     * an exactly-representable double, so the estimate is bit-equal in
     * any engine that can md5 — the property the oracle check relies
     * on. */
-  class Kmv(k: Int) extends Aggregator[String, Array[String], Double] {
-    def zero: Array[String] = Array.empty
-    def reduce(b: Array[String], h: String): Array[String] = {
+  /** Shared bottom-k state transitions (sorted distinct arrays),
+    * delegated to by both Kmv (estimate output) and KmvKeep (sketch
+    * output) so the two stay transition-identical. */
+  private[engine] object KmvOps {
+    def reduceSorted(b: Array[String], h: String, k: Int): Array[String] = {
       val idx = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], h)
       if (idx >= 0) b // already in the sketch
       else {
@@ -53,7 +55,7 @@ object Sketches {
         }
       }
     }
-    def merge(a: Array[String], b: Array[String]): Array[String] = {
+    def mergeSorted(a: Array[String], b: Array[String], k: Int): Array[String] = {
       // sorted-merge two distinct sorted arrays, keep the k smallest
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0; var j = 0
@@ -65,6 +67,14 @@ object Sketches {
       }
       out.toArray
     }
+  }
+
+  class Kmv(k: Int) extends Aggregator[String, Array[String], Double] {
+    def zero: Array[String] = Array.empty
+    def reduce(b: Array[String], h: String): Array[String] =
+      KmvOps.reduceSorted(b, h, k)
+    def merge(a: Array[String], b: Array[String]): Array[String] =
+      KmvOps.mergeSorted(a, b, k)
     def finish(b: Array[String]): Double =
       if (b.length < k) b.length.toDouble
       else {
@@ -81,7 +91,121 @@ object Sketches {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  /** The raw bottom-k sketch itself (sorted distinct md5 hex array)
+    * instead of the finished estimate — the form you PERSIST: two
+    * stored KmvKeep sketches support union (sorted-merge-truncate),
+    * intersection, and Jaccard estimation LATER, without the data
+    * (q127 does exactly that in pure Catalyst array ops). */
+  class KmvKeep(k: Int) extends Aggregator[String, Array[String], Array[String]] {
+    def zero: Array[String] = Array.empty
+    def reduce(b: Array[String], h: String): Array[String] =
+      KmvOps.reduceSorted(b, h, k)
+    def merge(a: Array[String], b: Array[String]): Array[String] =
+      KmvOps.mergeSorted(a, b, k)
+    def finish(b: Array[String]): Array[String] = b
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** (k−1)·2^52 for k = 128 — the bottom-k estimate numerator, folded
+    * once (127·2^52 is exactly representable) and interpolated into
+    * the oracle like HllEstNumerator, so est_union is ONE int→double
+    * conversion + ONE IEEE division on both engines. */
+  val KmvEstNumerator: Double = 127.0 * 4503599627370496.0
+
   private val K = 128
+
+  /** HyperLogLog distinct-count sketch as a typed Aggregator: m = 64
+    * registers, each holding the max rank (1-based position of the
+    * first 1-bit in a 52-bit md5 slice) among the hashes routed to
+    * it. State is a fixed 64-int array no matter how many rows flow
+    * in, and reduce/merge are pointwise max — fully commutative,
+    * associative, AND idempotent, so unlike MG or the quantile sketch
+    * the ENTIRE register state (not just the estimate) is order- and
+    * partitioning-independent, duplicates are absorbed without a
+    * distinct shuffle, and the oracle replays registers exactly.
+    *
+    * finish returns [zero_regs, sum_scaled] where sum_scaled =
+    * Σ_j 2^(53 − reg_j), the harmonic-mean denominator scaled by 2^53
+    * so it is an EXACT BIGINT (every term is an integer power of two;
+    * an untouched register contributes 2^53). The classic raw
+    * estimate α₆₄·m²/Σ 2^(−reg) is then derived OUTSIDE the sketch as
+    * α₆₄·m²·2^53 / sum_scaled — one int64→double conversion plus one
+    * IEEE division, bit-equal in any engine (the α₆₄·m²·2^53 constant
+    * is folded once in Scala and interpolated into the oracle SQL in
+    * shortest-round-trip form). Small-range/large-range bias
+    * corrections need ln(), whose libm bits differ across engines —
+    * they are a presentation concern applied downstream, not part of
+    * the verified surface; zero_regs is emitted so a consumer CAN
+    * apply linear counting. */
+  class Hll extends Aggregator[String, Array[Int], Array[Long]] {
+    private val m = 64
+    def zero: Array[Int] = new Array[Int](m)
+    def reduce(b: Array[Int], hex: String): Array[Int] = {
+      val j = java.lang.Integer.parseInt(hex.substring(0, 2), 16) % m
+      val v = java.lang.Long.parseLong(hex.substring(2, 15), 16) // 52 bits
+      // rank within the 52-bit slice: 53 − bit-length(v); all-zero slice → 53
+      val rho = if (v == 0L) 53 else java.lang.Long.numberOfLeadingZeros(v) - 11
+      if (rho > b(j)) b(j) = rho
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Int]): Array[Long] = {
+      var zeros = 0L; var sum = 0L; var i = 0
+      while (i < m) {
+        if (b(i) == 0) zeros += 1L
+        sum += 1L << (53 - b(i))
+        i += 1
+      }
+      Array(zeros, sum)
+    }
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** α₆₄·m²·2^53 for m = 64 (α₆₄ = 0.709, Flajolet et al. 2007),
+    * folded ONCE here and interpolated into the oracle SQL via
+    * Double.toString (shortest round-trip repr → identical bits on
+    * parse), so both engines divide by sum_scaled from the same
+    * constant instead of each folding the product their own way. */
+  val HllEstNumerator: Double = 0.709 * 4096.0 * 9007199254740992.0
+
+  /** Bloom-filter bitmap as a typed Aggregator over pre-hashed bit
+    * positions: the buffer is `words` longs (words·64 bits); reduce
+    * sets one bit, merge is pointwise OR — commutative, associative,
+    * idempotent, so the bitmap is partitioning-independent and every
+    * probe outcome is exactly replayable from position-set semantics
+    * (bit j set ⟺ j ∈ {positions of inserted keys}). Hashing stays in
+    * Catalyst (md5 → 52-bit prefix mod m, the q93 slot construction),
+    * so the hot path is codegen'd and the JVM side never re-implements
+    * the hash. State is words·8 bytes regardless of input size — the
+    * broadcastable pre-filter a 100 TB decontamination pass ships to
+    * every executor instead of the benchmark's full shingle set. */
+  class BloomBits(words: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], p: Long): Array[Long] = {
+      b((p >> 6).toInt) |= 1L << (p & 63L)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 
   /** Misra-Gries heavy-hitters summary as a typed Aggregator: at most
     * `cap` (key → weight) counters. An unseen key past capacity
@@ -394,6 +518,83 @@ object Sketches {
         .orderBy($"grp")
     }),
 
+    // HyperLogLog distinct-trigram cardinality per language — the
+    // constant-state sibling of q92's KMV (64 ints vs k=128 hashes;
+    // HLL absorbs duplicates idempotently, KMV needs the dedup
+    // binary-search). The exact countDistinct rides along as the
+    // auditable companion; zero_regs + sum_scaled ARE the register
+    // state (max is order-independent, so unlike every other
+    // estimate-bearing sketch the estimator input itself is
+    // oracle-exact). At 100 TB this is ONE combine-able aggregation —
+    // no distinct shuffle — with 64 ints per group on the wire.
+    "q125_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val hll = udaf(new Hll)
+      T.spread(T.documents(s, dir))
+        .select($"lang", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .select($"lang", explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+        .groupBy($"lang")
+        .agg(countDistinct($"g").as("true_distinct"),
+          hll(md5($"g")).as("st"))
+        .select($"lang", $"true_distinct",
+          element_at($"st", 1).as("zero_regs"),
+          element_at($"st", 2).as("sum_scaled"),
+          (lit(HllEstNumerator) / element_at($"st", 2).cast("double")).as("raw_est"))
+        .orderBy($"lang")
+    }),
+
+    // KMV set algebra: union / intersection / Jaccard of two corpus
+    // halves' trigram sets, estimated FROM THE SKETCHES ALONE — the
+    // two bottom-k states are built per side (one combine-able agg),
+    // then union-merged in pure Catalyst array ops
+    // (array_sort∘array_union then slice k — exactly KmvOps
+    // .mergeSorted), matched hashes give ρ = |skU∩skA∩skB|/k, and
+    // est_jaccard = ρ, est_union = (k−1)/frac(kth), est_intersection
+    // = ρ·est_union (Beyer et al., SIGMOD 2007). True values ride
+    // along as the auditable companion. At 100 TB the sides never
+    // co-shuffle: each half is sketched where it lives (map-side,
+    // ≤ k hashes on the wire), the 1-row sketches meet in a broadcast
+    // cross, and set arithmetic on persisted sketches replaces ever
+    // re-scanning either corpus.
+    "q127_kmv_set_algebra" -> ((s, dir) => {
+      import s.implicits._
+      val keep = udaf(new KmvKeep(K))
+      val tg = T.spread(T.documents(s, dir))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+      val sides = tg.groupBy(($"doc_id" % 2 === 0).as("in_a"))
+        .agg(keep(md5($"g")).as("sk"), countDistinct($"g").as("td"))
+      val a = sides.filter($"in_a").select($"sk".as("ska"), $"td".as("tda"))
+      val b = sides.filter(!$"in_a").select($"sk".as("skb"), $"td".as("tdb"))
+      val u = tg.agg(countDistinct($"g").as("true_union"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+        .withColumn("sku", expr(s"slice(array_sort(array_union(ska, skb)), 1, $K)"))
+        .withColumn("matches",
+          size(array_intersect(array_intersect($"sku", $"ska"), $"skb")).cast("long"))
+        .withColumn("denom", least(lit(K.toLong), size($"sku").cast("long")))
+        .withColumn("est_union",
+          when(size($"sku") < K, size($"sku").cast("double"))
+            .otherwise(lit(KmvEstNumerator) /
+              conv(substring(element_at($"sku", K), 1, 13), 16, 10)
+                .cast("long").cast("double")))
+        .withColumn("est_jaccard", $"matches".cast("double") / $"denom".cast("double"))
+        .select(lit(K.toLong).as("k"), $"tda", $"tdb", $"true_union",
+          ($"tda" + $"tdb" - $"true_union").as("true_intersection"),
+          (($"tda" + $"tdb" - $"true_union").cast("double") /
+            $"true_union".cast("double")).as("true_jaccard"),
+          $"matches", $"est_union",
+          ($"est_jaccard" * $"est_union").as("est_intersection"),
+          $"est_jaccard")
+    }),
+
     // Equi-width histogram (20 buckets over the full price range).
     // The 1-row min/max aggregate travels as an explicit broadcast
     // cross join (the benign single-row pattern q22/q76 established —
@@ -501,6 +702,83 @@ object Sketches {
         |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM r JOIN n ON r.grp = n.grp
         |GROUP BY n.grp, n.n ORDER BY n.grp""".stripMargin,
+
+    "q125_hll_distinct" ->
+      s"""WITH raw AS (
+         |  SELECT lang, doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         |    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+         |  FROM documents),
+         |seq AS (SELECT lang, doc_id, w,
+         |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+         |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+         |  FROM raw),
+         |tg AS (SELECT lang, w || ' ' || w1 || ' ' || w2 AS g
+         |       FROM seq WHERE w2 IS NOT NULL),
+         |b AS (SELECT lang,
+         |    CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) % 64 AS j,
+         |    CAST(('0x' || substr(md5(g), 3, 13)) AS BIGINT) AS v
+         |  FROM tg),
+         |reg AS (SELECT lang, j,
+         |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS r
+         |  FROM b GROUP BY lang, j),
+         |st AS (SELECT lang,
+         |    CAST(64 - count(*) AS BIGINT) AS zero_regs,
+         |    CAST(sum(1::BIGINT << (53 - r))
+         |         + (64 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS sum_scaled
+         |  FROM reg GROUP BY lang),
+         |td AS (SELECT lang, count(DISTINCT g) AS true_distinct
+         |       FROM tg GROUP BY lang)
+         |SELECT td.lang,
+         |  CAST(td.true_distinct AS BIGINT) AS true_distinct,
+         |  st.zero_regs, st.sum_scaled,
+         |  ${HllEstNumerator} / CAST(st.sum_scaled AS DOUBLE) AS raw_est
+         |FROM td JOIN st ON st.lang = td.lang
+         |ORDER BY td.lang""".stripMargin,
+
+    "q127_kmv_set_algebra" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         |    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+         |  FROM documents),
+         |seq AS (SELECT doc_id, w,
+         |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+         |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+         |  FROM raw),
+         |tg AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS g
+         |       FROM seq WHERE w2 IS NOT NULL),
+         |ha AS (SELECT DISTINCT md5(g) AS hv FROM tg WHERE doc_id % 2 = 0),
+         |hb AS (SELECT DISTINCT md5(g) AS hv FROM tg WHERE doc_id % 2 = 1),
+         |ska AS (SELECT hv FROM ha ORDER BY hv LIMIT $K),
+         |skb AS (SELECT hv FROM hb ORDER BY hv LIMIT $K),
+         |sku AS (SELECT hv FROM
+         |          (SELECT hv FROM ska UNION SELECT hv FROM skb) z
+         |        ORDER BY hv LIMIT $K),
+         |szu AS (SELECT count(*) AS sz FROM sku),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM sku
+         |      WHERE hv IN (SELECT hv FROM ska)
+         |        AND hv IN (SELECT hv FROM skb)),
+         |ta AS (SELECT CAST(count(*) AS BIGINT) AS tda FROM ha),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS tdb FROM hb),
+         |tu AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS true_union FROM tg)
+         |SELECT CAST($K AS BIGINT) AS k, ta.tda, tb.tdb, tu.true_union,
+         |  ta.tda + tb.tdb - tu.true_union AS true_intersection,
+         |  CAST(ta.tda + tb.tdb - tu.true_union AS DOUBLE)
+         |    / CAST(tu.true_union AS DOUBLE) AS true_jaccard,
+         |  m.matches,
+         |  CASE WHEN szu.sz < $K THEN CAST(szu.sz AS DOUBLE)
+         |       ELSE ${KmvEstNumerator} / CAST(CAST(('0x' || substr(
+         |         (SELECT hv FROM sku ORDER BY hv DESC LIMIT 1), 1, 13))
+         |         AS BIGINT) AS DOUBLE) END AS est_union,
+         |  (CAST(m.matches AS DOUBLE) / CAST(least($K, szu.sz) AS DOUBLE))
+         |    * (CASE WHEN szu.sz < $K THEN CAST(szu.sz AS DOUBLE)
+         |       ELSE ${KmvEstNumerator} / CAST(CAST(('0x' || substr(
+         |         (SELECT hv FROM sku ORDER BY hv DESC LIMIT 1), 1, 13))
+         |         AS BIGINT) AS DOUBLE) END) AS est_intersection,
+         |  CAST(m.matches AS DOUBLE) / CAST(least($K, szu.sz) AS DOUBLE)
+         |    AS est_jaccard
+         |FROM ta, tb, tu, m, szu""".stripMargin,
 
     "q95_histogram" ->
       """WITH s AS (

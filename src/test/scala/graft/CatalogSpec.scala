@@ -133,6 +133,31 @@ class CatalogSpec extends AnyFunSuite {
       s"queries diverging between parquet and metastore paths: $diverged")
   }
 
+  test("bucketed catalog layout removes the declared query's join exchanges") {
+    // The layout lever applied to the DECLARED surface, not a
+    // hand-written join: register the fixtures in a second db, then
+    // re-layout lineitem+orders bucketed (8 buckets) on the join key.
+    // The UNMODIFIED q05 through the `metastore:<db>` seam then runs
+    // its l_orderkey ⋈ o_orderkey join without shuffling either side —
+    // zero per-query changes, strictly fewer exchanges than the
+    // parquet path, identical rows. This is the 100 TB shape: layout
+    // decisions live in the catalog, queries stay declarative.
+    graft.engine.Catalog.registerAll(spark, dir, "graftb")
+    graft.engine.Catalog.bucketize(
+      graft.engine.Tables.lineitem(spark, dir), "graftb.lineitem", "l_orderkey", 8)
+    graft.engine.Catalog.bucketize(
+      graft.engine.Tables.orders(spark, dir), "graftb.orders", "o_orderkey", 8)
+    val q = SparkEntry.queries("q05_regional_revenue")
+    val pq = q(spark, dir)
+    val cat = q(spark, "metastore:graftb")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(cat) < exchanges(pq),
+      s"bucketed layout should drop join exchanges: catalog=${exchanges(cat)} parquet=${exchanges(pq)}")
+    assert(pq.collect().toSeq == cat.collect().toSeq,
+      "bucketed layout must not change results")
+  }
+
   test("partitioned table prunes partitions on filter") {
     import org.apache.spark.sql.functions.col
     spark.sql("CREATE DATABASE IF NOT EXISTS graft")

@@ -24,10 +24,13 @@ class PlanLintSpec extends AnyFunSuite {
     * against every row — the benign 1×N broadcast shape, not an N×M
     * blow-up; q95 broadcasts its 1-row min/max stats the same way (a
     * constant-key equi-join degenerates to the identical plan after
-    * FoldablePropagation). q68 is deliberately NOT here: its candidate
-    * generation is a masked-fingerprint equi-join. */
+    * FoldablePropagation). q126 broadcasts its 1-row 512-byte bloom
+    * bitmap the same way — the whole point of the sketch is that the
+    * probe is a map-side bit test, not a join. q68 is deliberately NOT
+    * here: its candidate generation is a masked-fingerprint equi-join. */
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
-    "q22_scalar_subquery", "q76_bm25", "q95_histogram")
+    "q22_scalar_subquery", "q76_bm25", "q95_histogram",
+    "q126_bloom_decontamination", "q127_kmv_set_algebra")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -41,6 +41,60 @@ class SketchesSpec extends AnyFunSuite {
     assert(est(1) == est(16))
   }
 
+  test("HLL register state is partitioning-invariant and the estimate lands in band") {
+    import spark.implicits._
+    val hll = udaf(new graft.engine.Sketches.Hll)
+    val data = (1 to 60000).map(i => s"v${i % 9973}") // 9973 distinct, heavy dups
+    def state(parts: Int): Seq[Long] =
+      data.toDF("x").repartition(parts)
+        .agg(hll(md5($"x"))).as[Seq[Long]].head()
+    val s1 = state(1)
+    // max-merge is order/partition independent — the STATE matches, not
+    // just the estimate (stronger than the KMV/MG guarantees)
+    assert(s1 == state(16) && s1 == state(32))
+    val est = graft.engine.Sketches.HllEstNumerator / s1(1).toDouble
+    // HLL stderr ≈ 1.04/sqrt(m) = 13% at m = 64; allow 3 sigma
+    assert(math.abs(est / 9973.0 - 1.0) < 3 * 1.04 / 8.0,
+      s"HLL estimate $est vs true 9973 outside band")
+  }
+
+  test("BloomBits bitmap is partitioning-invariant; q126 flags are a superset of truth") {
+    import spark.implicits._
+    val agg = udaf(new graft.engine.Sketches.BloomBits(64))
+    val pos = (1 to 5000).map(i => (i.toLong * 31L) % 4096L)
+    def bm(parts: Int): Seq[Long] =
+      pos.toDF("p").repartition(parts).agg(agg($"p")).as[Seq[Long]].head()
+    val b1 = bm(1)
+    assert(b1 == bm(16)) // OR-merge: same bitmap under any layout
+    // bitmap ⟺ position set: bit j set iff j was inserted
+    val set = pos.toSet
+    (0L until 4096L).foreach { j =>
+      val bit = (b1((j >> 6).toInt) >> (j & 63L)) & 1L
+      assert((bit == 1L) == set.contains(j), s"bit $j mismatch")
+    }
+    // the verified query's guarantee: no false negatives, ever
+    val rows = SparkEntry.queries("q126_bloom_decontamination")(spark, dir)
+      .select($"n_overlap", $"n_bloom", $"contaminated", $"bloom_flagged")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nov, nbl, cont, flag) =>
+      assert(nbl >= nov, s"bloom undercounted: $nbl < $nov")
+      assert(!cont || flag, "contaminated doc not bloom-flagged")
+    }
+  }
+
+  test("KMV merge-closure: bottom-k of two merged sketches = bottom-k of the union") {
+    import spark.implicits._
+    val keep = udaf(new graft.engine.Sketches.KmvKeep(32))
+    val left = (1 to 3000).map(i => s"L${i % 500}")
+    val right = (1 to 3000).map(i => s"R${i % 400}") ++ left.take(200)
+    def sketch(xs: Seq[String]): Seq[String] =
+      xs.toDF("x").repartition(8).agg(keep(md5($"x"))).as[Seq[String]].head()
+    val merged = (sketch(left) ++ sketch(right)).distinct.sorted.take(32)
+    assert(merged == sketch(left ++ right),
+      "sketch-level union merge must equal the data-level union sketch")
+  }
+
   test("CMS estimates are one-sided: est_cnt >= true_cnt, min over rows") {
     import spark.implicits._
     val rows = SparkEntry.queries("q93_cms_heavy_hitters")(spark, dir)
