@@ -140,8 +140,8 @@ object Sketches {
     * they are a presentation concern applied downstream, not part of
     * the verified surface; zero_regs is emitted so a consumer CAN
     * apply linear counting. */
-  class Hll extends Aggregator[String, Array[Int], Array[Long]] {
-    private val m = 64
+  abstract class HllBase[OUT] extends Aggregator[String, Array[Int], OUT] {
+    protected val m = 64
     def zero: Array[Int] = new Array[Int](m)
     def reduce(b: Array[Int], hex: String): Array[Int] = {
       val j = java.lang.Integer.parseInt(hex.substring(0, 2), 16) % m
@@ -156,19 +156,58 @@ object Sketches {
       while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
       a
     }
-    def finish(b: Array[Int]): Array[Long] = {
-      var zeros = 0L; var sum = 0L; var i = 0
-      while (i < m) {
-        if (b(i) == 0) zeros += 1L
-        sum += 1L << (53 - b(i))
-        i += 1
-      }
-      Array(zeros, sum)
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  }
+
+  /** [zero_regs, sum_scaled] — see the scaladoc above. */
+  class Hll extends HllBase[Array[Long]] {
+    def finish(b: Array[Int]): Array[Long] = Sketches.hllFinish(b)
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The raw register array — the form a SKETCH STORE persists: a
+    * nightly per-shard job writes one 64-int row per (shard, group),
+    * and any later union of shards is answered by [[HllRegMerge]]
+    * over the stored rows, never by rescanning the data (the same
+    * persist-then-merge contract as [[KmvKeep]]). */
+  class HllRegs extends HllBase[Array[Int]] {
+    def finish(b: Array[Int]): Array[Int] = b
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  }
+
+  /** Merge PERSISTED register arrays (pointwise max) into the same
+    * [zero_regs, sum_scaled] the direct Hll pass produces — exactness
+    * pinned in SketchesSpec's sketch-store round-trip. */
+  class HllRegMerge extends Aggregator[Seq[Int], Array[Int], Array[Long]] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], regs: Seq[Int]): Array[Int] = {
+      var i = 0
+      while (i < b.length) { if (regs(i) > b(i)) b(i) = regs(i); i += 1 }
+      b
     }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Int]): Array[Long] = Sketches.hllFinish(b)
     def bufferEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  private[engine] def hllFinish(b: Array[Int]): Array[Long] = {
+    var zeros = 0L; var sum = 0L; var i = 0
+    while (i < b.length) {
+      if (b(i) == 0) zeros += 1L
+      sum += 1L << (53 - b(i))
+      i += 1
+    }
+    Array(zeros, sum)
   }
 
   /** α₆₄·m²·2^53 for m = 64 (α₆₄ = 0.709, Flajolet et al. 2007),
@@ -547,6 +586,41 @@ object Sketches {
         .orderBy($"lang")
     }),
 
+    // Two-level sketch-store rollup AS A VERIFIED QUERY: stage 1
+    // builds one HLL register array per (lang, shard) — the row a
+    // nightly per-shard job would persist — and stage 2 answers the
+    // cross-shard distinct question by MERGING THE STORED SKETCHES
+    // (HllRegMerge, pointwise max), never re-touching the trigram
+    // stream. The oracle computes the direct global registers, so the
+    // bit-equal result IS the proof that the two-level path loses
+    // nothing (max is associative — merge of shard maxima = global
+    // max). At 100 TB stage 1 is the only corpus-sized pass and it
+    // runs per shard/day; every later rollup is 64 ints × shards.
+    "q128_sketch_store_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val regs = udaf(new HllRegs)
+      val regMerge = udaf(new HllRegMerge)
+      val tg = T.spread(T.documents(s, dir))
+        .select($"lang", $"doc_id", split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
+        .select($"lang", $"doc_id", explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+      val stored = tg
+        .groupBy($"lang", ($"doc_id" % 8L).as("shard"))
+        .agg(regs(md5($"g")).as("hregs"))
+      val merged = stored.groupBy($"lang")
+        .agg(regMerge($"hregs").as("st"), count(lit(1)).as("n_shards"))
+      tg.groupBy($"lang").agg(countDistinct($"g").as("true_distinct"))
+        .join(merged, "lang")
+        .select($"lang", $"n_shards", $"true_distinct",
+          element_at($"st", 1).as("zero_regs"),
+          element_at($"st", 2).as("sum_scaled"),
+          (lit(HllEstNumerator) / element_at($"st", 2).cast("double")).as("raw_est"))
+        .orderBy($"lang")
+    }),
+
     // KMV set algebra: union / intersection / Jaccard of two corpus
     // halves' trigram sets, estimated FROM THE SKETCHES ALONE — the
     // two bottom-k states are built per side (one combine-able agg),
@@ -735,6 +809,40 @@ object Sketches {
          |  ${HllEstNumerator} / CAST(st.sum_scaled AS DOUBLE) AS raw_est
          |FROM td JOIN st ON st.lang = td.lang
          |ORDER BY td.lang""".stripMargin,
+
+    "q128_sketch_store_rollup" ->
+      s"""WITH raw AS (
+         |  SELECT lang, doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS w,
+         |    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+         |  FROM documents),
+         |seq AS (SELECT lang, doc_id, w,
+         |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+         |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+         |  FROM raw),
+         |tg AS (SELECT lang, doc_id, w || ' ' || w1 || ' ' || w2 AS g
+         |       FROM seq WHERE w2 IS NOT NULL),
+         |b AS (SELECT lang,
+         |    CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) % 64 AS j,
+         |    CAST(('0x' || substr(md5(g), 3, 13)) AS BIGINT) AS v
+         |  FROM tg),
+         |reg AS (SELECT lang, j,
+         |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS r
+         |  FROM b GROUP BY lang, j),
+         |st AS (SELECT lang,
+         |    CAST(64 - count(*) AS BIGINT) AS zero_regs,
+         |    CAST(sum(1::BIGINT << (53 - r))
+         |         + (64 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS sum_scaled
+         |  FROM reg GROUP BY lang),
+         |ns AS (SELECT lang,
+         |    CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS n_shards,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS true_distinct
+         |  FROM tg GROUP BY lang)
+         |SELECT ns.lang, ns.n_shards, ns.true_distinct,
+         |  st.zero_regs, st.sum_scaled,
+         |  ${HllEstNumerator} / CAST(st.sum_scaled AS DOUBLE) AS raw_est
+         |FROM ns JOIN st ON st.lang = ns.lang
+         |ORDER BY ns.lang""".stripMargin,
 
     "q127_kmv_set_algebra" ->
       s"""WITH raw AS (

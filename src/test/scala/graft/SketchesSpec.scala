@@ -83,6 +83,32 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch store: persisted per-shard sketches merge to the direct global sketch") {
+    import spark.implicits._
+    // the 100 TB rollup contract: a nightly job writes ONE sketch row
+    // per shard; any later cross-shard question is answered by merging
+    // the stored sketches — never by rescanning the corpus. Both
+    // families round-trip through parquet bit-exactly.
+    val keep = udaf(new graft.engine.Sketches.KmvKeep(64))
+    val regs = udaf(new graft.engine.Sketches.HllRegs)
+    val regMerge = udaf(new graft.engine.Sketches.HllRegMerge)
+    val hll = udaf(new graft.engine.Sketches.Hll)
+    val df = (1 to 40000).map(i => (i % 13L, s"v${i % 3001}")).toDF("shard", "x")
+    val store = java.nio.file.Files.createTempDirectory("graft_sketch_store").toString
+    df.groupBy($"shard")
+      .agg(keep(md5($"x")).as("kmv"), regs(md5($"x")).as("hll_regs"))
+      .write.mode("overwrite").parquet(store)
+    val shards = spark.read.parquet(store)
+    assert(shards.count() == 13)
+    val mergedKmv = shards.select(explode($"kmv").as("h"))
+      .agg(keep($"h")).as[Seq[String]].head()
+    val directKmv = df.agg(keep(md5($"x"))).as[Seq[String]].head()
+    assert(mergedKmv == directKmv, "KMV store round-trip must be exact")
+    val mergedHll = shards.agg(regMerge($"hll_regs")).as[Seq[Long]].head()
+    val directHll = df.agg(hll(md5($"x"))).as[Seq[Long]].head()
+    assert(mergedHll == directHll, "HLL store round-trip must be exact")
+  }
+
   test("KMV merge-closure: bottom-k of two merged sketches = bottom-k of the union") {
     import spark.implicits._
     val keep = udaf(new graft.engine.Sketches.KmvKeep(32))

@@ -221,6 +221,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL sketch state equals the batch sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // the 100 TB sketch-store pattern under incremental execution: a
+    // streaming groupBy keeps ONE 64-int register array per group as
+    // state, and because reduce/merge are pointwise max (commutative,
+    // associative, idempotent), the state after any micro-batch split
+    // is bit-identical to the batch sketch over the same rows
+    val hll = udaf(new graft.engine.Sketches.Hll)
+    val data = (1 to 20000).map(i => (i % 7L, s"v${i % 1303}"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("cohort", "x")
+      .groupBy($"cohort").agg(hll(md5($"x")).as("st"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream_test").start()
+    data.grouped(data.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("hll_stream_test")
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = data.toDF("cohort", "x")
+      .groupBy($"cohort").agg(hll(md5($"x")).as("st"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(batch.nonEmpty && streamed == batch,
+      "HLL register state must be identical under incremental execution")
+  }
+
   test("stateful streaming heavy hitters equal the batch summary in the exact regime") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
