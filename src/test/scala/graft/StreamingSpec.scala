@@ -250,6 +250,43 @@ class StreamingSpec extends AnyFunSuite {
       "HLL register state must be identical under incremental execution")
   }
 
+  test("streaming KMV and Bloom states equal their batch sketches exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // same contract as the HLL test for the other two order-independent
+    // sketches: bottom-k (KmvKeep) and OR-bitmap (BloomBits) states are
+    // commutative-monoid folds, so micro-batch incrementalization is
+    // invisible in the final state
+    val keep = udaf(new graft.engine.Sketches.KmvKeep(32))
+    val bloom = udaf(new graft.engine.Sketches.BloomBits(16))
+    val data = (1 to 12000).map(i => (i % 5L, s"v${i % 797}"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("cohort", "x")
+      .withColumn("p", conv(substring(md5($"x"), 1, 13), 16, 10)
+        .cast("long") % 1024)
+      .groupBy($"cohort")
+      .agg(keep(md5($"x")).as("kmv"), bloom($"p").as("bm"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_bloom_stream_test").start()
+    data.grouped(data.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("kmv_bloom_stream_test")
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    val batch = data.toDF("cohort", "x")
+      .withColumn("p", conv(substring(md5($"x"), 1, 13), 16, 10)
+        .cast("long") % 1024)
+      .groupBy($"cohort")
+      .agg(keep(md5($"x")).as("kmv"), bloom($"p").as("bm"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(batch.nonEmpty && streamed == batch,
+      "KMV/Bloom sketch state must be identical under incremental execution")
+  }
+
   test("stateful streaming heavy hitters equal the batch summary in the exact regime") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
