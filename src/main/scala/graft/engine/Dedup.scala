@@ -458,7 +458,83 @@ object Dedup {
             .as("jaccard"))
         .filter($"jaccard" >= 0.1)
         .orderBy($"doc1", $"doc2")
-    }))
+    }),
+
+    // Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
+    // al., "Deduplicating Training Data Makes Language Models Better",
+    // ACL 2022 — PAPERS.md): instead of a per-document near-dup
+    // decision, find the exact repeated REGIONS inside each document.
+    // Any 5-token gram occurring ≥2 times corpus-wide (including twice
+    // in one document) marks its span; overlapping/adjacent spans merge
+    // into maximal duplicated regions (gaps-and-islands: a new region
+    // starts when the next duplicated gram position is > K past the
+    // previous one). Per document: duplicated-gram count, tokens
+    // covered by merged regions, coverage fraction, longest region.
+    //
+    // Spark-first scale shape: grams build MAP-SIDE (one transform/
+    // explode, like the shingle spine); the census is ONE combine-able
+    // groupBy on the md5 of the gram (32-char key, not the raw 5-token
+    // string, so the shuffle carries fixed-width keys); marking is a
+    // semi-join against the (small) duplicated-gram set; region-merge
+    // is a per-document window — partitioned by doc_id, state bounded
+    // by document length. No stage ever holds more than one document's
+    // positions; the suffix-array construction the paper uses is a
+    // single-machine algorithm, while this census form is exactly
+    // parallel. K=5 (fixture docs ~54 tokens); production K≈50 is the
+    // same plan.
+    "q129_dup_spans" -> ((s, dir) =>
+      dupSpans(T.spread(T.documents(s, dir)), 5)
+        .orderBy(col("doc_id"))))
+
+  /** Per-document exact-substring duplication stats over `docs`
+    * (`doc_id`, `text`): for K-token grams occurring ≥2 times
+    * corpus-wide, merge their K-token spans into maximal duplicated
+    * regions (two marked gram positions belong to one region when
+    * they are ≤ K apart — their token intervals overlap or touch) and
+    * report per document the marked-gram count, tokens covered by the
+    * merged regions, the covered fraction, and the longest region.
+    * Documents shorter than K tokens are excluded; clean documents
+    * report zeros. See the q129 comment for the scale shape. */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val gramCols = (0 until k)
+      .map(j => s"element_at(ws, i + $j)").mkString(", ")
+    val base = docs
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= k)
+      .select($"doc_id", size($"ws").cast("long").as("n_tokens"), $"ws")
+    val grams = base
+      .select($"doc_id", $"n_tokens", explode(expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    md5(concat_ws(' ', $gramCols)) AS g))""".stripMargin)).as("pg"))
+      .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.g".as("g"))
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"g")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val isl = grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("ni", when($"prev".isNull || $"pos" - $"prev" > k, 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum($"ni").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(count(lit(1)).as("n_pos"),
+        (max($"pos") - min($"pos") + k).as("covered"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_pos").as("dup_grams"),
+        sum($"covered").as("covered_tokens"),
+        max($"covered").as("max_dup_span"))
+    base.select($"doc_id", $"n_tokens")
+      .join(isl, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)).cast("double") /
+          $"n_tokens".cast("double")).as("dup_frac"),
+        coalesce($"max_dup_span", lit(0L)).as("max_dup_span"))
+  }
 
   /** Skew-aware within-bucket pair generation — the executable form of
     * the LSH hot-band mitigation SCALE.md describes (boilerplate-heavy
@@ -1114,5 +1190,48 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc1
          |JOIN sizes sb ON sb.doc_id = doc2
          |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
-         |ORDER BY doc1, doc2""".stripMargin)
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // Mirrors q129 stage for stage: same md5 gram keys, same ≥2 census
+    // threshold, same K=5 gaps-and-islands merge arithmetic.
+    "q129_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents)
+        |  WHERE len(ws) >= 5),
+        |grams AS (
+        |  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS pos,
+        |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |        ws[i+3] || ' ' || ws[i+4]) AS g
+        |  FROM base, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) ix),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |flag AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |           OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS ni
+        |  FROM grams WHERE g IN (SELECT g FROM dup)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flag),
+        |isl AS (
+        |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n_pos,
+        |    max(pos) - min(pos) + 5 AS covered
+        |  FROM grp GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS dup_grams,
+        |    CAST(sum(covered) AS BIGINT) AS covered_tokens,
+        |    max(covered) AS max_dup_span
+        |  FROM isl GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(a.dup_grams, 0) AS dup_grams,
+        |  coalesce(a.covered_tokens, 0) AS covered_tokens,
+        |  CAST(coalesce(a.covered_tokens, 0) AS DOUBLE) /
+        |    CAST(b.n_tokens AS DOUBLE) AS dup_frac,
+        |  coalesce(a.max_dup_span, 0) AS max_dup_span
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin)
 }

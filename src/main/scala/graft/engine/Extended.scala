@@ -24,6 +24,87 @@ object Extended {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Salted skewed join IN THE ORACLE MATRIX: `ops.SkewJoin.salted`
+    // spreads each hot join key across 8 salt partitions (large side
+    // derives a deterministic salt, small side replicates ×8, join key
+    // becomes (key, salt)) — the mitigation for power-law FKs where one
+    // key would otherwise land its whole row set on one reducer. The
+    // oracle is the PLAIN join + aggregate, so the driver proves the
+    // salted physical shape changes distribution only, never results.
+    // SkewSpec/AqeSkewSpec cover the mechanism; this makes it a
+    // driver-verified query like every other operator.
+    "q130_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir)
+        .select($"l_partkey".as("partkey"), $"l_quantity", $"l_extendedprice")
+      val p = T.part(s, dir).select($"p_partkey".as("partkey"), $"p_brand")
+      graft.ops.SkewJoin.salted(li, p, "partkey", salts = 8)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          msum($"l_quantity").as("sum_qty"),
+          msum($"l_extendedprice").as("sum_price"))
+        .orderBy($"p_brand")
+    }),
+
+    // Runtime bloom-filter join pruning IN THE ORACLE MATRIX: a
+    // selective dimension filter (o_orderkey % 100 = 0 keeps 1% of
+    // orders) makes Catalyst inject a `might_contain` bloom probe on
+    // the fact side BEFORE its shuffle — at 100 TB the difference
+    // between shuffling all of lineitem and shuffling the ~1% that can
+    // possibly match (RuntimeFilterSpec pins the injection; the two
+    // confs force the shuffle-join + qualify the fixture as a "large"
+    // application side, exactly as that spec does). The aggregate is
+    // materialized eagerly (localCheckpoint) while the confs are
+    // active so the bloom-filtered plan is what actually executes;
+    // the oracle is the plain join — result-identity proven, like
+    // q130/q131's physical-only changes.
+    "q133_bloom_filter_join" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+      s.conf.set(keys(0), "-1")
+      s.conf.set(keys(1), "0")
+      try {
+        val o = T.orders(s, dir).filter($"o_orderkey" % 100 === 0)
+        val li = T.lineitem(s, dir)
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            msum($"l_extendedprice").as("sum_price"))
+          .localCheckpoint()
+          .orderBy($"o_orderpriority")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
+    // Z-ORDER re-layout proven content-preserving: rewrite lineitem's
+    // key columns clustered by the Morton interleave of
+    // (l_orderkey, l_partkey) (`Maintenance.zorderWrite` — the
+    // OPTIMIZE/CLUSTER BY maintenance job that makes multi-dimensional
+    // file skipping work; MaintenanceSpec measures the skipping), then
+    // checksum the re-read copy with the order-INVARIANT bucketed
+    // multiset checksum (q116's machinery). The oracle computes the
+    // same checksum over the ORIGINAL table — hash-equality proves the
+    // physical reorganization changed layout only, never content. This
+    // is how a 100 TB table migration/compaction/re-cluster is
+    // acceptance-tested: one scan per side, O(buckets) comparison.
+    // Only integer-typed columns ride the checksum (double→string
+    // rendering is not engine-portable — q116's discipline).
+    "q134_zorder_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir).select(
+        $"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        $"l_quantity".cast("long").as("l_quantity"))
+      val out = "/tmp/graft_zorder_" + math.abs(dir.hashCode).toString
+      Maintenance.zorderWrite(li, "l_orderkey", "l_partkey", out, nFiles = 8)
+      Maintenance.tableChecksum(s.read.parquet(out), buckets = 64)
+        .orderBy($"bucket")
+    }),
+
     // PIVOT: order status × priority matrix (count + exact revenue per
     // cell). Explicit pivot-value list => single-pass, no distinct-scan;
     // at scale this is one hash aggregate, identical cost to a plain
@@ -356,6 +437,45 @@ object Extended {
     s"CAST(sum(CASE WHEN $cond THEN ${scaledSql(expr)} END) AS DOUBLE)/10000.0"
 
   val oracle: Map[String, String] = Map(
+    // Deliberately the PLAIN join: hash-matching it proves the
+    // bloom-runtime-filtered plan is a pure physical change.
+    "q133_bloom_filter_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${msumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |WHERE o_orderkey % 100 = 0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Checksum of the ORIGINAL table (the z-ordered copy is checksummed
+    // on the Spark side): equality proves the re-layout preserved the
+    // multiset. Same md5 arithmetic as q116, columns in sorted-name
+    // order with chr(1) field separators / chr(2)-marked nulls.
+    "q134_zorder_roundtrip" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS l_quantity
+        |  FROM lineitem),
+        |h AS (SELECT md5(concat(
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_partkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_quantity AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_suppkey AS VARCHAR), chr(2)||'NULL'))) AS h
+        |  FROM src)
+        |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Deliberately the PLAIN join: hash-matching it proves the salted
+    // join is a pure physical-distribution change.
+    "q130_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${msumSql("l_quantity")} AS sum_qty,
+         |  ${msumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q106_scd2_versions" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,

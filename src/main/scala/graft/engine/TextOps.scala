@@ -302,6 +302,33 @@ object TextOps {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // Inverted-index build: term → SEGMENTED posting lists, the storage
+    // layout of a distributed full-text/contamination search service
+    // (and the artifact q76's BM25 would query at scale). Postings are
+    // sharded by doc_id range (segment = doc_id div 100): each
+    // (term, segment) row carries a bounded, sorted, comma-joined doc
+    // list — no row ever holds a full corpus-wide posting list, which
+    // is what makes the build one combine-able groupBy at 100 TB
+    // (per-segment lists build map-side within each range shard;
+    // a stop-word-dense term costs many bounded rows, not one huge
+    // one). Global df rides alongside for query-time pruning.
+    "q132_postings" -> ((s, dir) => {
+      import s.implicits._
+      val terms = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        .distinct()
+      val dfreq = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+      terms
+        .withColumn("segment", expr("doc_id DIV 100"))
+        .groupBy($"term", $"segment")
+        .agg(count(lit(1)).as("seg_df"),
+          expr("array_join(transform(array_sort(collect_list(doc_id))," +
+            " x -> CAST(x AS STRING)), ',')").as("postings"))
+        .join(dfreq.filter($"df" >= 5), Seq("term"))
+        .select($"term", $"segment", $"df", $"seg_df", $"postings")
+        .orderBy($"term", $"segment")
+    }),
+
     // Document fingerprint: whitespace-normalized md5 + 4-hex-char
     // prefix bucket (the shard key a 100 TB dedup would partition by).
     "q56_fingerprint" -> ((s, dir) => {
@@ -632,5 +659,21 @@ object TextOps {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |  substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 4) AS bucket
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q132_postings" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM tok),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+        |seg AS (
+        |  SELECT term, doc_id // 100 AS segment,
+        |    CAST(count(*) AS BIGINT) AS seg_df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM t GROUP BY term, doc_id // 100)
+        |SELECT s.term, s.segment, d.df, s.seg_df, s.postings
+        |FROM seg s JOIN dfreq d ON d.term = s.term
+        |WHERE d.df >= 5
+        |ORDER BY s.term, s.segment""".stripMargin)
 }

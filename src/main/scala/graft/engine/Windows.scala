@@ -87,7 +87,34 @@ object Windows {
     // sink, drained synchronously) of the q40 tumbling aggregation —
     // same oracle, real streaming plan.
     "q43_stream_tumbling" -> ((s, dir) =>
-      graft.streaming.Streams.tumblingCounts(s, dir)))
+      graft.streaming.Streams.tumblingCounts(s, dir)),
+
+    // The NATIVE as-of join (custom LogicalPlan + planner Strategy +
+    // SparkPlan, graft.plans.AsOfJoinNative) run against q28's oracle —
+    // the full §2.9 extension ladder lands in the driver-verified
+    // matrix, not just in specs. Same semantics as q28's
+    // union-sort-window operator; the physical plan is one hash
+    // shuffle + sort per side feeding a streaming merge that holds ONE
+    // buffered right row (O(1) memory per partition, no union
+    // materialization). The strategy is injected idempotently via
+    // `experimental.extraStrategies` so the operator works in any
+    // session, not only one built with GraftExtensions.
+    "q131_asof_native" -> ((s, dir) => {
+      import s.implicits._
+      if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      val e = T.events(s, dir)
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_event_id"), $"ts".as("click_ts"))
+      graft.ops.AsOfJoinNative.backward(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts", tieBreak = "click_event_id")
+        .toDF("user_id", "event_id", "ts", "r_user_id", "click_event_id", "click_ts")
+        .select($"user_id", $"event_id", $"ts", $"click_event_id", $"click_ts")
+        .orderBy($"event_id")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q40_tumbling_window" ->
@@ -136,6 +163,20 @@ object Windows {
         | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
         |WHERE e1.event_type = 'purchase'
         |ORDER BY lead_id, follow_id""".stripMargin,
+
+    // Same oracle as q28 — the native operator must be result-identical
+    // to the window-based one.
+    "q131_asof_native" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, p.event_id, p.ts, max(c.ts) AS click_ts
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |      GROUP BY p.user_id, p.event_id, p.ts)
+        |SELECT m.user_id, m.event_id, m.ts,
+        |  max(c.event_id) AS click_event_id, m.click_ts
+        |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        |GROUP BY m.user_id, m.event_id, m.ts, m.click_ts
+        |ORDER BY m.event_id""".stripMargin,
 
     "q28_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

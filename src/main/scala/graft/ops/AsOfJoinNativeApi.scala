@@ -19,7 +19,18 @@ object AsOfJoinNative {
                leftTime: String, rightTime: String,
                tieBreak: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // Self-join safety: when both sides derive from the SAME relation
+    // (the common case — purchases vs clicks of one events table), the
+    // two analyzed plans share attribute exprIds. DeduplicateRelations
+    // will re-id the right subtree during analysis of the new plan, but
+    // it cannot know which occurrences inside OUR key/time/tie
+    // expression lists belong to the right child — they'd silently keep
+    // the left ids and the exec would bind against the wrong side (or
+    // fail after pruning). Re-aliasing every right column mints fresh,
+    // unambiguous exprIds for the attributes we capture here.
+    val rightFresh = right.select(
+      right.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val rPlan = rightFresh.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
