@@ -498,18 +498,11 @@ object Dedup {
   def dupSpans(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val gramCols = (0 until k)
-      .map(j => s"element_at(ws, i + $j)").mkString(", ")
     val base = docs
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= k)
       .select($"doc_id", size($"ws").cast("long").as("n_tokens"), $"ws")
-    val grams = base
-      .select($"doc_id", $"n_tokens", explode(expr(
-        s"""transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> struct(CAST(i AS BIGINT) AS pos,
-           |    md5(concat_ws(' ', $gramCols)) AS g))""".stripMargin)).as("pg"))
-      .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.g".as("g"))
+    val grams = gramsOfTokens(base, k)
     val dup = grams.groupBy($"g").agg(count(lit(1)).as("c"))
       .filter($"c" >= 2).select($"g")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -534,6 +527,45 @@ object Dedup {
         (coalesce($"covered_tokens", lit(0L)).cast("double") /
           $"n_tokens".cast("double")).as("dup_frac"),
         coalesce($"max_dup_span", lit(0L)).as("max_dup_span"))
+  }
+
+  /** Positional K-gram occurrences `(doc_id, n_tokens, pos, g)` for a
+    * `(doc_id, n_tokens, ws)` token frame — entirely MAP-SIDE (one
+    * transform/explode per document), shared by [[dupSpans]] and the
+    * streaming census (`Streams.gramMarks` consumes the same
+    * expression over a stream, so stream and batch gram keys are
+    * comparable by construction). Gram key = md5 of the
+    * space-joined tokens: fixed-width shuffle keys. */
+  def gramsOfTokens(tokenFrame: DataFrame, k: Int): DataFrame = {
+    val gramCols = (0 until k)
+      .map(j => s"element_at(ws, i + $j)").mkString(", ")
+    tokenFrame
+      .select(col("doc_id"), col("n_tokens"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    md5(concat_ws(' ', $gramCols)) AS g))""".stripMargin)).as("pg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pg.pos").as("pos"), col("pg.g").as("g"))
+  }
+
+  /** Gram occurrences straight from a `(doc_id, text)` frame (batch or
+    * streaming — every step is per-row). */
+  def gramOccurrences(docs: DataFrame, k: Int): DataFrame =
+    gramsOfTokens(
+      docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          col("ws")),
+      k)
+
+  /** The duplicated-gram POSITIONS of a corpus — `(doc_id, pos)` for
+    * every occurrence of a gram with total count ≥ 2 (the marking
+    * stage of [[dupSpans]], exposed for stream/batch parity checks). */
+  def markedPositions(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramOccurrences(docs, k)
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    grams.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
   /** Skew-aware within-bucket pair generation — the executable form of

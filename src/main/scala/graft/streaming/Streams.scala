@@ -147,6 +147,56 @@ object Streams {
       }
   }
 
+  /** One duplicated-gram occurrence surfaced by the streaming census:
+    * the K-gram keyed `g` has now been seen ≥2 times stream-to-date,
+    * and (docId, pos) is one of its occurrences. */
+  case class GramMark(g: String, docId: Long, pos: Long)
+
+  /** Streaming ExactSubstr census — the incremental form of q129's
+    * batch duplicated-gram marking (engine.Dedup.dupSpans): the stream
+    * carries (g, doc_id, pos) gram occurrences (computed map-side by
+    * the SAME expression as batch, Dedup.gramOccurrences); per-gram
+    * `GroupState` remembers the first occurrence until the census
+    * crosses 2, at which point the FIRST occurrence is emitted
+    * retroactively along with every later one — so the accumulated
+    * mark multiset equals the batch census's marked positions exactly,
+    * no matter how documents are batched (StreamingSpec pins
+    * stream ≡ batch including the cross-batch retroactive case).
+    * State is ≤(one doc_id, pos, flag) per distinct gram; at 100 TB
+    * bound it with a state-store TTL at the crawl-dedup horizon, the
+    * bandClaims discipline. Region-merge (gaps-and-islands) stays a
+    * batch post-pass over the mark stream's sink. */
+  def gramMarks(grams: Dataset[(String, Long, Long)]): Dataset[GramMark] = {
+    import grams.sparkSession.implicits._
+    grams.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean), GramMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Boolean)]) =>
+          // deterministic within a batch: occurrences in (doc, pos) order
+          val occ = it.map(t => (t._2, t._3)).toSeq.sorted
+          state.getOption match {
+            case Some((_, _, true)) => // census already ≥2: mark every new one
+              occ.iterator.map { case (d, p) => GramMark(g, d, p) }
+            case Some((fd, fp, false)) =>
+              if (occ.isEmpty) Iterator.empty
+              else { // crossing 2 now: the stored first occurrence marks too
+                state.update((fd, fp, true))
+                (Iterator((fd, fp)) ++ occ.iterator)
+                  .map { case (d, p) => GramMark(g, d, p) }
+              }
+            case None =>
+              if (occ.size >= 2) { // ≥2 inside one batch (incl. same doc)
+                state.update((occ.head._1, occ.head._2, true))
+                occ.iterator.map { case (d, p) => GramMark(g, d, p) }
+              } else {
+                occ.headOption.foreach(o => state.update((o._1, o._2, false)))
+                Iterator.empty
+              }
+          }
+      }
+  }
+
   /** Stream-stream interval join: purchases attributed to the click
     * that preceded them by ≤30 minutes, both sides watermarked. This
     * is THE stateful join shape Structured Streaming supports at

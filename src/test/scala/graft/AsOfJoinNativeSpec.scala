@@ -68,6 +68,29 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(out.head.getLong(4) == 200L)
   }
 
+  test("both sides carved from ONE relation bind correctly after pruning") {
+    // Regression: purchases/clicks filtered from the same events frame
+    // share attribute exprIds, so the captured right-side keys used to
+    // keep the LEFT ids (DeduplicateRelations cannot rewrite a custom
+    // node's expression lists) — a downstream projection then pruned
+    // the right key column and execution failed to bind. The API now
+    // re-aliases right columns to fresh exprIds.
+    import spark.implicits._
+    val e = Seq(
+      (1L, 10L, ts(1), "c"), (1L, 11L, ts(2), "p"),
+      (2L, 12L, ts(3), "p"))
+      .toDF("k", "id", "t", "typ")
+    val l = e.filter($"typ" === "p").select($"k", $"id", $"t")
+    val r = e.filter($"typ" === "c")
+      .select($"k", $"id".as("rid"), $"t".as("rt"))
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+      .toDF("k", "id", "t", "rk", "rid", "rt")
+      .select($"k", $"id", $"t", $"rid", $"rt") // projection = pruning trigger
+      .orderBy($"id").collect()
+    assert(out(0).getLong(3) == 10L) // purchase 11 ← click 10
+    assert(out(1).isNullAt(3))       // key 2 has no clicks
+  }
+
   test("integer time columns are cast, not read as 8-byte garbage") {
     import spark.implicits._
     val l = Seq((1L, 1L, 10), (1L, 2L, 3)).toDF("k", "lid", "t") // IntegerType time

@@ -392,6 +392,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(Streams.BandClaim("A", 3L, 1L)))
   }
 
+  test("streaming gram census marks ≡ batch ExactSubstr marking, " +
+    "including retroactive cross-batch first occurrences") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b1 = Seq(1L -> "a b c d e", 2L -> "x y z w q")
+    val b2 = Seq(3L -> "m n a b c p") // "a b c" again → census crosses 2
+    val b3 = Seq(4L -> "x y z t u",   // "x y z" again
+      5L -> "r s t r s t r s")        // within-one-doc repeats, one batch
+    val input = MemoryStream[(Long, String)]
+    val grams = graft.engine.Dedup
+      .gramOccurrences(input.toDS().toDF("doc_id", "text"), 3)
+      .select($"g", $"doc_id", $"pos").as[(String, Long, Long)]
+    val q = Streams.gramMarks(grams)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gram_marks_test").start()
+
+    def marks(): Set[(Long, Long)] = spark.table("gram_marks_test")
+      .select($"docId", $"pos").as[(Long, Long)].collect().toSet
+
+    input.addData(b1: _*); q.processAllAvailable()
+    assert(marks().isEmpty) // no gram has crossed the census yet
+    input.addData(b2: _*); q.processAllAvailable()
+    // doc 3's occurrence AND doc 1's stored first occurrence surface
+    assert(marks() == Set((1L, 1L), (3L, 3L)))
+    input.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.engine.Dedup
+      .markedPositions((b1 ++ b2 ++ b3).toDF("doc_id", "text"), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(marks() == batch) // stream-accumulated ≡ batch census, exactly
+    // the within-doc repeats marked every occurrence position of doc 5
+    assert(marks().filter(_._1 == 5L).map(_._2) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("streaming dedup + tumbling counts match batch semantics on replay") {
     val dir = "/root/testdata/sf0.001"
     val dedup = Streams.streamingDedup(spark, dir).collect()
