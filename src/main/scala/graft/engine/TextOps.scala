@@ -15,6 +15,22 @@ import graft.engine.{Tables => T}
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q137's fixed subword vocabulary, by piece length. Defined ONCE
+    * and interpolated into both the Spark expression and the oracle
+    * SQL, so the greedy segmentation is specified in a single place
+    * (the fold-constants-once discipline from the sketch estimates).
+    * Single characters (letters, digits, light punctuation) guarantee
+    * the tokenizer always advances; anything else → '<unk>'. */
+  private val vocab: Map[Int, Seq[String]] = Map(
+    4 -> Seq("tion", "ment", "ness", "able", "less"),
+    3 -> Seq("ing", "ion", "ent", "ate", "est", "ter", "the", "and"),
+    2 -> Seq("th", "er", "on", "an", "re", "in", "ed", "es", "at", "or",
+      "st", "ll"),
+    1 -> (('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq("_", "-", ".", ",")))
+  private def vocabIn(n: Int): String =
+    vocab(n).map(p => s"'$p'").mkString(", ")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup idiom: keep the first row per key via
     // row_number()=1 (partition-local, deterministic tie-break).
@@ -327,6 +343,60 @@ object TextOps {
         .join(dfreq.filter($"df" >= 5), Seq("term"))
         .select($"term", $"segment", $"df", $"seg_df", $"postings")
         .orderBy($"term", $"segment")
+    }),
+
+    // Greedy longest-match SUBWORD TOKENIZATION (the wordpiece
+    // segmentation step of a BPE/WordPiece pipeline, with a fixed
+    // vocabulary): each whitespace token is consumed left-to-right,
+    // taking at every position the longest vocabulary piece (4 > 3 >
+    // 2 > 1 chars) that prefixes the remainder; out-of-vocabulary
+    // characters emit '<unk>' and advance one char, so segmentation
+    // always terminates. ENTIRELY MAP-SIDE: per document one nested
+    // higher-order expression (transform over tokens, aggregate over
+    // character positions — the fold consumes ≥1 char per step, so
+    // |token| iterations always suffice); no shuffle until the final
+    // sort. At 100 TB this is the shape a tokenizer-throughput pass
+    // takes: pure per-row codegen'd work, linear scan, no state. The
+    // vocabulary is interpolated from ONE Scala literal into both the
+    // Spark expression and the oracle SQL (the fold-constants-once
+    // rule), where DuckDB replays the identical greedy loop as a
+    // per-token recursive CTE.
+    "q137_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      def inList(n: Int) = vocabIn(n)
+      val segExpr =
+        s"""aggregate(
+           |  sequence(1, length(tok)),
+           |  named_struct('p', 1, 'parts', cast(array() as array<string>)),
+           |  (st, i) -> CASE
+           |    WHEN st.p > length(tok) THEN st
+           |    WHEN substr(tok, st.p, 4) IN (${inList(4)})
+           |      THEN named_struct('p', st.p + 4,
+           |        'parts', array_append(st.parts, substr(tok, st.p, 4)))
+           |    WHEN substr(tok, st.p, 3) IN (${inList(3)})
+           |      THEN named_struct('p', st.p + 3,
+           |        'parts', array_append(st.parts, substr(tok, st.p, 3)))
+           |    WHEN substr(tok, st.p, 2) IN (${inList(2)})
+           |      THEN named_struct('p', st.p + 2,
+           |        'parts', array_append(st.parts, substr(tok, st.p, 2)))
+           |    WHEN substr(tok, st.p, 1) IN (${inList(1)})
+           |      THEN named_struct('p', st.p + 1,
+           |        'parts', array_append(st.parts, substr(tok, st.p, 1)))
+           |    ELSE named_struct('p', st.p + 1,
+           |      'parts', array_append(st.parts, '<unk>'))
+           |  END,
+           |  st -> st.parts)""".stripMargin
+      T.spread(T.documents(s, dir))
+        .filter(length(trim($"text")) > 0) // '' would split to one empty token
+        .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+        .withColumn("pieces", expr(s"flatten(transform(ws, tok -> $segExpr))"))
+        .select($"doc_id",
+          size($"ws").cast("long").as("n_tokens"),
+          size($"pieces").cast("long").as("n_pieces"),
+          expr("CAST(size(filter(pieces, p -> p = '<unk>')) AS BIGINT)")
+            .as("n_unk"),
+          array_join($"pieces", " ").as("pieces_str"))
+        .orderBy($"doc_id")
     }),
 
     // Document fingerprint: whitespace-normalized md5 + 4-hex-char
@@ -660,6 +730,47 @@ object TextOps {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |  substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 4) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays q137's greedy loop exactly: the same vocabulary literals
+    // (one Scala source), the same longest-first CASE, one recursion
+    // step per consumed piece; the working row carries the remaining
+    // suffix and the accumulated piece string per token.
+    "q137_wordpiece" -> {
+      s"""WITH RECURSIVE
+         |toks AS (
+         |  SELECT doc_id, ord, w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w,
+         |      generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS ord
+         |    FROM documents WHERE len(trim(text)) > 0) raw),
+         |seg AS (
+         |  SELECT doc_id, ord, w AS rem, CAST('' AS VARCHAR) AS parts,
+         |    CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS nu
+         |  FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, ord, substr(rem, adv + 1),
+         |    CASE WHEN parts = '' THEN piece ELSE parts || ' ' || piece END,
+         |    np + 1, nu + CASE WHEN piece = '<unk>' THEN 1 ELSE 0 END
+         |  FROM (
+         |    SELECT doc_id, ord, rem, parts, np, nu,
+         |      CASE WHEN substr(rem,1,4) IN (${vocabIn(4)}) THEN 4
+         |           WHEN substr(rem,1,3) IN (${vocabIn(3)}) THEN 3
+         |           WHEN substr(rem,1,2) IN (${vocabIn(2)}) THEN 2
+         |           ELSE 1 END AS adv,
+         |      CASE WHEN substr(rem,1,4) IN (${vocabIn(4)}) THEN substr(rem,1,4)
+         |           WHEN substr(rem,1,3) IN (${vocabIn(3)}) THEN substr(rem,1,3)
+         |           WHEN substr(rem,1,2) IN (${vocabIn(2)}) THEN substr(rem,1,2)
+         |           WHEN substr(rem,1,1) IN (${vocabIn(1)}) THEN substr(rem,1,1)
+         |           ELSE '<unk>' END AS piece
+         |    FROM seg WHERE len(rem) > 0) x),
+         |fin AS (SELECT doc_id, ord, parts, np, nu FROM seg WHERE len(rem) = 0)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(nu) AS BIGINT) AS n_unk,
+         |  string_agg(parts, ' ' ORDER BY ord) AS pieces_str
+         |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q132_postings" ->
       """WITH tok AS (
