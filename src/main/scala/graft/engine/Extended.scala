@@ -112,6 +112,28 @@ object Extended {
       }
     }),
 
+    // Small-files COMPACTION proven content-preserving (q134's sibling
+    // for the other physical-maintenance job): fragment the table into
+    // 64 small files, compact to ~1 MB targets
+    // (`Maintenance.compact` — the periodic job that keeps streaming-
+    // append tables scannable at full-split speed), and checksum the
+    // compacted copy; the oracle checksums the original. Same
+    // order-invariant machinery — rewrite changed layout only.
+    "q139_compact_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir).select(
+        $"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        $"l_quantity".cast("long").as("l_quantity"))
+      val tag = math.abs(dir.hashCode).toString
+      val in = s"/tmp/graft_compact_in_$tag"
+      val out = s"/tmp/graft_compact_out_$tag"
+      li.repartition(64).write.mode("overwrite").parquet(in)
+      Maintenance.compact(s, in, out, targetBytes = 1L << 20)
+      Maintenance.tableChecksum(s.read.parquet(out), buckets = 64)
+        .orderBy($"bucket")
+    }),
+
     // Z-ORDER re-layout proven content-preserving: rewrite lineitem's
     // key columns clustered by the Morton interleave of
     // (l_orderkey, l_partkey) (`Maintenance.zorderWrite` — the
@@ -485,6 +507,26 @@ object Extended {
          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
          |WHERE o_orderkey % 100 = 0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q139 shares q134's oracle shape: checksum of the ORIGINAL table;
+    // equality proves compaction preserved the multiset.
+    "q139_compact_roundtrip" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS l_quantity
+        |  FROM lineitem),
+        |h AS (SELECT md5(concat(
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_partkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_quantity AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(l_suppkey AS VARCHAR), chr(2)||'NULL'))) AS h
+        |  FROM src)
+        |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Checksum of the ORIGINAL table (the z-ordered copy is checksummed
     // on the Spark side): equality proves the re-layout preserved the

@@ -349,6 +349,10 @@ object Graph {
     * the previous fixpoint is the stored artifact the delta advances. */
   private val seedPrCache = new SessionMemo[String]
 
+  /** q138's persisted seed state: the per-round HITS score history,
+    * one memo key per frame. */
+  private val seedHitsCache = new SessionMemo[String]
+
   val queries: Map[String, Q] = Map(
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
@@ -410,6 +414,39 @@ object Graph {
         val (ranks, _, _) =
           pagerankIncremental(edges, prev, delta, delta.limit(0))
         ranks.orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Incremental HITS AS A VERIFIED QUERY (q135's sibling for the
+    // two-phase round): the stored per-round score history of the seed
+    // graph (memoized frame by frame — the persisted artifact
+    // [[hitsIncremental]] patches) absorbs the newest ~20% of edges as
+    // the delta; only the delta's ≤2·rounds-hop influence cone is
+    // recomputed. The oracle replays the FULL graph's 3 rounds
+    // (q114's unrolled SQL), so the driver proves patched-history ≡
+    // full recompute, integer for integer.
+    "q138_incremental_hits" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val edges = T.customer(s, dir).filter($"c_custkey" >= 1L)
+          .select(expr("CAST(floor(c_custkey/2) AS BIGINT)").as("src"),
+            $"c_custkey".as("dst"))
+        val maxKey = edges.agg(max($"dst")).head().getLong(0)
+        val cut = maxKey - maxKey / 5
+        val seed = edges.filter($"dst" <= cut)
+        // lazily built ONCE per (session, dataset); each history frame
+        // is memoized under its own key, so later calls never rebuild
+        lazy val hist = hitsHistory(seed)
+        val hh = (0 to 3).map(i =>
+          seedHitsCache.getOrElseUpdate(s, s"$dir#h$i")(hist._1(i)))
+        val ah = (1 to 3).map(i =>
+          seedHitsCache.getOrElseUpdate(s, s"$dir#a$i")(hist._2(i - 1)))
+        val delta = edges.filter($"dst" > cut)
+        val (scores, _) =
+          hitsIncremental(edges, delta, delta.limit(0), hh, ah)
+        scores.orderBy($"id")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
@@ -527,6 +564,41 @@ object Graph {
     // (LEFT JOIN edges, aggregate, coalesce-to-0) pair the DataFrame
     // loop runs; sums CAST back to BIGINT because DuckDB widens
     // sum(BIGINT) to HUGEINT.
+    // q138's oracle = q114's full-graph 3-round replay: matching it
+    // proves the patched-history incremental path lands on the full
+    // recompute exactly.
+    "q138_incremental_hits" ->
+      """WITH edges AS (
+        |  SELECT CAST(floor(c_custkey/2) AS BIGINT) AS src,
+        |         c_custkey AS dst
+        |  FROM customer WHERE c_custkey >= 1),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM edges
+        |    UNION ALL SELECT dst FROM edges) u),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes),
+        |a1 AS (SELECT n.id, CAST(coalesce(sum(h0.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h0 ON h0.id = e.src GROUP BY n.id),
+        |h1 AS (SELECT n.id, CAST(coalesce(sum(a1.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a1 ON a1.id = e.dst GROUP BY n.id),
+        |a2 AS (SELECT n.id, CAST(coalesce(sum(h1.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h1 ON h1.id = e.src GROUP BY n.id),
+        |h2 AS (SELECT n.id, CAST(coalesce(sum(a2.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a2 ON a2.id = e.dst GROUP BY n.id),
+        |a3 AS (SELECT n.id, CAST(coalesce(sum(h2.h), 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+        |       LEFT JOIN h2 ON h2.id = e.src GROUP BY n.id),
+        |h3 AS (SELECT n.id, CAST(coalesce(sum(a3.a), 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN edges e ON e.src = n.id
+        |       LEFT JOIN a3 ON a3.id = e.dst GROUP BY n.id)
+        |SELECT n.id, a3.a AS authority, h3.h AS hub
+        |FROM nodes n JOIN a3 ON a3.id = n.id JOIN h3 ON h3.id = n.id
+        |ORDER BY n.id""".stripMargin,
+
     "q114_hits" ->
       """WITH edges AS (
         |  SELECT CAST(floor(c_custkey/2) AS BIGINT) AS src,
