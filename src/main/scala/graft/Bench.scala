@@ -43,7 +43,8 @@ object Bench {
     "chunking"   -> Chunking.queries,
     "sketches"   -> Sketches.queries,
     "timeseries" -> TimeSeries.queries,
-    "graph"      -> Graph.queries)
+    "graph"      -> Graph.queries,
+    "sources"    -> graft.sources.SourceQueries.queries)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

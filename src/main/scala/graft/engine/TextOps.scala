@@ -123,6 +123,44 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Priority sampling (Duffield–Lund–Thorup, JACM 2007) — weighted
+    // sampling without replacement with an unbiased subset-sum
+    // estimator: priority q_i = w_i / u_i, keep the k largest, and
+    // estimate each kept weight as max(w_i, τ) where τ is the (k+1)-th
+    // priority. u_i comes from a keyed md5 (u = (h+1)/2^52), so the
+    // sample is reproducible across runs, engines, and partitionings,
+    // and the priority is built from int→double casts + one IEEE
+    // multiply + one IEEE divide — bit-identical in any engine, no
+    // libm. Scale shape: priorities are map-side scalars; the top-k+1
+    // is TakeOrderedAndProject (per-partition heads, never a global
+    // sort); the window runs over k+1 rows. This is how a 100 TB
+    // pipeline draws a quality-weighted eval slice whose total token
+    // mass is still estimable.
+    "q141_priority_sample" -> ((s, dir) => {
+      import s.implicits._
+      val C = 4503599627370496.0 // 2^52 — folded once, shared with the oracle
+      val w = size(split(trim($"text"), "\\s+")).cast("long")
+      val h = conv(substring(
+        md5(concat($"doc_id".cast("string"), lit(":prio"))), 1, 13), 16, 10)
+        .cast("long")
+      val t = T.documents(s, dir)
+        .select($"doc_id", w.as("weight"), h.as("h"))
+        .select($"doc_id", $"weight",
+          ($"weight".cast("double") * C / ($"h" + lit(1L)).cast("double"))
+            .as("priority"))
+      val top = t.orderBy($"priority".desc, $"doc_id").limit(26)
+      val wAll = Window.partitionBy(lit(1))
+      top
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(lit(1)).orderBy($"priority".desc, $"doc_id"))
+          .cast("long"))
+        .withColumn("tau", max(when($"rn" === 26L, $"priority")).over(wAll))
+        .filter($"rn" <= 25L)
+        .select($"rn", $"doc_id", $"weight", $"priority",
+          greatest($"weight".cast("double"), $"tau").as("est_weight"))
+        .orderBy($"rn")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -554,6 +592,30 @@ object TextOps {
         |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
         |  min(rate) AS rate
         |FROM coin GROUP BY source ORDER BY source""".stripMargin,
+
+    // Priority replay: identical md5-keyed u, identical (w*C)/(h+1)
+    // association order, τ from the rank-26 row.
+    "q141_priority_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, weight,
+        |    CAST(weight AS DOUBLE) * 4503599627370496.0
+        |      / CAST(h + 1 AS DOUBLE) AS priority
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, weight, priority,
+        |    CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rn
+        |  FROM p QUALIFY rn <= 26),
+        |tt AS (SELECT top.*, max(CASE WHEN rn = 26 THEN priority END) OVER () AS tau
+        |       FROM top)
+        |SELECT rn, doc_id, weight, priority,
+        |  greatest(CAST(weight AS DOUBLE), tau) AS est_weight
+        |FROM tt WHERE rn <= 25 ORDER BY rn""".stripMargin,
 
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (
