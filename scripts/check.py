@@ -8,7 +8,7 @@ matching oracle_sql.json entry in DuckDB over the sf_dir tables, sorts
 columns by name, and compares values exactly (and as sorted multisets
 as a fallback diagnostic). NOT part of the shipped library — dev tool.
 """
-import sys, json, math
+import sys, os, json, math
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -31,6 +31,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:  # dev-loop subset, mirrors Verify/Bench
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:

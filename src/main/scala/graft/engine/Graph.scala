@@ -354,6 +354,63 @@ object Graph {
   private val seedHitsCache = new SessionMemo[String]
 
   val queries: Map[String, Q] = Map(
+    // Triangle counting + local clustering coefficient via
+    // DEGREE-ORDERED ORIENTATION (Schank & Wagner 2005; the
+    // MapReduce form is Suri & Vassilvitskii, WWW 2011): orient each
+    // undirected edge from its (degree, id)-smaller endpoint to the
+    // larger, enumerate wedges at the smaller endpoint only, and close
+    // them with a hash join back to the edge set. Out-degree after
+    // orientation is O(√m), so wedge volume is O(m^1.5) worst-case
+    // instead of Σ deg² — the difference between feasible and not on a
+    // power-law 100 TB graph (a celebrity node of degree 10⁷ generates
+    // zero wedges as a wedge apex it isn't). All joins are keyed
+    // equi-joins; no node ever materializes its full neighborhood.
+    // Graph: the referral tree ∪ a second "mentor" parent floor(u/3) —
+    // a deterministic sparse multi-parent DAG that actually contains
+    // triangles (e.g. {4,2,1}: 4→2, 4→1, 2→1). The oracle counts the
+    // SAME triangles with the naive three-way self-join (no
+    // orientation), so parity independently proves the oriented
+    // enumeration is lossless, not just self-consistent.
+    "q143_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+      // canonical undirected edges (lo < hi), both parents, dedup'd
+      // (floor(u/2) = floor(u/3) for u ∈ {2,3} never happens with
+      // lo ≥ 1 guard: u=2 → parents 1,0; u=3 → 1,1 — distinct() folds)
+      val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+        .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+        .filter($"p" >= 1L && $"p" =!= $"u")
+      val edges = rawE.select(least($"u", $"p").as("lo"),
+        greatest($"u", $"p").as("hi")).distinct()
+      val deg = edges.select($"lo".as("id")).union(edges.select($"hi".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+      // orient lo/hi by (deg, id): src = smaller endpoint in that order
+      val dl = deg.select($"id".as("lo"), $"deg".as("dlo"))
+      val dh = deg.select($"id".as("hi"), $"deg".as("dhi"))
+      val oriented = edges.join(dl, "lo").join(dh, "hi")
+        .select(
+          when($"dlo" < $"dhi" || ($"dlo" === $"dhi" && $"lo" < $"hi"), $"lo")
+            .otherwise($"hi").as("src"),
+          when($"dlo" < $"dhi" || ($"dlo" === $"dhi" && $"lo" < $"hi"), $"hi")
+            .otherwise($"lo").as("dst"))
+      val o1 = oriented.select($"src", $"dst".as("b"))
+      val o2 = oriented.select($"src", $"dst".as("c"))
+      val wedges = o1.join(o2, "src").filter($"b" < $"c")
+      val tris = wedges.join(edges,
+        least($"b", $"c") === $"lo" && greatest($"b", $"c") === $"hi")
+        .select($"src".as("x"), $"b".as("y"), $"c".as("z"))
+      val perNode = tris.select(explode(array($"x", $"y", $"z")).as("id"))
+        .groupBy($"id").agg(count(lit(1)).as("tri"))
+      deg.join(perNode, Seq("id"), "left")
+        .select($"id", $"deg", coalesce($"tri", lit(0L)).as("tri"))
+        .withColumn("clustering",
+          when($"deg" >= 2L,
+            (lit(2.0) * $"tri".cast("double")) /
+              ($"deg" * ($"deg" - 1L)).cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy($"id")
+    }),
+
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
     // floor(c_custkey/2)). 5 iterations, integer-exact.
@@ -472,6 +529,43 @@ object Graph {
     * look up each node's single rank source; node 0 (the root, no
     * incoming edge) joins its own previous row and contributes 0. */
   val oracle: Map[String, String] = Map(
+    // Naive three-way self-join over the canonical (lo < hi) edge set —
+    // deliberately NOT the oriented enumeration, so agreement proves
+    // the orientation trick lossless. Triangle {a<b<c} ⇔ edges (a,b),
+    // (b,c), (a,c); each counted once. The clustering coefficient is
+    // exact-int→double casts + one multiply + one divide (single IEEE
+    // ops, engine-identical).
+    "q143_triangles" ->
+      """WITH cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |edges AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |deg AS (
+        |  SELECT id, count(*) AS deg FROM (
+        |    SELECT lo AS id FROM edges
+        |    UNION ALL SELECT hi AS id FROM edges) t GROUP BY id),
+        |tris AS (
+        |  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.lo = e1.hi
+        |  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |pern AS (
+        |  SELECT id, count(*) AS tri FROM (
+        |    SELECT x AS id FROM tris
+        |    UNION ALL SELECT y AS id FROM tris
+        |    UNION ALL SELECT z AS id FROM tris) t GROUP BY id)
+        |SELECT deg.id, deg.deg, CAST(coalesce(pern.tri, 0) AS BIGINT) AS tri,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN CAST(2 AS DOUBLE) * CAST(coalesce(pern.tri, 0) AS DOUBLE)
+        |         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pern ON pern.id = deg.id
+        |ORDER BY deg.id""".stripMargin,
+
     "q97_pagerank" ->
       s"""WITH RECURSIVE
          |edges AS (

@@ -37,6 +37,51 @@ object Similarity {
       | + CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // K-means codebook TRAINING in-engine (Lloyd's algorithm, two
+    // unrolled iterations, k = 8) — the step that turns q63's IVF from
+    // "centroids are given" into a self-contained pipeline (FAISS
+    // trains its coarse quantizer exactly this way, then assigns).
+    // Determinism device: vectors AND centroids live in micro-scaled
+    // INTEGER space (floor(v·1e6), the q77 discipline), so squared-L2
+    // distances are exact integers (≤ 64·(2e6)² ≈ 2.6e14, well inside
+    // long), assignment argmin has a total (dist, cluster) tie-break,
+    // and the centroid update floor(Σqv/n) is one IEEE divide of
+    // exactly-representable integers — every engine computes the
+    // identical codebook, under any partitioning. Scale shape: the
+    // k×d centroid table is broadcast (the only state); assignment is
+    // a map-side equi-join fan-out on dim; the update is one keyed
+    // aggregation per iteration. Init = first k vectors by id (the
+    // deterministic seeding a reproducible pipeline wants).
+    "q144_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val vq = T.spread(T.embeddings(s, dir))
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+        .select($"vec_id", $"dim".cast("long").as("dim"),
+          floor($"v".cast("double") * 1000000.0).cast("long").as("qv"))
+      val c0 = vq.filter($"vec_id" < 8L)
+        .select($"vec_id".as("cl"), $"dim", $"qv".as("qc"))
+      def assign(cent: DataFrame): DataFrame = vq
+        .join(broadcast(cent), "dim")
+        .groupBy($"vec_id", $"cl")
+        .agg(sum(($"qv" - $"qc") * ($"qv" - $"qc")).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
+        .filter($"rn" === 1).select($"vec_id", $"cl")
+      def update(a: DataFrame): DataFrame = a.join(vq, "vec_id")
+        .groupBy($"cl", $"dim")
+        .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
+        .select($"cl", $"dim",
+          floor($"s".cast("double") / $"n".cast("double")).cast("long").as("qc"))
+      val a1 = assign(c0)
+      val c1 = update(a1)
+      val a2 = assign(c1)
+      val c2 = update(a2)
+      val sizes = a2.groupBy($"cl").agg(count(lit(1)).as("n"))
+      c2.join(sizes, "cl")
+        .select($"cl", $"dim", $"qc", $"n")
+        .orderBy($"cl", $"dim")
+    }),
+
     // Exact brute-force cosine top-5 per query vector (queries =
     // every 50th vector), ranked on the rounded score for a total,
     // oracle-stable order.
@@ -277,6 +322,47 @@ object Similarity {
       expr("transform(q_vec, v -> CAST(CAST(v AS DOUBLE) * q_scale AS FLOAT))"))
 
   val oracle: Map[String, String] = Map(
+    // Lloyd replay: identical micro-int quantization, integer
+    // distances, (dist, cl) argmin tie-break, and floor(Σ/n) centroid
+    // update, two iterations as chained CTEs. dim is 0-based on both
+    // sides (generate_subscripts is 1-based → -1).
+    "q144_kmeans_train" ->
+      """WITH vq AS (
+        |  SELECT vec_id, CAST(dim1 - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM (
+        |    SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS dim1
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id AS cl, dim, qv AS qc FROM vq WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vq.vec_id, c0.cl,
+        |    sum((vq.qv - c0.qc) * (vq.qv - c0.qc)) AS dist
+        |  FROM vq JOIN c0 USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c1 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a1 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d2 AS (
+        |  SELECT vq.vec_id, c1.cl,
+        |    sum((vq.qv - c1.qc) * (vq.qv - c1.qc)) AS dist
+        |  FROM vq JOIN c1 USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c2 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a2 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |sz AS (SELECT cl, count(*) AS n FROM a2 GROUP BY cl)
+        |SELECT c2.cl, c2.dim, c2.qc, sz.n
+        |FROM c2 JOIN sz USING (cl) ORDER BY cl, dim""".stripMargin,
+
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (
         |  SELECT qid, cid, cos_sim,

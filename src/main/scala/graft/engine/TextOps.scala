@@ -161,6 +161,56 @@ object TextOps {
         .orderBy($"rn")
     }),
 
+    // N-gram language identification (Cavnar–Trenkle, SDAIR 1994):
+    // per-language character-trigram RANK profiles (padded-word
+    // trigrams, top-100 by frequency), per-document profiles (top-40),
+    // and the out-of-place distance Σ |doc_rank − lang_rank| with a
+    // fixed penalty of 100 for grams absent from a language's profile;
+    // predict argmin. Everything is INTEGER arithmetic (counts, ranks,
+    // |Δrank| sums) with total tie-breaks (count desc, gram asc;
+    // dist asc, lang asc), so the classification is bit-reproducible
+    // in any engine and under any partitioning — no floats, no libm.
+    // Scale shape: gram explosion and doc profiling are map-side;
+    // the trained profile table is ≤ |langs|×100 rows → broadcast;
+    // the 5-row candidate-language fan-out is a bounded broadcast
+    // (the q60 query-set shape). On this fixture the lang labels are
+    // decorative (all labels share one synthetic vocabulary), so
+    // predictions are not linguistically meaningful — the query
+    // verifies the TRAINING+SCORING dataflow, which is what a real
+    // corpus would run unchanged.
+    "q142_langid_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val words = T.documents(s, dir)
+        .select($"doc_id", $"lang",
+          explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+      val grams = words.select($"doc_id", $"lang",
+        explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(concat('_', w, '_'), i, 3))"))
+          .as("g"))
+      val lp = grams.groupBy($"lang", $"g").count()
+        .withColumn("lang_rank", row_number().over(
+          Window.partitionBy($"lang").orderBy($"count".desc, $"g")).cast("long"))
+        .filter($"lang_rank" <= 100L)
+        .select($"lang".as("lcand"), $"g".as("lg"), $"lang_rank")
+      val dp = grams.groupBy($"doc_id", $"lang", $"g").count()
+        .withColumn("doc_rank", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"count".desc, $"g")).cast("long"))
+        .filter($"doc_rank" <= 40L)
+        .select($"doc_id", $"lang", $"g", $"doc_rank")
+      val langs = T.documents(s, dir).select($"lang".as("cand")).distinct()
+      dp.join(broadcast(langs))
+        .join(broadcast(lp), $"cand" === $"lcand" && $"g" === $"lg", "left")
+        .drop("lcand", "lg")
+        .groupBy($"doc_id", $"lang", $"cand")
+        .agg(sum(coalesce(abs($"doc_rank" - $"lang_rank"), lit(100L))).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"dist", $"cand")))
+        .filter($"rn" === 1).drop("rn")
+        .select($"doc_id", $"lang", $"cand".as("pred_lang"), $"dist")
+        .orderBy($"doc_id")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -616,6 +666,42 @@ object TextOps {
         |SELECT rn, doc_id, weight, priority,
         |  greatest(CAST(weight AS DOUBLE), tau) AS est_weight
         |FROM tt WHERE rn <= 25 ORDER BY rn""".stripMargin,
+
+    // Cavnar–Trenkle replay: identical trigram extraction (padded
+    // words, positions 1..len), identical integer rank profiles and
+    // out-of-place distance; the static 20-row position table covers
+    // the fixture's ≤8-char words on both engines.
+    "q142_langid_ngram" ->
+      """WITH words AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |grams AS (
+        |  SELECT doc_id, lang, substr('_' || w || '_', CAST(p.i AS INT), 3) AS g
+        |  FROM words, (SELECT range AS i FROM range(1, 20)) p
+        |  WHERE p.i <= length(w)),
+        |lp AS (
+        |  SELECT lang AS cand, g AS lg,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, g) AS BIGINT) AS lang_rank
+        |  FROM grams GROUP BY lang, g QUALIFY lang_rank <= 100),
+        |dp AS (
+        |  SELECT doc_id, lang, g,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g) AS BIGINT) AS doc_rank
+        |  FROM grams GROUP BY doc_id, lang, g QUALIFY doc_rank <= 40),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |d AS (
+        |  SELECT dp.doc_id, dp.lang, langs.cand,
+        |    CAST(sum(coalesce(abs(dp.doc_rank - lp.lang_rank), 100))
+        |      AS BIGINT) AS dist
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.cand = langs.cand AND lp.lg = dp.g
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, cand AS pred_lang, dist FROM d
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (

@@ -30,7 +30,11 @@ class PlanLintSpec extends AnyFunSuite {
     * here: its candidate generation is a masked-fingerprint equi-join. */
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
     "q22_scalar_subquery", "q76_bm25", "q95_histogram",
-    "q126_bloom_decontamination", "q127_kmv_set_algebra")
+    "q126_bloom_decontamination", "q127_kmv_set_algebra",
+    // q142 fans each doc profile out over the ≤5-row broadcast
+    // candidate-language list (the q60 bounded-query-set shape); the
+    // trained profile join itself is a broadcast equi-join.
+    "q142_langid_ngram")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
