@@ -36,6 +36,38 @@ object Similarity {
       | + CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END
       | + CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)""".stripMargin
 
+  /** Two unrolled Lloyd iterations over micro-quantized vectors
+    * (k = 8, init = first k vectors by id). Returns (centroids as
+    * (cl, dim, qc) rows, final assignment as (vec_id, cl) rows) —
+    * shared by q144 (training output) and q145 (trained-IVF search).
+    * See q144's comment for the integer-exactness argument. */
+  private def trainCodebook(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val vq = T.spread(T.embeddings(s, dir))
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"dim".cast("long").as("dim"),
+        floor($"v".cast("double") * 1000000.0).cast("long").as("qv"))
+    val c0 = vq.filter($"vec_id" < 8L)
+      .select($"vec_id".as("cl"), $"dim", $"qv".as("qc"))
+    def assign(cent: DataFrame): DataFrame = vq
+      .join(broadcast(cent), "dim")
+      .groupBy($"vec_id", $"cl")
+      .agg(sum(($"qv" - $"qc") * ($"qv" - $"qc")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
+      .filter($"rn" === 1).select($"vec_id", $"cl")
+    def update(a: DataFrame): DataFrame = a.join(vq, "vec_id")
+      .groupBy($"cl", $"dim")
+      .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
+      .select($"cl", $"dim",
+        floor($"s".cast("double") / $"n".cast("double")).cast("long").as("qc"))
+    val a1 = assign(c0)
+    val c1 = update(a1)
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    (c2, a2)
+  }
+
   val queries: Map[String, Q] = Map(
     // K-means codebook TRAINING in-engine (Lloyd's algorithm, two
     // unrolled iterations, k = 8) — the step that turns q63's IVF from
@@ -54,32 +86,58 @@ object Similarity {
     // deterministic seeding a reproducible pipeline wants).
     "q144_kmeans_train" -> ((s, dir) => {
       import s.implicits._
-      val vq = T.spread(T.embeddings(s, dir))
-        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
-        .select($"vec_id", $"dim".cast("long").as("dim"),
-          floor($"v".cast("double") * 1000000.0).cast("long").as("qv"))
-      val c0 = vq.filter($"vec_id" < 8L)
-        .select($"vec_id".as("cl"), $"dim", $"qv".as("qc"))
-      def assign(cent: DataFrame): DataFrame = vq
-        .join(broadcast(cent), "dim")
-        .groupBy($"vec_id", $"cl")
-        .agg(sum(($"qv" - $"qc") * ($"qv" - $"qc")).as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
-        .filter($"rn" === 1).select($"vec_id", $"cl")
-      def update(a: DataFrame): DataFrame = a.join(vq, "vec_id")
-        .groupBy($"cl", $"dim")
-        .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
-        .select($"cl", $"dim",
-          floor($"s".cast("double") / $"n".cast("double")).cast("long").as("qc"))
-      val a1 = assign(c0)
-      val c1 = update(a1)
-      val a2 = assign(c1)
-      val c2 = update(a2)
+      val (c2, a2) = trainCodebook(s, dir)
       val sizes = a2.groupBy($"cl").agg(count(lit(1)).as("n"))
       c2.join(sizes, "cl")
         .select($"cl", $"dim", $"qc", $"n")
         .orderBy($"cl", $"dim")
+    }),
+
+    // Trained-IVF ANN end-to-end: q144's Lloyd codebook → assign every
+    // vector to its nearest trained centroid (the inverted file) →
+    // MULTI-PROBE search (each query visits its nprobe = 2 nearest
+    // cells, the recall lever IVF actually ships with) → exact re-rank
+    // inside the probed cells. This closes the IVF loop q63 opens with
+    // given centroids: train, index, search, all in-engine. The search
+    // path never explodes dimensions — vectors travel as micro-int
+    // ARRAYS and distances are one fused array fold per pair
+    // (integer arithmetic, so fold order is irrelevant and the result
+    // is engine- and partitioning-exact). The oracle recomputes the
+    // whole thing in per-dimension explode space — agreement across
+    // two formulations, not a replay of one. Scale shape: codebook
+    // broadcast (k×d longs); cell routing map-side; candidate scan is
+    // an equi-join on cell touching nprobe/k of the corpus per query.
+    "q145_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val (c2, _) = trainCodebook(s, dir)
+      val cents = c2.groupBy($"cl").agg(
+        expr("transform(sort_array(collect_list(struct(dim, qc))), s -> s.qc)")
+          .as("ca"))
+      val vecs = T.spread(T.embeddings(s, dir)).select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("qa"))
+      val d2 = expr(
+        "aggregate(zip_with(qa, ca, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      val routed = vecs.crossJoin(broadcast(cents)).select(
+        $"vec_id", $"qa", $"cl", d2.as("dist"))
+      val assigned = routed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
+        .filter($"rn" === 1).select($"vec_id", $"qa", $"cl".as("cell"))
+      val probes = routed.filter($"vec_id" % 25 === 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("qid"), $"qa".as("qqa"), $"cl".as("cell"))
+      val pd = expr(
+        "aggregate(zip_with(qqa, qa, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      assigned.join(probes, "cell")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"), $"cell", pd.as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"qid").orderBy($"dist", $"cid")).cast("long"))
+        .filter($"rank" <= 3L)
+        .orderBy($"qid", $"rank")
     }),
 
     // Exact brute-force cosine top-5 per query vector (queries =
@@ -362,6 +420,71 @@ object Similarity {
         |sz AS (SELECT cl, count(*) AS n FROM a2 GROUP BY cl)
         |SELECT c2.cl, c2.dim, c2.qc, sz.n
         |FROM c2 JOIN sz USING (cl) ORDER BY cl, dim""".stripMargin,
+
+    // Trained-IVF replay in per-dimension EXPLODE space (the Spark side
+    // works in array/fold space — agreement across formulations): the
+    // q144 training chain, then centroid routing, nprobe=2 probes, and
+    // exact integer re-rank inside the probed cells.
+    "q145_ivf_trained" ->
+      """WITH vq AS (
+        |  SELECT vec_id, CAST(dim1 - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM (
+        |    SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS dim1
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id AS cl, dim, qv AS qc FROM vq WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vq.vec_id, c0.cl,
+        |    sum((vq.qv - c0.qc) * (vq.qv - c0.qc)) AS dist
+        |  FROM vq JOIN c0 USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c1 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a1 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d2 AS (
+        |  SELECT vq.vec_id, c1.cl,
+        |    sum((vq.qv - c1.qc) * (vq.qv - c1.qc)) AS dist
+        |  FROM vq JOIN c1 USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c2 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a2 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d3 AS (
+        |  SELECT vq.vec_id, c2.cl,
+        |    sum((vq.qv - c2.qc) * (vq.qv - c2.qc)) AS dist
+        |  FROM vq JOIN c2 USING (dim) GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cl AS cell FROM d3
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cl AS cell FROM d3 WHERE vec_id % 25 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) <= 2),
+        |pairs AS (
+        |  SELECT p.qid, a.vec_id AS cid, a.cell
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |pd AS (
+        |  SELECT pr.qid, pr.cid, pr.cell,
+        |    CAST(sum((x.qv - y.qv) * (x.qv - y.qv)) AS BIGINT) AS dist
+        |  FROM pairs pr
+        |  JOIN vq x ON x.vec_id = pr.qid
+        |  JOIN vq y ON y.vec_id = pr.cid AND y.dim = x.dim
+        |  GROUP BY 1, 2, 3)
+        |SELECT qid, cid, cell, dist, rank FROM (
+        |  SELECT qid, cid, cell, dist,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid)
+        |      AS BIGINT) AS rank
+        |  FROM pd) r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (

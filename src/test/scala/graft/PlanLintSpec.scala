@@ -34,7 +34,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q142 fans each doc profile out over the ≤5-row broadcast
     // candidate-language list (the q60 bounded-query-set shape); the
     // trained profile join itself is a broadcast equi-join.
-    "q142_langid_ngram")
+    "q142_langid_ngram",
+    // q144/q145 route vectors over the broadcast k=8 codebook — the
+    // q63 bounded-codebook shape (the candidate scan itself is an
+    // equi-join on cell).
+    "q144_kmeans_train", "q145_ivf_trained")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
