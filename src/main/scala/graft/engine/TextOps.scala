@@ -211,6 +211,49 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Collocation extraction by PMI lift (Church & Hanks 1990): rank
+    // adjacent-token bigrams by p(ab)/(p(a)p(b)) with an n_ab ≥ 3
+    // count floor (the classic guard against one-off pairs dominating
+    // sparse-count PMI). The lift is computed as a FIXED sequence of
+    // IEEE ops over exact integer counts — ((n_ab·N)/n_a)·(N/B)/n_b,
+    // identical parse in both engines — so no log/libm and no
+    // overflow: products of raw counts would blow past int64 at
+    // 100 TB (N ~ 10¹⁴), but each intermediate here stays near the
+    // lift's magnitude. Spark builds bigrams MAP-SIDE from the token
+    // array (one transform per doc, no join); the oracle uses a
+    // positional self-join — cross-formulation parity. Corpus totals
+    // travel as a broadcast 1-row cross (the q76 stats shape).
+    "q146_pmi_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T.documents(s, dir)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("a"))
+      val toks = docs.select(explode($"a").as("w"))
+      val bi = docs.filter(size($"a") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(element_at(a, i + 1) AS w1, element_at(a, i + 2) AS w2))"))
+          .as("p"))
+        .select($"p.w1", $"p.w2")
+      val uni = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      val tot = toks.agg(count(lit(1)).as("nn"))
+      val btot = bi.agg(count(lit(1)).as("bb"))
+      val bc = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 3L)
+      val lift =
+        (($"n_ab".cast("double") * $"nn".cast("double")) /
+          $"n_a".cast("double")) *
+          ($"nn".cast("double") / $"bb".cast("double")) /
+          $"n_b".cast("double")
+      bc.join(uni.select($"w".as("w1"), $"n".as("n_a")), "w1")
+        .join(uni.select($"w".as("w2"), $"n".as("n_b")), "w2")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", lift.as("lift"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(1))
+            .orderBy($"lift".desc, $"w1", $"w2")).cast("long"))
+        .filter($"rank" <= 30L)
+        .orderBy($"rank")
+    }),
+
     // Token counting (whitespace tokenizer) + length statistics.
     "q54_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -666,6 +709,42 @@ object TextOps {
         |SELECT rn, doc_id, weight, priority,
         |  greatest(CAST(weight AS DOUBLE), tau) AS est_weight
         |FROM tt WHERE rn <= 25 ORDER BY rn""".stripMargin,
+
+    // PMI replay via positional self-join bigrams (the Spark side is
+    // map-side array transforms — cross-formulation parity); identical
+    // ((n_ab·N)/n_a)·(N/B)/n_b IEEE sequence over exact counts.
+    "q146_pmi_collocations" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+        |  FROM docs),
+        |b AS (
+        |  SELECT t1.w AS w1, t2.w AS w2
+        |  FROM toks t1 JOIN toks t2
+        |    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+        |uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS nn FROM toks),
+        |btot AS (SELECT count(*) AS bb FROM b),
+        |bc AS (
+        |  SELECT w1, w2, count(*) AS n_ab FROM b
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |scored AS (
+        |  SELECT bc.w1, bc.w2, bc.n_ab, u1.n AS n_a, u2.n AS n_b,
+        |    ((CAST(bc.n_ab AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+        |       / CAST(u1.n AS DOUBLE))
+        |      * (CAST(tot.nn AS DOUBLE) / CAST(btot.bb AS DOUBLE))
+        |      / CAST(u2.n AS DOUBLE) AS lift
+        |  FROM bc
+        |  JOIN uni u1 ON u1.w = bc.w1
+        |  JOIN uni u2 ON u2.w = bc.w2
+        |  CROSS JOIN tot CROSS JOIN btot)
+        |SELECT w1, w2, n_ab, n_a, n_b, lift, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, w1, w2)
+        |    AS BIGINT) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     // Cavnar–Trenkle replay: identical trigram extraction (padded
     // words, positions 1..len), identical integer rank profiles and

@@ -119,6 +119,43 @@ object TimeSeries {
     // window, rolled up corpus-wide with transition probabilities.
     // The per-key sequence work shuffles once by user; the matrix is
     // |event_types|² rows — bounded regardless of event volume.
+    // Sequential pattern matching with time bounds (the
+    // MATCH_RECOGNIZE shape): count EVERY purchase completing a
+    // view → click(≤ 1 h after the view) → purchase(≤ 24 h after the
+    // click) chain — not just first-occurrence funnels (q69). One
+    // pass of running conditional windows per user: carry the latest
+    // view, flag clicks within the hour, carry the latest valid
+    // click, match purchases within the day. All comparisons are
+    // timestamp+INTERVAL arithmetic (µs-exact in any engine); the
+    // row order (ts, event_id) is total. Scale shape: two window
+    // passes over user-partitioned streams — one shuffle by user_id,
+    // state O(1) per user, the same computation
+    // mapGroupsWithState runs incrementally on the live stream.
+    "q147_pattern_match" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("last_view",
+          max(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("valid_click",
+          $"event_type" === "click" && $"last_view".isNotNull &&
+            $"ts" <= $"last_view" + expr("INTERVAL 1 HOUR"))
+        .withColumn("last_click",
+          max(when($"valid_click", $"ts")).over(w))
+        .withColumn("matched",
+          $"event_type" === "purchase" && $"last_click".isNotNull &&
+            $"ts" <= $"last_click" + expr("INTERVAL 24 HOURS"))
+      staged.groupBy($"user_id").agg(
+        count(when($"event_type" === "view", true)).as("n_view"),
+        count(when($"event_type" === "click", true)).as("n_click"),
+        count(when($"valid_click", true)).as("n_valid_click"),
+        count(when($"event_type" === "purchase", true)).as("n_purchase"),
+        count(when($"matched", true)).as("n_matched"))
+        .orderBy($"user_id")
+    }),
+
     "q111_event_transitions" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -255,6 +292,38 @@ object TimeSeries {
         |  FROM s)
         |SELECT user_id, n_events, last_ts, round(r.m * x1 + r.b, 6) AS ewma
         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Same staged running-window construction; timestamp+INTERVAL
+    // comparisons are µs-exact in both engines.
+    "q147_pattern_match" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, (event_type = 'click' AND last_view IS NOT NULL
+        |             AND ts <= last_view + INTERVAL 1 HOUR) AS valid_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, max(CASE WHEN valid_click THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT *, (event_type = 'purchase' AND last_click IS NOT NULL
+        |             AND ts <= last_click + INTERVAL 24 HOURS) AS matched
+        |  FROM s3)
+        |SELECT user_id,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN valid_click THEN 1 END) AS n_valid_click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN matched THEN 1 END) AS n_matched
+        |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q111_event_transitions" ->
       """WITH seq AS (

@@ -38,7 +38,10 @@ class PlanLintSpec extends AnyFunSuite {
     // q144/q145 route vectors over the broadcast k=8 codebook — the
     // q63 bounded-codebook shape (the candidate scan itself is an
     // equi-join on cell).
-    "q144_kmeans_train", "q145_ivf_trained")
+    "q144_kmeans_train", "q145_ivf_trained",
+    // q146's corpus totals (N tokens, B bigrams) are broadcast 1-row
+    // stats crosses (the q76/q95 shape).
+    "q146_pmi_collocations")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
