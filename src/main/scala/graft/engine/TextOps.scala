@@ -188,12 +188,16 @@ object TextOps {
         explode(expr(
           "transform(sequence(1, length(w)), i -> substring(concat('_', w, '_'), i, 3))"))
           .as("g"))
-      val lp = grams.groupBy($"lang", $"g").count()
+      // One explode + one aggregation feeds BOTH profile branches: the
+      // language counts are the per-doc counts re-aggregated (identical
+      // totals), so the corpus is scanned and sharded once, not twice.
+      val gc = grams.groupBy($"doc_id", $"lang", $"g").count()
+      val lp = gc.groupBy($"lang", $"g").agg(sum($"count").as("cnt"))
         .withColumn("lang_rank", row_number().over(
-          Window.partitionBy($"lang").orderBy($"count".desc, $"g")).cast("long"))
+          Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")).cast("long"))
         .filter($"lang_rank" <= 100L)
         .select($"lang".as("lcand"), $"g".as("lg"), $"lang_rank")
-      val dp = grams.groupBy($"doc_id", $"lang", $"g").count()
+      val dp = gc
         .withColumn("doc_rank", row_number().over(
           Window.partitionBy($"doc_id").orderBy($"count".desc, $"g")).cast("long"))
         .filter($"doc_rank" <= 40L)
@@ -247,10 +251,13 @@ object TextOps {
         .join(uni.select($"w".as("w2"), $"n".as("n_b")), "w2")
         .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
         .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", lift.as("lift"))
+        // top-30 via TakeOrderedAndProject (per-partition heads — never
+        // a global rank window over every bigram), then rank the 30
+        // survivors in a ≤30-row window.
+        .orderBy($"lift".desc, $"w1", $"w2").limit(30)
         .withColumn("rank", row_number().over(
           Window.partitionBy(lit(1))
             .orderBy($"lift".desc, $"w1", $"w2")).cast("long"))
-        .filter($"rank" <= 30L)
         .orderBy($"rank")
     }),
 
