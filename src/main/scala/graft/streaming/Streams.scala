@@ -279,6 +279,65 @@ object Streams {
       }
   }
 
+  case class PatternState(lastViewUs: Long, lastClickUs: Long,
+                          nView: Long, nClick: Long, nValidClick: Long,
+                          nPurchase: Long, nMatched: Long,
+                          hiTs: Long, hiId: Long)
+  case class PatternOut(user_id: Long, n_view: Long, n_click: Long,
+                        n_valid_click: Long, n_purchase: Long,
+                        n_matched: Long)
+
+  /** Stateful streaming sequential-pattern matching — the incremental
+    * form of batch q147 (view → click ≤ 1 h → purchase ≤ 24 h): per
+    * key the state is just the latest view/valid-click timestamps plus
+    * the counters, updated with the IDENTICAL comparisons as the batch
+    * running windows (µs integer arithmetic), so after the last event
+    * the per-user counts equal the batch q147 row exactly under ANY
+    * micro-batch slicing (StreamingSpec asserts). Same input contract
+    * as ewmaStateful: per-key (ts, event_id) order across batches,
+    * enforced loudly. State is O(1) per user — two timestamps and five
+    * counters — which is what makes a conversion monitor deployable
+    * over an unbounded clickstream. */
+  def patternMatchStateful(events: Dataset[Event]): Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    val DayUs = 24L * HourUs
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[PatternState, PatternOut](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[PatternState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var st = state.getOption.getOrElse(
+            PatternState(-1L, -1L, 0L, 0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          sorted.foreach { e =>
+            require(st.hiTs < e.tsUs || (st.hiTs == e.tsUs && st.hiId < e.event_id),
+              s"patternMatchStateful: out-of-order arrival (${e.tsUs},${e.event_id}) " +
+                s"after (${st.hiTs},${st.hiId}) for key $uid")
+            st = e.event_type match {
+              case "view" =>
+                st.copy(lastViewUs = e.tsUs, nView = st.nView + 1,
+                  hiTs = e.tsUs, hiId = e.event_id)
+              case "click" =>
+                val valid = st.lastViewUs >= 0 && e.tsUs <= st.lastViewUs + HourUs
+                st.copy(
+                  lastClickUs = if (valid) e.tsUs else st.lastClickUs,
+                  nClick = st.nClick + 1,
+                  nValidClick = st.nValidClick + (if (valid) 1 else 0),
+                  hiTs = e.tsUs, hiId = e.event_id)
+              case "purchase" =>
+                val matched = st.lastClickUs >= 0 && e.tsUs <= st.lastClickUs + DayUs
+                st.copy(nPurchase = st.nPurchase + 1,
+                  nMatched = st.nMatched + (if (matched) 1 else 0),
+                  hiTs = e.tsUs, hiId = e.event_id)
+              case _ =>
+                st.copy(hiTs = e.tsUs, hiId = e.event_id)
+            }
+          }
+          state.update(st)
+          PatternOut(uid, st.nView, st.nClick, st.nValidClick,
+            st.nPurchase, st.nMatched)
+      }
+  }
+
   case class HeavyHittersOut(cohort: Long, n_events: Long, heavy_hitters: String)
 
   /** Stateful streaming Misra-Gries heavy hitters: per-cohort state is

@@ -485,4 +485,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((100L, 200L))) // only the in-window click joins
     q.stop()
   }
+
+  test("stateful streaming pattern match equals batch q147 exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("tsUs"), $"user_id",
+        $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.tsUs, e.event_id))
+    val input = MemoryStream[Event]
+    val q = Streams.patternMatchStateful(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pattern_stream_test").start()
+    // uneven micro-batches: the equality must hold under any slicing
+    ev.grouped(ev.length / 4 + 3).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // final per-key update = the row with the largest total event count
+    val streamed = spark.table("pattern_stream_test").as[Streams.PatternOut]
+      .collect().groupBy(_.user_id)
+      .map { case (u, rs) =>
+        u -> rs.maxBy(r => r.n_view + r.n_click + r.n_purchase) }
+    val batch = graft.engine.TimeSeries.queries("q147_pattern_match")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.nonEmpty)
+    batch.foreach { case (u, nv, nc, nvc, np, nm) =>
+      val s = streamed(u)
+      assert((s.n_view, s.n_click, s.n_valid_click, s.n_purchase, s.n_matched)
+        == ((nv, nc, nvc, np, nm)),
+        s"user $u: stream $s != batch ($nv,$nc,$nvc,$np,$nm)")
+    }
+  }
 }
