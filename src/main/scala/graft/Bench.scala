@@ -44,7 +44,8 @@ object Bench {
     "sketches"   -> Sketches.queries,
     "timeseries" -> TimeSeries.queries,
     "graph"      -> Graph.queries,
-    "sources"    -> graft.sources.SourceQueries.queries)
+    "sources"    -> graft.sources.SourceQueries.queries,
+    "profiling"  -> Profiling.queries)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

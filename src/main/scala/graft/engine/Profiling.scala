@@ -1,0 +1,267 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Tables => T}
+
+/** Data-quality operators a production lake runs alongside its queries
+  * (the Deequ / Great Expectations surface, re-expressed Spark-first):
+  * single-pass column profiling, declarative constraint validation, and
+  * robust (winsorized) statistics.
+  *
+  * The reference has no data-quality layer at all (its only guards are
+  * per-route null checks, render-complete-deploy.js:267-273,:468), but
+  * any 100 TB ingest pipeline runs exactly these three shapes before
+  * trusting a new partition: profile the columns, assert the
+  * constraints, trim the outliers.
+  */
+object Profiling {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Single-pass column profiler over `orders` (the Deequ
+    // "ColumnProfilerRunner" shape): row count, null count, exact
+    // distinct count, and min/max per column — numerics as doubles,
+    // strings lexicographically, timestamps rendered in one pinned
+    // format. ONE aggregate pass over the table computes every metric
+    // (the multi-count-distinct goes through Catalyst's Expand — one
+    // scan, one shuffle of partial aggregates, no per-column rescan);
+    // the per-column rows are then exploded from the 1-row result
+    // map-side. At 100 TB the profile costs a single scan, which is
+    // the only acceptable price for metadata.
+    "q150_table_profile" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count($"o_orderkey")).as("nu_ok"),
+        countDistinct($"o_orderkey").as("d_ok"),
+        min($"o_orderkey").cast("double").as("mn_ok"),
+        max($"o_orderkey").cast("double").as("mx_ok"),
+        (count(lit(1)) - count($"o_custkey")).as("nu_ck"),
+        countDistinct($"o_custkey").as("d_ck"),
+        min($"o_custkey").cast("double").as("mn_ck"),
+        max($"o_custkey").cast("double").as("mx_ck"),
+        (count(lit(1)) - count($"o_totalprice")).as("nu_tp"),
+        countDistinct($"o_totalprice").as("d_tp"),
+        min($"o_totalprice").as("mn_tp"),
+        max($"o_totalprice").as("mx_tp"),
+        (count(lit(1)) - count($"o_orderstatus")).as("nu_os"),
+        countDistinct($"o_orderstatus").as("d_os"),
+        min($"o_orderstatus").as("mn_os"),
+        max($"o_orderstatus").as("mx_os"),
+        (count(lit(1)) - count($"o_orderpriority")).as("nu_op"),
+        countDistinct($"o_orderpriority").as("d_op"),
+        min($"o_orderpriority").as("mn_op"),
+        max($"o_orderpriority").as("mx_op"),
+        (count(lit(1)) - count($"o_orderdate")).as("nu_od"),
+        countDistinct($"o_orderdate").as("d_od"),
+        date_format(min($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("mn_od"),
+        date_format(max($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("mx_od"))
+      val nulStr = lit(null).cast("string")
+      val nulNum = lit(null).cast("double")
+      def num(name: String, nu: String, d: String, mn: String, mx: String) =
+        struct(lit(name).as("col_name"), col("n").as("n_rows"),
+          col(nu).as("null_count"), col(d).as("distinct_count"),
+          nulStr.as("min_str"), nulStr.as("max_str"),
+          col(mn).as("min_num"), col(mx).as("max_num"))
+      def str(name: String, nu: String, d: String, mn: String, mx: String) =
+        struct(lit(name).as("col_name"), col("n").as("n_rows"),
+          col(nu).as("null_count"), col(d).as("distinct_count"),
+          col(mn).as("min_str"), col(mx).as("max_str"),
+          nulNum.as("min_num"), nulNum.as("max_num"))
+      agg.select(explode(array(
+        num("o_orderkey", "nu_ok", "d_ok", "mn_ok", "mx_ok"),
+        num("o_custkey", "nu_ck", "d_ck", "mn_ck", "mx_ck"),
+        num("o_totalprice", "nu_tp", "d_tp", "mn_tp", "mx_tp"),
+        str("o_orderstatus", "nu_os", "d_os", "mn_os", "mx_os"),
+        str("o_orderpriority", "nu_op", "d_op", "mn_op", "mx_op"),
+        str("o_orderdate", "nu_od", "d_od", "mn_od", "mx_od"))).as("r"))
+        .select($"r.*")
+        .orderBy($"col_name")
+    }),
+
+    // Declarative constraint suite (the dbt-test / Deequ "Check"
+    // shape): PK uniqueness, FK containment, completeness, accepted
+    // values, range, and positivity — each one row of
+    // (check_name, violations, passed). Per-table checks FUSE into a
+    // single aggregate pass per table (orders pays one scan for four
+    // checks); the FK check is a left-anti count. The range bound on
+    // l_discount is deliberately tighter than the data (≤ 0.08 vs max
+    // 0.1) so the suite demonstrably reports a FAILING check, not
+    // just a wall of greens.
+    "q151_constraint_checks" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).agg(
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("v_pk"),
+        (count(lit(1)) - count($"o_custkey")).as("v_nn"),
+        sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_av"),
+        sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L)).as("v_pos"))
+      val l = T.lineitem(s, dir).agg(
+        sum(when($"l_discount" < 0.0 || $"l_discount" > 0.08, 1L)
+          .otherwise(0L)).as("v_rng"))
+      val fk = T.lineitem(s, dir)
+        .join(T.orders(s, dir), $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      def chk(name: String, v: Column) =
+        struct(lit(name).as("check_name"), v.as("violations"))
+      o.crossJoin(l).crossJoin(fk)
+        .select(explode(array(
+          chk("accepted_values_o_orderstatus", $"v_av"),
+          chk("fk_lineitem_l_orderkey", $"v_fk"),
+          chk("not_null_o_custkey", $"v_nn"),
+          chk("pk_unique_o_orderkey", $"v_pk"),
+          chk("positive_o_totalprice", $"v_pos"),
+          chk("range_l_discount_le_008", $"v_rng"))).as("r"))
+        .select($"r.check_name", $"r.violations",
+          ($"r.violations" === 0L).as("passed"))
+        .orderBy($"check_name")
+    }),
+
+    // Winsorized robust statistics per l_returnflag: exact p05/p95
+    // order statistics (rank picked via integer ceil-div — no float
+    // quantile interpolation, whose arithmetic differs between
+    // engines), then the mean of values CLAMPED to [p05, p95] — the
+    // outlier-trimming a revenue dashboard wants when a fat tail
+    // poisons the plain mean. Money travels as exact cents (the
+    // `Exact` discipline), so every sum is order-independent integer
+    // arithmetic and the final divisions are single IEEE ops.
+    //
+    // Scale note: exact order statistics need a per-group sort (one
+    // shuffle by group, rank via window). That is the honest cost of
+    // EXACT quantiles on an unbounded domain; the mergeable
+    // alternative at 100 TB is the q121 quantile sketch (ε-rank), and
+    // the bounded-domain alternative is q117's counting construction.
+    "q152_winsorized_stats" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir).select($"l_returnflag",
+        round($"l_extendedprice" * 100.0).cast("long").as("cents"))
+      val grp = Window.partitionBy($"l_returnflag")
+      val ranked = li
+        .withColumn("rn", row_number().over(grp.orderBy($"cents")).cast("long"))
+        .withColumn("n", count(lit(1)).over(grp))
+      val th = ranked
+        .filter($"rn" === expr("(n * 5 + 99) div 100") ||
+          $"rn" === expr("(n * 95 + 99) div 100"))
+        .groupBy($"l_returnflag")
+        .agg(min($"cents").as("p05c"), max($"cents").as("p95c"))
+      li.join(th, "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          min($"p05c").as("p05c"), min($"p95c").as("p95c"),
+          sum($"cents").as("sum_c"),
+          sum(greatest($"p05c", least($"p95c", $"cents"))).as("sum_w"))
+        .select($"l_returnflag", $"n_items",
+          ($"p05c".cast("double") / 100.0).as("p05"),
+          ($"p95c".cast("double") / 100.0).as("p95"),
+          round($"sum_c".cast("double") / $"n_items".cast("double") / 100.0, 6)
+            .as("mean_price"),
+          round($"sum_w".cast("double") / $"n_items".cast("double") / 100.0, 6)
+            .as("winsorized_mean"))
+        .orderBy($"l_returnflag")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q150_table_profile" ->
+      """SELECT * FROM (
+        |SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_count,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_count,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  min(o_totalprice), max(o_totalprice)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  min(o_orderstatus), max(o_orderstatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  min(o_orderpriority), max(o_orderpriority),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders) t
+        |ORDER BY col_name""".stripMargin,
+
+    "q151_constraint_checks" ->
+      """WITH o AS (
+        |  SELECT
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+        |    CAST(count(*) - count(o_custkey) AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_av,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_pos
+        |  FROM orders),
+        |l AS (
+        |  SELECT CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_rng
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v_fk
+        |  FROM lineitem li LEFT JOIN orders o2 ON li.l_orderkey = o2.o_orderkey
+        |  WHERE o2.o_orderkey IS NULL)
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'accepted_values_o_orderstatus' AS check_name, v_av AS violations FROM o
+        |  UNION ALL SELECT 'fk_lineitem_l_orderkey', v_fk FROM fk
+        |  UNION ALL SELECT 'not_null_o_custkey', v_nn FROM o
+        |  UNION ALL SELECT 'pk_unique_o_orderkey', v_pk FROM o
+        |  UNION ALL SELECT 'positive_o_totalprice', v_pos FROM o
+        |  UNION ALL SELECT 'range_l_discount_le_008', v_rng FROM l) t
+        |ORDER BY check_name""".stripMargin,
+
+    "q152_winsorized_stats" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT l_returnflag, cents,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM li),
+        |th AS (
+        |  SELECT l_returnflag, min(cents) AS p05c, max(cents) AS p95c
+        |  FROM ranked
+        |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+        |  GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(min(p05c) AS DOUBLE) / 100.0 AS p05,
+        |  CAST(min(p95c) AS DOUBLE) / 100.0 AS p95,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+        |    AS mean_price,
+        |  round(CAST(sum(greatest(p05c, least(p95c, cents))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS winsorized_mean
+        |FROM li JOIN th ON li.l_returnflag = th.l_returnflag
+        |GROUP BY li.l_returnflag
+        |ORDER BY li.l_returnflag""".stripMargin)
+}

@@ -40,13 +40,45 @@ object Similarity {
     * (k = 8, init = first k vectors by id). Returns (centroids as
     * (cl, dim, qc) rows, final assignment as (vec_id, cl) rows) —
     * shared by q144 (training output) and q145 (trained-IVF search).
-    * See q144's comment for the integer-exactness argument. */
+    * See q144's comment for the integer-exactness argument.
+    *
+    * Memoized per (session, dataset): the codebook + assignment are
+    * persisted MODEL state (FAISS trains once and serves many
+    * searches) — the same materialized-view discipline as the LSH
+    * pair list and q122's stored dedup index. Both frames are tiny
+    * (k×d and |corpus| thin rows), so residency is negligible;
+    * SessionMemo.releaseAll is the usual bound. */
+  private val codebookCache = new SessionMemo[String]
   private def trainCodebook(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val a2 = codebookCache.getOrElseUpdate(s, s"$dir#assign")(
+      trainCodebookUncached(s, dir)._2.localCheckpoint())
+    // final centroid table = one update step over the (checkpointed)
+    // final assignment — training never runs twice
+    val c2 = codebookCache.getOrElseUpdate(s, s"$dir#cents")(
+      centroidUpdate(quantized(s, dir), a2).localCheckpoint())
+    (c2, a2)
+  }
+  /** (vec_id, dim, qv) micro-quantized exploded vectors. */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vq = T.spread(T.embeddings(s, dir))
+    T.spread(T.embeddings(s, dir))
       .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
       .select($"vec_id", $"dim".cast("long").as("dim"),
         floor($"v".cast("double") * 1000000.0).cast("long").as("qv"))
+  }
+  /** Lloyd update: mean (floor-div) of member vectors per (cl, dim). */
+  private def centroidUpdate(vq: DataFrame, a: DataFrame): DataFrame = {
+    val s = vq.sparkSession
+    import s.implicits._
+    a.join(vq, "vec_id")
+      .groupBy($"cl", $"dim")
+      .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
+      .select($"cl", $"dim",
+        floor($"s".cast("double") / $"n".cast("double")).cast("long").as("qc"))
+  }
+  private def trainCodebookUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val vq = quantized(s, dir)
     val c0 = vq.filter($"vec_id" < 8L)
       .select($"vec_id".as("cl"), $"dim", $"qv".as("qc"))
     def assign(cent: DataFrame): DataFrame = vq
@@ -56,16 +88,10 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
       .filter($"rn" === 1).select($"vec_id", $"cl")
-    def update(a: DataFrame): DataFrame = a.join(vq, "vec_id")
-      .groupBy($"cl", $"dim")
-      .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
-      .select($"cl", $"dim",
-        floor($"s".cast("double") / $"n".cast("double")).cast("long").as("qc"))
     val a1 = assign(c0)
-    val c1 = update(a1)
+    val c1 = centroidUpdate(vq, a1)
     val a2 = assign(c1)
-    val c2 = update(a2)
-    (c2, a2)
+    (centroidUpdate(vq, a2), a2)
   }
 
   val queries: Map[String, Q] = Map(

@@ -48,11 +48,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy flag) and truncate to
-    * microsecond TimestampType — the same truncation DuckDB applies, so
-    * oracle comparisons stay exact. Integer `div` avoids the double
-    * round-trip (ns-since-epoch exceeds 2^53). */
+  /** events.ts has shipped as three physical shapes across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (readable only as
+    * raw nanos via the legacy flag), plain micro TIMESTAMP_NTZ (current
+    * testdata), and raw nano LONG (ScaleUp-generated dirs). Normalize
+    * all three to micro-precision session-zone TimestampType — the
+    * session TZ is pinned UTC, so the NTZ cast and the nano `div 1000`
+    * truncation both land on exactly the wall-clock values DuckDB
+    * reads, and every downstream query sees one stable type. Integer
+    * `div` avoids the double round-trip (ns-since-epoch exceeds 2^53). */
   def events(s: SparkSession, d: String): DataFrame =
     if (metastoreDb(d).isDefined) {
       // the registered table was saved through this accessor, so its
@@ -60,10 +64,23 @@ object Tables {
       load(s, d, "events")
     } else {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = load(s, d, "events")
+      normalizeTs(raw)
     }
+
+  /** See [[events]]: raw nanos → µs TimestampType; NTZ → session-UTC
+    * TimestampType; already-zoned passes through. Shared with the
+    * streaming reader, which must apply the identical projection. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case t if t.typeName == "timestamp_ntz" =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

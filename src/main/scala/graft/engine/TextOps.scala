@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables => T}
@@ -31,7 +31,108 @@ object TextOps {
   private def vocabIn(n: Int): String =
     vocab(n).map(p => s"'$p'").mkString(", ")
 
+  /** Learned BPE merge table (3 rounds) — the TRAINING half of a
+    * byte-pair-encoding tokenizer (Sennrich et al. 2016), the other
+    * bookend to q137's fixed-vocabulary wordpiece APPLY.
+    *
+    * Scale design — the classic BPE trick: training never iterates
+    * over the corpus. One corpus pass builds the DISTINCT-WORD
+    * frequency dict (one combine-able count shuffle; ~10⁵–10⁶ rows at
+    * 100 TB, independent of corpus size); every merge round then runs
+    * over the dict alone: map-side adjacent-pair explode weighted by
+    * word count, one keyed count aggregation, a 1-row argmax
+    * (orderBy+limit → TakeOrderedAndProject, never a global window),
+    * and a map-side rewrite with the winning pair broadcast.
+    *
+    * Determinism: symbols travel in `[sym]` sentinel form, so the
+    * literal `replace(seq, '[a][b]', '[ab]')` can only fire on exact
+    * symbol boundaries, and both engines share replace's
+    * non-overlapping left-to-right scan (= BPE's greedy merge order).
+    * Argmax tie-break is total: (count DESC, left, right). Memoized
+    * per (session, dataset): the merge table is persisted model state
+    * — q148 emits it, q149 applies it — like the trained IVF codebook.
+    */
+  private val bpeCache = new SessionMemo[String]
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeCache.getOrElseUpdate(s, dir) {
+      import s.implicits._
+      val chars = expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      var wd = T.documents(s, dir)
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("["), concat_ws("][", chars), lit("]")).as("seq"),
+          $"cnt")
+      var merges: DataFrame = null
+      for (r <- 1 to 3) {
+        val best = wd
+          .select($"cnt", expr(
+            "split(substring(seq, 2, length(seq) - 2), '\\\\]\\\\[')").as("sym"))
+          .filter(size($"sym") >= 2) // sequence(1,0) would run DESCENDING
+          .select($"cnt", explode(expr(
+            """transform(sequence(1, size(sym) - 1),
+              |  i -> struct(element_at(sym, i) AS a,
+              |              element_at(sym, i + 1) AS b))""".stripMargin)).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"cnt").as("pc"))
+          .orderBy($"pc".desc, $"a", $"b").limit(1)
+          .select(lit(r.toLong).as("merge_rank"), $"a".as("left_sym"),
+            $"b".as("right_sym"), $"pc".as("pair_count"))
+        merges = if (merges == null) best else merges.unionByName(best)
+        wd = wd.crossJoin(broadcast(best))
+          .select(expr(
+            """replace(seq, concat('[', left_sym, '][', right_sym, ']'),
+              |             concat('[', left_sym, right_sym, ']'))""".stripMargin)
+            .as("seq"), $"cnt")
+      }
+      merges.localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
+    // BPE merge training — see [[bpeMerges]]. Output = the ranked
+    // merge table itself (the tokenizer model artifact).
+    "q148_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges(s, dir).orderBy($"merge_rank")
+    }),
+
+    // BPE APPLY: run the learned merges (in rank order, each a single
+    // sentinel-form literal replace — greedy left-to-right, exactly
+    // the training-time semantics) over every word occurrence and
+    // report per-document subword counts + compression vs raw chars.
+    // Entirely map-side after the 3-row merge table broadcast; the
+    // only shuffle is the per-doc count aggregation.
+    "q149_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val m = bpeMerges(s, dir)
+      def b(r: Int) = broadcast(m.filter($"merge_rank" === r.toLong)
+        .select($"left_sym".as(s"l$r"), $"right_sym".as(s"r$r")))
+      val chars = expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      def merged(src: String, r: Int) = expr(
+        s"""replace($src, concat('[', l$r, '][', r$r, ']'),
+           |              concat('[', l$r, r$r, ']'))""".stripMargin)
+      val nsym = (c: Column) =>
+        (length(c) - length(regexp_replace(c, "\\[", ""))).cast("long")
+      T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+        .withColumn("seq", concat(lit("["), concat_ws("][", chars), lit("]")))
+        .crossJoin(b(1)).crossJoin(b(2)).crossJoin(b(3))
+        .withColumn("s1", merged("seq", 1))
+        .withColumn("s2", merged("s1", 2))
+        .withColumn("s3", merged("s2", 3))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(nsym($"seq")).as("n_chars_sym"),
+          sum(nsym($"s3")).as("n_subwords"))
+        .select($"doc_id", $"n_words", $"n_chars_sym", $"n_subwords",
+          round($"n_subwords".cast("double") / $"n_chars_sym".cast("double"), 6)
+            .as("compression"))
+        .orderBy($"doc_id")
+    }),
+
     // Exact dedup idiom: keep the first row per key via
     // row_number()=1 (partition-local, deterministic tie-break).
     "q50_exact_dedup" -> ((s, dir) => {
@@ -629,7 +730,76 @@ object TextOps {
           $"dup_tok_frac" < 0.6 && $"top_tok_frac" < 0.15)
   }
 
+  /** Shared oracle CTE chain for BPE training: distinct-word dict →
+    * 3 rounds of (pair count → argmax → sentinel replace). DuckDB's
+    * `replace` shares Spark's non-overlapping left-to-right scan, so
+    * the greedy merge semantics replay exactly. */
+  private val bpeOracleCtes =
+    """WITH wdict AS (
+      |  SELECT '[' || array_to_string(string_split(w, ''), '][') || ']' AS seq,
+      |    count(*) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents) t
+      |  WHERE len(w) > 0 GROUP BY 1),
+      |r1 AS (SELECT seq, cnt,
+      |    unnest(string_split(substr(seq, 2, len(seq) - 2), '][')) AS s,
+      |    generate_subscripts(string_split(substr(seq, 2, len(seq) - 2), ']['), 1) AS pos
+      |  FROM wdict),
+      |p1 AS (SELECT cnt, s AS a, lead(s) OVER (PARTITION BY seq ORDER BY pos) AS b FROM r1),
+      |b1 AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p1
+      |  WHERE b IS NOT NULL GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1),
+      |w1 AS (SELECT replace(seq, '[' || b1.a || '][' || b1.b || ']',
+      |    '[' || b1.a || b1.b || ']') AS seq, cnt FROM wdict, b1),
+      |r2 AS (SELECT seq, cnt,
+      |    unnest(string_split(substr(seq, 2, len(seq) - 2), '][')) AS s,
+      |    generate_subscripts(string_split(substr(seq, 2, len(seq) - 2), ']['), 1) AS pos
+      |  FROM w1),
+      |p2 AS (SELECT cnt, s AS a, lead(s) OVER (PARTITION BY seq ORDER BY pos) AS b FROM r2),
+      |b2 AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p2
+      |  WHERE b IS NOT NULL GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1),
+      |w2 AS (SELECT replace(seq, '[' || b2.a || '][' || b2.b || ']',
+      |    '[' || b2.a || b2.b || ']') AS seq, cnt FROM w1, b2),
+      |r3 AS (SELECT seq, cnt,
+      |    unnest(string_split(substr(seq, 2, len(seq) - 2), '][')) AS s,
+      |    generate_subscripts(string_split(substr(seq, 2, len(seq) - 2), ']['), 1) AS pos
+      |  FROM w2),
+      |p3 AS (SELECT cnt, s AS a, lead(s) OVER (PARTITION BY seq ORDER BY pos) AS b FROM r3),
+      |b3 AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p3
+      |  WHERE b IS NOT NULL GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q148_bpe_train" -> (bpeOracleCtes +
+      """
+        |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym,
+        |  b AS right_sym, pc AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS BIGINT), a, b, pc FROM b2
+        |UNION ALL SELECT CAST(3 AS BIGINT), a, b, pc FROM b3
+        |ORDER BY merge_rank""".stripMargin),
+
+    "q149_bpe_apply" -> (bpeOracleCtes +
+      """,
+        |words AS (
+        |  SELECT doc_id,
+        |    '[' || array_to_string(string_split(w, ''), '][') || ']' AS seq
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents) t
+        |  WHERE len(w) > 0),
+        |applied AS (
+        |  SELECT doc_id, seq,
+        |    replace(replace(replace(seq,
+        |      '[' || b1.a || '][' || b1.b || ']', '[' || b1.a || b1.b || ']'),
+        |      '[' || b2.a || '][' || b2.b || ']', '[' || b2.a || b2.b || ']'),
+        |      '[' || b3.a || '][' || b3.b || ']', '[' || b3.a || b3.b || ']') AS s3
+        |  FROM words, b1, b2, b3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(len(seq) - len(replace(seq, '[', ''))) AS BIGINT) AS n_chars_sym,
+        |  CAST(sum(len(s3) - len(replace(s3, '[', ''))) AS BIGINT) AS n_subwords,
+        |  round(CAST(sum(len(s3) - len(replace(s3, '[', ''))) AS DOUBLE)
+        |    / CAST(sum(len(seq) - len(replace(seq, '[', ''))) AS DOUBLE), 6)
+        |    AS compression
+        |FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "q118_bigram_fluency" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -46,8 +46,8 @@ object Streams {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         // glob (not the bare file path): FileStreamSource requires its
         // basePath to be a directory, which the glob's parent provides
-        s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        graft.engine.Tables.normalizeTs(
+          s.readStream.schema(schema).parquet(s"$dir/events.parque*"))
     }
 
   /** Tumbling 1-hour windowed aggregation as a true streaming query,

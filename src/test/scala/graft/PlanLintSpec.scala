@@ -41,7 +41,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q144_kmeans_train", "q145_ivf_trained",
     // q146's corpus totals (N tokens, B bigrams) are broadcast 1-row
     // stats crosses (the q76/q95 shape).
-    "q146_pmi_collocations")
+    "q146_pmi_collocations",
+    // q149 broadcasts the three 1-row learned BPE merges against the
+    // word stream (the bounded-model shape: 3 rows of model state,
+    // map-side replace); q151 crosses three 1-row per-table violation
+    // aggregates to fuse them into one constraint report (1×1×1).
+    "q149_bpe_apply", "q151_constraint_checks")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
