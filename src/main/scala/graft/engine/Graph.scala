@@ -411,6 +411,53 @@ object Graph {
         .orderBy($"id")
     }),
 
+    // Single-source BFS hop layers — the traversal primitive the graph
+    // family still lacked (PR/HITS/CC measure structure; BFS answers
+    // "how far"). Undirected mentor graph (q143's edge set), source =
+    // node 1, depth capped at 10 — the same bounded-radius contract as
+    // the reference's 10-level upline walk (render-complete-deploy.js
+    // :259). Classic frontier iteration: per round ONE equi-join of
+    // the (thin) frontier against the adjacency list, a distinct, and
+    // an anti-join against the visited set — first touch = minimal
+    // hop count, so no per-node min bookkeeping is needed. Work per
+    // round ∝ frontier edge fan-out, never |V|; the visited union
+    // chains over per-round localCheckpoints so lineage stays flat.
+    // At 100 TB the adjacency list is bucketed by id once and every
+    // round's join is co-partitioned (the Pregel-on-SQL layout, same
+    // as pagerank's). Oracle: recursive CTE enumerating all ≤10-hop
+    // walks with UNION dedup, then min(dist) per node — a different
+    // formulation whose agreement proves first-touch ≡ min-dist.
+    "q153_bfs_layers" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+        val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+          .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+          .filter($"p" >= 1L && $"p" =!= $"u")
+        val edges = rawE.select(least($"u", $"p").as("lo"),
+          greatest($"u", $"p").as("hi")).distinct()
+        val nbrs = edges.select($"lo".as("id"), $"hi".as("nb"))
+          .union(edges.select($"hi".as("id"), $"lo".as("nb")))
+          .persist()
+        var frontier = s.createDataFrame(Seq((1L, 0L)))
+          .toDF("id", "dist").localCheckpoint()
+        var visited = frontier
+        for (d <- 1 to 10) {
+          val next = frontier.join(nbrs, "id")
+            .select($"nb".as("id")).distinct()
+            .join(visited, Seq("id"), "left_anti")
+            .select($"id", lit(d.toLong).as("dist"))
+            .localCheckpoint()
+          visited = visited.unionByName(next)
+          frontier = next
+        }
+        nbrs.unpersist(blocking = false)
+        visited.orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
     // floor(c_custkey/2)). 5 iterations, integer-exact.
@@ -529,6 +576,30 @@ object Graph {
     * look up each node's single rank source; node 0 (the root, no
     * incoming edge) joins its own previous row and contributes 0. */
   val oracle: Map[String, String] = Map(
+    // All ≤10-hop walks from node 1 with recursive-UNION dedup;
+    // min(dist) per node = BFS layer. Different formulation from the
+    // engine's first-touch frontier — agreement proves them equal.
+    "q153_bfs_layers" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |edges AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |nbrs AS (
+        |  SELECT lo AS id, hi AS nb FROM edges
+        |  UNION ALL SELECT hi AS id, lo AS nb FROM edges),
+        |walk AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT n.nb AS id, walk.dist + 1 AS dist
+        |  FROM walk JOIN nbrs n ON n.id = walk.id
+        |  WHERE walk.dist < 10)
+        |SELECT id, min(dist) AS dist FROM walk
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     // Naive three-way self-join over the canonical (lo < hi) edge set —
     // deliberately NOT the oriented enumeration, so agreement proves
     // the orientation trick lossless. Triangle {a<b<c} ⇔ edges (a,b),

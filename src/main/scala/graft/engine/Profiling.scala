@@ -120,6 +120,34 @@ object Profiling {
         .orderBy($"check_name")
     }),
 
+    // Equi-DEPTH histogram over o_totalprice (k = 8 buckets) — the
+    // CBO-grade statistic q95's equi-width variant can't provide on
+    // skewed data: every bucket holds the same row count, so bucket
+    // boundaries ARE the distribution's quantile spine (what Spark's
+    // own `ANALYZE ... FOR COLUMNS` computes, and what join-selectivity
+    // estimation wants). Bucket membership is pure integer rank
+    // arithmetic (ceil(rn·k/n) via int ceil-div), values travel as
+    // exact cents — every output is deterministic under ties because
+    // rank-range CONTENTS are multiset-determined even when tie order
+    // is not. The global rank window is the honest exact-quantile
+    // cost (cf. q152's note); the mergeable path at 100 TB is the
+    // q121 sketch, the plan-asserted scalable rank is q81.
+    "q155_equidepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir)
+        .select(round($"o_totalprice" * 100.0).cast("long").as("cents"))
+      val ranked = o
+        .withColumn("rn", row_number().over(Window.orderBy($"cents")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("bucket", expr("(rn * 8 + n - 1) div n"))
+      ranked.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (min($"cents").cast("double") / 100.0).as("lo"),
+          (max($"cents").cast("double") / 100.0).as("hi"),
+          countDistinct($"cents").as("ndv"))
+        .orderBy($"bucket")
+    }),
+
     // Winsorized robust statistics per l_returnflag: exact p05/p95
     // order statistics (rank picked via integer ceil-div — no float
     // quantile interpolation, whose arithmetic differs between
@@ -237,6 +265,22 @@ object Profiling {
         |  UNION ALL SELECT 'positive_o_totalprice', v_pos FROM o
         |  UNION ALL SELECT 'range_l_discount_le_008', v_rng FROM l) t
         |ORDER BY check_name""".stripMargin,
+
+    "q155_equidepth_hist" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM o)
+        |SELECT (rn * 8 + n - 1) // n AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS lo,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS hi,
+        |  CAST(count(DISTINCT cents) AS BIGINT) AS ndv
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q152_winsorized_stats" ->
       """WITH li AS (

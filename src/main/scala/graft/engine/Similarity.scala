@@ -166,6 +166,43 @@ object Similarity {
         .orderBy($"qid", $"rank")
     }),
 
+    // k-NN majority-vote classification — the evaluation harness an
+    // embedding pipeline runs after indexing: every 25th vector is a
+    // held-out query, its label predicted by the majority label of its
+    // 5 nearest neighbors (cosine, exact), ties broken toward the
+    // smaller label. Composes the q60 top-k kernel with a per-query
+    // grouped argmax: the vote count is a ≤5-row aggregate per query
+    // and the argmax a ≤|labels|-row window — both trivial next to the
+    // scan. Scale shape = q60's: the bounded query set broadcasts, the
+    // corpus streams map-side through the codegen'd cosine kernel, and
+    // per-query state never exceeds k rows (TakeOrderedAndProject
+    // semantics via the rank window). Swap the exact scan for the IVF
+    // route (q145) and the same vote tail serves 100 TB.
+    "q154_knn_classify" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.spread(T.embeddings(s, dir))
+      val q = T.embeddings(s, dir).filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".cast("long").as("true_label"))
+      val wTop = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      val top = emb.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"true_label", $"vec_id".as("cid"),
+          $"label".cast("long").as("nb_label"),
+          round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= 5)
+      val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"nb_label")
+      top.groupBy($"qid", $"true_label", $"nb_label")
+        .agg(count(lit(1)).as("votes"), max($"cos_sim").as("best_sim"))
+        .withColumn("rn", row_number().over(wVote))
+        .filter($"rn" === 1)
+        .select($"qid", $"true_label", $"nb_label".as("pred_label"),
+          $"votes", $"best_sim",
+          ($"nb_label" === $"true_label").as("correct"))
+        .orderBy($"qid")
+    }),
+
     // Exact brute-force cosine top-5 per query vector (queries =
     // every 50th vector), ranked on the rounded score for a total,
     // oracle-stable order.
@@ -511,6 +548,32 @@ object Similarity {
         |      AS BIGINT) AS rank
         |  FROM pd) r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q154_knn_classify" ->
+      """WITH top AS (
+        |  SELECT qid, true_label, nb_label, cos_sim FROM (
+        |    SELECT qid, true_label, nb_label, cos_sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid)
+        |        AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS true_label,
+        |        c.vec_id AS cid, CAST(c.label AS BIGINT) AS nb_label,
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])), 6)
+        |          AS cos_sim
+        |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 25 = 0) s) r
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT qid, true_label, nb_label,
+        |    CAST(count(*) AS BIGINT) AS votes, max(cos_sim) AS best_sim
+        |  FROM top GROUP BY qid, true_label, nb_label)
+        |SELECT qid, true_label, nb_label AS pred_label, votes, best_sim,
+        |  nb_label = true_label AS correct
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, nb_label) AS rn FROM votes) v
+        |WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (

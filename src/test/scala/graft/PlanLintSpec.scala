@@ -46,7 +46,10 @@ class PlanLintSpec extends AnyFunSuite {
     // word stream (the bounded-model shape: 3 rows of model state,
     // map-side replace); q151 crosses three 1-row per-table violation
     // aggregates to fuse them into one constraint report (1×1×1).
-    "q149_bpe_apply", "q151_constraint_checks")
+    "q149_bpe_apply", "q151_constraint_checks",
+    // q154 broadcasts the bounded held-out query set against the
+    // corpus scan — the q60 shape with a vote tail.
+    "q154_knn_classify")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -110,6 +110,54 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("BFS layers: source at 0, every deeper node has a parent witness one layer up") {
+    import spark.implicits._
+    val bfs = SparkEntry.queries("q153_bfs_layers")(spark, dir)
+      .select($"id", $"dist").as[(Long, Long)].collect().toMap
+    assert(bfs(1L) === 0L)
+    assert(bfs.values.max <= 10L && bfs.size > 100)
+    // independent adjacency recomputation for the witness check
+    def nbrs(u: Long): Seq[Long] = {
+      val parents = Seq(u / 2, u / 3).filter(p => p >= 1 && p != u)
+      val children = bfs.keys.filter(c => c / 2 == u || c / 3 == u).toSeq
+      (parents ++ children).distinct
+    }
+    bfs.foreach { case (id, d) =>
+      if (d > 0)
+        assert(nbrs(id).exists(nb => bfs.get(nb).contains(d - 1)),
+          s"node $id at layer $d has no neighbor at ${d - 1}")
+    }
+  }
+
+  test("kNN vote counts are within k and `correct` is consistent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q154_knn_classify")(spark, dir)
+      .select($"true_label", $"pred_label", $"votes", $"correct")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (t, p, v, c) =>
+      assert(v >= 1L && v <= 5L)
+      assert(c === (t == p))
+    }
+  }
+
+  test("equi-depth buckets: equal depths (±1), ordered non-overlapping ranges") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q155_equidepth_hist")(spark, dir)
+      .select($"bucket", $"n_rows", $"lo", $"hi", $"ndv")
+      .as[(Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 8L))
+    val n = rows.map(_._2).sum
+    assert(n === graft.engine.Tables.orders(spark, dir).count())
+    rows.foreach { case (_, rn, lo, hi, ndv) =>
+      assert(rn == n / 8 || rn == n / 8 + 1)
+      assert(lo <= hi && ndv >= 1L && ndv <= rn)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bucket ${a._1} hi ${a._4} > bucket ${b._1} lo ${b._3}")
+    }
+  }
+
   test("winsorized mean sits inside [p05, p95] and differs from the raw mean") {
     import spark.implicits._
     val rows = SparkEntry.queries("q152_winsorized_stats")(spark, dir)
