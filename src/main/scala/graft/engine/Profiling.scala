@@ -19,7 +19,58 @@ import graft.engine.{Tables => T}
 object Profiling {
   type Q = (SparkSession, String) => DataFrame
 
+  private val profCache = new SessionMemo[String]
+
   val queries: Map[String, Q] = Map(
+    // INCREMENTAL profile maintenance (the q122/q135/q136 discipline
+    // applied to table stats): the per-shard metric partials a nightly
+    // job persists — row/null counts, exact-cents sum, min/max, and
+    // the HLL register array for distinct customers — are advanced by
+    // a delta batch's partials and MERGED, never recomputed from the
+    // base table. Every metric is chosen to be merge-closed (sums,
+    // extrema, pointwise-max registers), which is precisely what makes
+    // a 100 TB profile affordable: the corpus-sized pass happens once
+    // per shard at ingest, and any later "profile the table" question
+    // is a |shards|-row fold. The oracle recomputes everything
+    // directly over the full table (HLL registers replayed in SQL —
+    // the q125 exactness), so the driver proves stored+delta ≡ direct.
+    // Null handling: the fixture has no null o_custkey; at real scale
+    // the register build adds a FILTER (nulls are counted, not
+    // hashed) — the null_custkey metric carries them.
+    "q156_incremental_profile" -> ((s, dir) => {
+      import s.implicits._
+      val regs = udaf(new Sketches.HllRegs)
+      val regMerge = udaf(new Sketches.HllRegMerge)
+      def partials(df: DataFrame): DataFrame = df
+        .select(expr("o_orderkey div 1000").as("shard"), $"o_custkey",
+          round($"o_totalprice" * 100.0).cast("long").as("cents"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count($"o_custkey")).as("n_null_cust"),
+          sum($"cents").as("sum_cents"),
+          min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"),
+          regs(md5($"o_custkey".cast("string"))).as("regs"))
+      val o = T.orders(s, dir)
+      val maxKey = o.agg(max($"o_orderkey")).head().getLong(0)
+      val cut = maxKey - maxKey / 5 // newest ~20% of orders are the delta
+      val stored = profCache.getOrElseUpdate(s, dir)(
+        partials(o.filter($"o_orderkey" <= cut)).localCheckpoint())
+      val delta = partials(o.filter($"o_orderkey" > cut))
+      stored.unionByName(delta)
+        .agg(sum($"n_rows").as("n_rows"),
+          sum($"n_null_cust").as("null_custkey"),
+          (sum($"sum_cents").cast("double") / 100.0).as("sum_price"),
+          (min($"min_cents").cast("double") / 100.0).as("min_price"),
+          (max($"max_cents").cast("double") / 100.0).as("max_price"),
+          regMerge($"regs").as("st"))
+        .select($"n_rows", $"null_custkey", $"sum_price", $"min_price",
+          $"max_price",
+          element_at($"st", 1).as("cust_zero_regs"),
+          element_at($"st", 2).as("cust_sum_scaled"),
+          (lit(Sketches.HllEstNumerator) /
+            element_at($"st", 2).cast("double")).as("cust_raw_est"))
+    }),
     // Single-pass column profiler over `orders` (the Deequ
     // "ColumnProfilerRunner" shape): row count, null count, exact
     // distinct count, and min/max per column — numerics as doubles,
@@ -192,6 +243,38 @@ object Profiling {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q156_incremental_profile" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders),
+         |b AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))
+         |      AS BIGINT) % 64 AS j,
+         |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13))
+         |      AS BIGINT) AS v
+         |  FROM o),
+         |reg AS (
+         |  SELECT j, max(CASE WHEN v = 0 THEN 53
+         |                     ELSE 53 - length(bin(v)) END) AS r
+         |  FROM b GROUP BY j),
+         |st AS (
+         |  SELECT CAST(64 - count(*) AS BIGINT) AS zero_regs,
+         |    CAST(sum(1::BIGINT << (53 - r))
+         |         + (64 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS sum_scaled
+         |  FROM reg)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_price,
+         |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_price,
+         |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_price,
+         |  st.zero_regs AS cust_zero_regs,
+         |  st.sum_scaled AS cust_sum_scaled,
+         |  ${Sketches.HllEstNumerator} / CAST(st.sum_scaled AS DOUBLE)
+         |    AS cust_raw_est
+         |FROM o, st
+         |GROUP BY st.zero_regs, st.sum_scaled""".stripMargin,
+
     "q150_table_profile" ->
       """SELECT * FROM (
         |SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

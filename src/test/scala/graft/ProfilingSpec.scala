@@ -110,6 +110,30 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental profile (stored partials + delta) equals a direct one-shot profile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val direct = {
+      val hll = udaf(new graft.engine.Sketches.Hll)
+      graft.engine.Tables.orders(spark, dir)
+        .select($"o_custkey",
+          round($"o_totalprice" * 100.0).cast("long").as("cents"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count($"o_custkey")).as("null_custkey"),
+          (sum($"cents").cast("double") / 100.0).as("sum_price"),
+          (min($"cents").cast("double") / 100.0).as("min_price"),
+          (max($"cents").cast("double") / 100.0).as("max_price"),
+          hll(md5($"o_custkey".cast("string"))).as("st"))
+        .select($"n_rows", $"null_custkey", $"sum_price", $"min_price",
+          $"max_price", element_at($"st", 1).as("cust_zero_regs"),
+          element_at($"st", 2).as("cust_sum_scaled"))
+        .head()
+    }
+    val inc = SparkEntry.queries("q156_incremental_profile")(spark, dir)
+      .drop("cust_raw_est").head()
+    assert(inc === direct)
+  }
+
   test("BFS layers: source at 0, every deeper node has a parent witness one layer up") {
     import spark.implicits._
     val bfs = SparkEntry.queries("q153_bfs_layers")(spark, dir)
