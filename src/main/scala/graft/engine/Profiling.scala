@@ -21,6 +21,49 @@ object Profiling {
 
   private val profCache = new SessionMemo[String]
 
+  /** Per-shard merge-closed profile partials for an orders-shaped
+    * frame — the row a nightly stats job persists per shard: counts,
+    * exact-cents sum, extrema, and the HLL register array for distinct
+    * customers. A frame may contribute several rows per shard (splits
+    * merge losslessly); [[finalizeProfile]] folds any union of partial
+    * rows — stored + delta, per-batch streaming accumulations, shard
+    * re-splits — into the same final profile a direct pass computes. */
+  def profilePartials(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val regs = udaf(new Sketches.HllRegs)
+    df.select(expr("o_orderkey div 1000").as("shard"), $"o_custkey",
+      round($"o_totalprice" * 100.0).cast("long").as("cents"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count($"o_custkey")).as("n_null_cust"),
+        sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"),
+        regs(md5($"o_custkey".cast("string"))).as("regs"))
+  }
+
+  /** Fold profile partial rows into the final 1-row profile (see
+    * [[profilePartials]]). */
+  def finalizeProfile(partials: DataFrame): DataFrame = {
+    val s = partials.sparkSession
+    import s.implicits._
+    val regMerge = udaf(new Sketches.HllRegMerge)
+    partials
+      .agg(sum($"n_rows").as("n_rows"),
+        sum($"n_null_cust").as("null_custkey"),
+        (sum($"sum_cents").cast("double") / 100.0).as("sum_price"),
+        (min($"min_cents").cast("double") / 100.0).as("min_price"),
+        (max($"max_cents").cast("double") / 100.0).as("max_price"),
+        regMerge($"regs").as("st"))
+      .select($"n_rows", $"null_custkey", $"sum_price", $"min_price",
+        $"max_price",
+        element_at($"st", 1).as("cust_zero_regs"),
+        element_at($"st", 2).as("cust_sum_scaled"),
+        (lit(Sketches.HllEstNumerator) /
+          element_at($"st", 2).cast("double")).as("cust_raw_est"))
+  }
+
   val queries: Map[String, Q] = Map(
     // INCREMENTAL profile maintenance (the q122/q135/q136 discipline
     // applied to table stats): the per-shard metric partials a nightly
@@ -39,37 +82,13 @@ object Profiling {
     // hashed) — the null_custkey metric carries them.
     "q156_incremental_profile" -> ((s, dir) => {
       import s.implicits._
-      val regs = udaf(new Sketches.HllRegs)
-      val regMerge = udaf(new Sketches.HllRegMerge)
-      def partials(df: DataFrame): DataFrame = df
-        .select(expr("o_orderkey div 1000").as("shard"), $"o_custkey",
-          round($"o_totalprice" * 100.0).cast("long").as("cents"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count($"o_custkey")).as("n_null_cust"),
-          sum($"cents").as("sum_cents"),
-          min($"cents").as("min_cents"),
-          max($"cents").as("max_cents"),
-          regs(md5($"o_custkey".cast("string"))).as("regs"))
       val o = T.orders(s, dir)
       val maxKey = o.agg(max($"o_orderkey")).head().getLong(0)
       val cut = maxKey - maxKey / 5 // newest ~20% of orders are the delta
       val stored = profCache.getOrElseUpdate(s, dir)(
-        partials(o.filter($"o_orderkey" <= cut)).localCheckpoint())
-      val delta = partials(o.filter($"o_orderkey" > cut))
-      stored.unionByName(delta)
-        .agg(sum($"n_rows").as("n_rows"),
-          sum($"n_null_cust").as("null_custkey"),
-          (sum($"sum_cents").cast("double") / 100.0).as("sum_price"),
-          (min($"min_cents").cast("double") / 100.0).as("min_price"),
-          (max($"max_cents").cast("double") / 100.0).as("max_price"),
-          regMerge($"regs").as("st"))
-        .select($"n_rows", $"null_custkey", $"sum_price", $"min_price",
-          $"max_price",
-          element_at($"st", 1).as("cust_zero_regs"),
-          element_at($"st", 2).as("cust_sum_scaled"),
-          (lit(Sketches.HllEstNumerator) /
-            element_at($"st", 2).cast("double")).as("cust_raw_est"))
+        profilePartials(o.filter($"o_orderkey" <= cut)).localCheckpoint())
+      val delta = profilePartials(o.filter($"o_orderkey" > cut))
+      finalizeProfile(stored.unionByName(delta))
     }),
     // Single-pass column profiler over `orders` (the Deequ
     // "ColumnProfilerRunner" shape): row count, null count, exact

@@ -365,6 +365,44 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming profile partials accumulate to the exact batch profile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.engine.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+
+    // maintained state: the per-shard partial ROWS a stats service
+    // persists — each micro-batch appends its own partials; no batch
+    // ever re-reads earlier data
+    var partials = graft.engine.Profiling
+      .profilePartials(Seq.empty[(Long, Long, Double)]
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+      .localCheckpoint()
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = input.toDS().toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          partials = partials
+            .unionByName(graft.engine.Profiling.profilePartials(batch))
+            .localCheckpoint()
+        ()
+      }.start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = graft.engine.Profiling.finalizeProfile(partials).head()
+    val direct = graft.engine.Profiling.finalizeProfile(
+      graft.engine.Profiling.profilePartials(
+        graft.engine.Tables.orders(spark, dir))).head()
+    assert(streamed === direct)
+  }
+
   test("streaming LSH band claims flag a late near-dup across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
