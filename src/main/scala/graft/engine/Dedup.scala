@@ -139,8 +139,13 @@ object Dedup {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val docs = T.documents(s, dir).select($"doc_id", $"text")
-        val seed = docs.filter($"doc_id" < 400L)
-        val delta = docs.filter($"doc_id" >= 400L)
+        // newest ~20% of doc ids are the delta batch (proportional at
+        // every sf — a fixed id cut would turn the whole corpus into
+        // "delta" on larger fixtures and measure a rebuild instead)
+        val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+        val cut = maxId - maxId / 5
+        val seed = docs.filter($"doc_id" <= cut)
+        val delta = docs.filter($"doc_id" > cut)
         // Seed state = full pipeline on the seed corpus only. In
         // production this state is PERSISTED (it's the stored
         // band-index + label table the delta probes — see

@@ -458,6 +458,112 @@ object Graph {
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
+    // Weighted single-source shortest paths — the cost-aware sibling
+    // of q153's BFS (hops answer "how far", SSSP answers "how cheap").
+    // Same undirected mentor graph; integer edge weights derived
+    // deterministically from the endpoints (1 + (lo+hi) mod 7), source
+    // node 1, path length capped at 10 edges (the reference's
+    // bounded-radius contract again). Frontier Bellman-Ford: each
+    // round relaxes ONLY the nodes improved last round — one thin
+    // equi-join against the adjacency list, a min-combine per target,
+    // and a compare-against-best; work per round ∝ frontier fan-out.
+    // All distances are integer micro-exact (no float accumulation),
+    // so the fixpoint is bit-identical under any partitioning. At
+    // 100 TB the adjacency is bucketed by id once (the Pregel-on-SQL
+    // layout shared with pagerank/BFS). Oracle: recursive CTE over all
+    // ≤10-edge walks with UNION-dedup'd (node, cost, depth) states,
+    // then min(cost) — a different formulation whose agreement proves
+    // the frontier relaxation reaches the true bounded-hop optimum.
+    "q157_sssp_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+        val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+          .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+          .filter($"p" >= 1L && $"p" =!= $"u")
+        val edges = rawE.select(least($"u", $"p").as("lo"),
+          greatest($"u", $"p").as("hi")).distinct()
+          .withColumn("w", lit(1L) + ($"lo" + $"hi") % 7L)
+        val adj = edges.select($"lo".as("id"), $"hi".as("nb"), $"w")
+          .union(edges.select($"hi".as("id"), $"lo".as("nb"), $"w"))
+          .persist()
+        var best = s.createDataFrame(Seq((1L, 0L)))
+          .toDF("id", "dist").localCheckpoint()
+        var frontier = best
+        for (_ <- 1 to 10) {
+          val cand = frontier.join(adj, "id")
+            .select($"nb".as("id"), ($"dist" + $"w").as("nd"))
+            .groupBy($"id").agg(min($"nd").as("nd"))
+          val improved = cand.join(best, Seq("id"), "left")
+            .filter($"dist".isNull || $"nd" < $"dist")
+            .select($"id", $"nd".as("dist"))
+            .localCheckpoint()
+          best = best.join(improved, Seq("id"), "left_anti")
+            .unionByName(improved).localCheckpoint()
+          frontier = improved
+        }
+        adj.unpersist(blocking = false)
+        best.orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Onion-layer (k-core peeling) decomposition: synchronously drop
+    // every node whose CURRENT degree is below k = 4, remove its
+    // edges, repeat — a node's LAYER is the round that removed it (99
+    // = survived all 12 rounds, i.e. sits in the 4-core). The layer
+    // number is the standard "how deep in the dense part" centrality
+    // (graph peeling / degeneracy ordering), and unlike a single
+    // k-core membership bit it is non-degenerate on any graph —
+    // removal CASCADES, so layers expose structure even when the
+    // final core is empty. Denser mentor graph (three parent types
+    // u/2, u/3, u/5) so interior nodes genuinely outlast leaves; the
+    // fixture yields a clean geometric layer spectrum at every sf.
+    // Per round: one combine-able degree count, one anti-join (the
+    // newly peeled = previous keep-set minus current), two semi-joins
+    // to shrink the edge set. At 100 TB edges stay bucketed by
+    // endpoint so every round is co-partitioned, and per-round work
+    // shrinks with the surviving edge set. Both engines run the
+    // identical 12-round schedule — deterministic whether or not the
+    // peel converged. Oracle: the rounds unrolled as chained
+    // MATERIALIZED CTEs (generated, not hand-typed).
+    "q158_onion_layers" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+        val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+          .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+          .union(cust.select($"u", expr("CAST(floor(u/5) AS BIGINT)").as("p")))
+          .filter($"p" >= 1L && $"p" =!= $"u")
+        var e = rawE.select(least($"u", $"p").as("lo"),
+          greatest($"u", $"p").as("hi")).distinct().localCheckpoint()
+        val deg0 = e.select($"lo".as("id")).union(e.select($"hi".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("deg0")).localCheckpoint()
+        var prevKeep = deg0.select($"id")
+        var layers = s.emptyDataset[(Long, Long)].toDF("id", "layer")
+        for (i <- 1 to 12) {
+          val keep = e.select($"lo".as("id")).union(e.select($"hi".as("id")))
+            .groupBy($"id").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= 4L).select($"id").localCheckpoint()
+          layers = layers.unionByName(
+            prevKeep.join(keep, Seq("id"), "left_anti")
+              .select($"id", lit(i.toLong).as("layer")))
+          e = e.join(keep.select($"id".as("lo")), Seq("lo"), "left_semi")
+            .join(keep.select($"id".as("hi")), Seq("hi"), "left_semi")
+            .select($"lo", $"hi").localCheckpoint()
+          prevKeep = keep
+        }
+        layers
+          .unionByName(prevKeep.select($"id", lit(99L).as("layer")))
+          .join(deg0, "id")
+          .select($"id", $"layer", $"deg0")
+          .orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
     // PageRank over the derived referral tree (same edge derivation as
     // q30's upline closure: referred = c_custkey, referrer =
     // floor(c_custkey/2)). 5 iterations, integer-exact.
@@ -599,6 +705,75 @@ object Graph {
         |  WHERE walk.dist < 10)
         |SELECT id, min(dist) AS dist FROM walk
         |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q157_sssp_weighted" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |edges AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |wedges AS (
+        |  SELECT lo, hi, 1 + (lo + hi) % 7 AS w FROM edges),
+        |nbrs AS (
+        |  SELECT lo AS id, hi AS nb, w FROM wedges
+        |  UNION ALL SELECT hi AS id, lo AS nb, w FROM wedges),
+        |walk AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS cost,
+        |    0 AS depth
+        |  UNION
+        |  SELECT n.nb AS id, walk.cost + n.w AS cost, walk.depth + 1
+        |  FROM walk JOIN nbrs n ON n.id = walk.id
+        |  WHERE walk.depth < 10)
+        |SELECT id, min(cost) AS dist FROM walk
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q158_onion_layers" -> {
+      // each peel CTE is MATERIALIZED — inlined, the chain re-expands
+      // e_{i-1} four times per round (4^12 scans)
+      val peels = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT lo AS id FROM e${i - 1}
+           |    UNION ALL SELECT hi AS id FROM e${i - 1}) t
+           |  GROUP BY id),
+           |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 4),
+           |e$i AS MATERIALIZED (
+           |  SELECT lo, hi FROM e${i - 1}
+           |  WHERE lo IN (SELECT id FROM k$i)
+           |    AND hi IN (SELECT id FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      val layerArms = (2 to 12).map { i =>
+        s"""UNION ALL SELECT id, CAST($i AS BIGINT) FROM k${i - 1}
+           |  WHERE id NOT IN (SELECT id FROM k$i)""".stripMargin
+      }.mkString("\n")
+      s"""WITH cust AS (SELECT c_custkey AS u FROM customer),
+         |raw_e AS (
+         |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+         |  UNION ALL
+         |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust
+         |  UNION ALL
+         |  SELECT u, CAST(floor(u/5) AS BIGINT) AS p FROM cust),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+         |  FROM raw_e WHERE p >= 1 AND p <> u),
+         |d0 AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg0 FROM (
+         |    SELECT lo AS id FROM e0
+         |    UNION ALL SELECT hi AS id FROM e0) t
+         |  GROUP BY id),
+         |$peels,
+         |layers AS (
+         |  SELECT id, CAST(1 AS BIGINT) AS layer FROM d0
+         |    WHERE id NOT IN (SELECT id FROM k1)
+         |  $layerArms
+         |  UNION ALL SELECT id, CAST(99 AS BIGINT) FROM k12)
+         |SELECT layers.id, layers.layer, d0.deg0
+         |FROM layers JOIN d0 ON d0.id = layers.id
+         |ORDER BY layers.id""".stripMargin
+    },
 
     // Naive three-way self-join over the canonical (lo < hi) edge set —
     // deliberately NOT the oriented enumeration, so agreement proves
