@@ -37,6 +37,41 @@ object Extended {
     // salted physical shape changes distribution only, never results.
     // SkewSpec/AqeSkewSpec cover the mechanism; this makes it a
     // driver-verified query like every other operator.
+    // 2-D skyline (Pareto frontier) over part: the cheapest-per-size
+    // tradeoff curve — keep a part iff no other part is both ≤ price
+    // and ≥ size with one strict (the classic Börzsönyi et al. 2001
+    // operator; "best value" browsing, model-selection frontiers).
+    // Spark-first shape: the quadratic NOT-EXISTS definition collapses
+    // to ONE sorted scan over DISTINCT (price, size) pairs — a point
+    // survives iff its size beats the running max size of all strictly
+    // cheaper pairs (range-frame window) and is the max at its own
+    // price. Raw rows never sort: the pair domain dedups first
+    // (combine-able), and winners semi-join back to parts. At 100 TB
+    // the pair walk range-partitions by price with per-partition
+    // prefix maxima (the q81 two-level rank discipline); the window
+    // here is over the deduped pair domain only. Money travels as
+    // exact cents. Oracle: the literal NOT EXISTS dominance query —
+    // agreement proves the sorted-scan reformulation exact.
+    "q159_skyline" -> ((s, dir) => {
+      import s.implicits._
+      val p = T.part(s, dir).select($"p_partkey",
+        round($"p_retailprice" * 100.0).cast("long").as("pc"), $"p_size")
+      val pairs = p.select($"pc", $"p_size").distinct()
+      val wPrev = Window.orderBy($"pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy($"pc")
+      val sky = pairs
+        .withColumn("mprev", max($"p_size").over(wPrev))
+        .withColumn("msame", max($"p_size").over(wSame))
+        .filter(($"mprev".isNull || $"p_size" > $"mprev") &&
+          $"p_size" === $"msame")
+        .select($"pc", $"p_size")
+      p.join(sky, Seq("pc", "p_size"), "left_semi")
+        .select($"p_partkey", ($"pc".cast("double") / 100.0).as("price"),
+          $"p_size")
+        .orderBy($"p_partkey")
+    }),
+
     "q130_salted_join" -> ((s, dir) => {
       import s.implicits._
       val li = T.lineitem(s, dir)
@@ -552,6 +587,19 @@ object Extended {
 
     // Deliberately the PLAIN join: hash-matching it proves the salted
     // join is a pure physical-distribution change.
+    "q159_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100.0) AS BIGINT) AS pc, p_size
+        |  FROM part)
+        |SELECT p_partkey, CAST(pc AS DOUBLE) / 100.0 AS price, p_size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.pc <= p.pc AND q.p_size >= p.p_size
+        |    AND (q.pc < p.pc OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
     "q130_salted_join" ->
       s"""SELECT p_brand, count(*) AS n_items,
          |  ${msumSql("l_quantity")} AS sum_qty,

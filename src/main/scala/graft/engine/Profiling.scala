@@ -65,6 +65,73 @@ object Profiling {
   }
 
   val queries: Map[String, Q] = Map(
+    // Exact ROC-AUC by rank statistic (Mann-Whitney U with the
+    // standard tie correction) — the model-evaluation primitive for
+    // any scored binary signal ("does o_totalprice separate finished
+    // orders?"). Never materializes pos×neg pairs: the scan folds to
+    // per-distinct-score (pos_at, neg_at) counts (combine-able, one
+    // shuffle), then one cumulative walk over the distinct-score
+    // domain accumulates U2 = Σ pos_at·(2·neg_below + neg_at) —
+    // integer-exact, ties contribute the half-credit term without
+    // any 0.5 float. The single window runs over the DEDUPED score
+    // domain (the q152 discipline); at 100 TB with a near-continuous
+    // score the two-level q81 rank layout or the q121 sketch replaces
+    // the exact walk. One IEEE division at the very end.
+    "q161_auc" -> ((s, dir) => {
+      import s.implicits._
+      val g = T.orders(s, dir)
+        .select(round($"o_totalprice" * 100.0).cast("long").as("cents"),
+          when($"o_orderstatus" === "F", 1L).otherwise(0L).as("pos"))
+        .groupBy($"cents").agg(sum($"pos").as("pos_at"),
+          (count(lit(1)) - sum($"pos")).as("neg_at"))
+      val w = Window.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("neg_below", coalesce(sum($"neg_at").over(w), lit(0L)))
+        .agg(sum($"pos_at").as("npos"), sum($"neg_at").as("nneg"),
+          sum($"pos_at" * (lit(2L) * $"neg_below" + $"neg_at")).as("u2"))
+        .select($"npos", $"nneg", $"u2",
+          round($"u2".cast("double") /
+            (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")), 6)
+            .as("auc"))
+    }),
+
+    // Pearson chi-square test of independence over the
+    // l_returnflag × l_linestatus contingency table — the A/B-test /
+    // drift-detection statistic a data-quality layer runs between
+    // cohorts. One combine-able count pass builds the table; row and
+    // column margins come from windows over the HANDFUL of cells
+    // (never the raw rows). Float discipline: each cell's
+    // contribution (obs·n − rowt·colt)²/(n·rowt·colt) is a fixed
+    // IEEE sequence over exact integer counts, rounded to integer
+    // micro-units at the CELL grain — the cross-cell total is then
+    // an order-free integer sum (the q118 contract). Note the
+    // integer products obs·n and rowt·colt stay inside int64 up to
+    // ~3·10⁹ rows; past that the difference is formed in doubles
+    // (documented seam, same statistic to float precision).
+    "q162_chi2" -> ((s, dir) => {
+      import s.implicits._
+      val cells = T.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("obs"))
+      val d = ($"obs" * $"n" - $"rt" * $"ct").cast("double")
+      cells
+        .withColumn("rt", sum($"obs").over(Window.partitionBy($"l_returnflag")))
+        .withColumn("ct", sum($"obs").over(Window.partitionBy($"l_linestatus")))
+        .withColumn("n", sum($"obs").over(Window.partitionBy(lit(1))))
+        .withColumn("expected",
+          round($"rt".cast("double") * $"ct".cast("double") /
+            $"n".cast("double"), 6))
+        .withColumn("term_micro",
+          round(d * d /
+            ($"n".cast("double") * $"rt".cast("double") * $"ct".cast("double"))
+            * 1e6).cast("long"))
+        .withColumn("chi2_micro",
+          sum($"term_micro").over(Window.partitionBy(lit(1))))
+        .select($"l_returnflag", $"l_linestatus", $"obs", $"expected",
+          $"term_micro", $"chi2_micro")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // INCREMENTAL profile maintenance (the q122/q135/q136 discipline
     // applied to table stats): the per-shard metric partials a nightly
     // job persists — row/null counts, exact-cents sum, min/max, and
@@ -271,6 +338,53 @@ object Profiling {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q161_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos_at,
+        |    CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS neg_at
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT pos_at, neg_at,
+        |    CAST(coalesce(sum(neg_at) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS neg_below
+        |  FROM g)
+        |SELECT CAST(sum(pos_at) AS BIGINT) AS npos,
+        |  CAST(sum(neg_at) AS BIGINT) AS nneg,
+        |  CAST(sum(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS u2,
+        |  round(CAST(sum(pos_at * (2 * neg_below + neg_at)) AS DOUBLE) /
+        |    (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE)),
+        |    6) AS auc
+        |FROM c""".stripMargin,
+
+    "q162_chi2" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS rt,
+        |    CAST(sum(obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS ct,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |t AS (
+        |  SELECT l_returnflag, l_linestatus, obs,
+        |    round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE),
+        |      6) AS expected,
+        |    CAST(round(CAST(obs * n - rt * ct AS DOUBLE) *
+        |      CAST(obs * n - rt * ct AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS term_micro
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, obs, expected, term_micro,
+        |  CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
+        |FROM t
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q156_incremental_profile" ->
       s"""WITH o AS (
          |  SELECT o_custkey,

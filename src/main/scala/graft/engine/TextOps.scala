@@ -279,6 +279,66 @@ object TextOps {
     // predictions are not linguistically meaningful — the query
     // verifies the TRAINING+SCORING dataflow, which is what a real
     // corpus would run unchanged.
+    // Multinomial Naive Bayes text classification — train on 80% of
+    // the corpus (doc_id % 5 ≠ 0), score the held-out 20%: the
+    // labeled-data sibling of q142's unsupervised rank-profile
+    // language ID, and the classic "cheap but strong" baseline any
+    // corpus-curation stack keeps around (topic routing, quality
+    // tiers). Everything is counting: per-(label, token) Laplace
+    // likelihoods and per-label doc priors — ALL combine-able
+    // aggregates (one shuffle each), so training is a single pass at
+    // any scale, and the model is a table, not a driver object.
+    // Scoring joins held-out token counts against the likelihood
+    // table on token (vocab-bounded build side), with the per-label
+    // unseen-token floor carried on the 5-row label stats frame
+    // (broadcast cross — the BM25 1-row-stats idiom). Float
+    // discipline: each log-likelihood is rounded to integer
+    // micro-nats at the (label, token) grain (the q118 contract), so
+    // per-doc scores are order-free integer sums and the argmax is
+    // deterministic (ties break to the lexicographically first
+    // label). Oracle: the same counts and micro-nat rounding in SQL.
+    "q160_naive_bayes" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T.spread(T.documents(s, dir)).select($"doc_id", $"lang", $"text")
+      val toks = docs
+        .select($"doc_id", $"lang", explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+      val train = toks.filter($"doc_id" % 5L =!= 0L)
+      val vsz = train.agg(countDistinct($"w").as("vsz"))
+      val pri = docs.filter($"doc_id" % 5L =!= 0L)
+        .groupBy($"lang").agg(count(lit(1)).as("nd"))
+        .withColumn("ndtot", sum($"nd").over(Window.partitionBy(lit(1))))
+      val cls = train.groupBy($"lang").agg(count(lit(1)).as("cl"))
+      val labelStats = cls.join(pri, "lang").crossJoin(broadcast(vsz))
+        .select($"lang".as("cand"),
+          round(log(lit(1.0) / ($"cl" + $"vsz").cast("double")) * 1e6)
+            .cast("long").as("lp0"),
+          round(log($"nd".cast("double") / $"ndtot".cast("double")) * 1e6)
+            .cast("long").as("prior"))
+      val lp = train.groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+        .join(cls, "lang").crossJoin(broadcast(vsz))
+        .select($"lang".as("cand"), $"w",
+          round(log(($"c" + lit(1L)).cast("double") /
+            ($"cl" + $"vsz").cast("double")) * 1e6).cast("long").as("lp"))
+      val testCounts = toks.filter($"doc_id" % 5L === 0L)
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("k"))
+      val totals = testCounts.crossJoin(broadcast(labelStats))
+        .join(lp, Seq("cand", "w"), "left")
+        .groupBy($"doc_id", $"cand")
+        .agg((sum($"k" * coalesce($"lp", $"lp0")) + first($"prior"))
+          .as("score_micro"))
+      val best = totals.groupBy($"doc_id").agg(max($"score_micro").as("mx"))
+      val pred = totals.join(best, "doc_id")
+        .filter($"score_micro" === $"mx")
+        .groupBy($"doc_id").agg(min($"cand").as("pred_lang"),
+          max($"mx").as("score_micro"))
+      docs.filter($"doc_id" % 5L === 0L).select($"doc_id", $"lang")
+        .join(pred, "doc_id")
+        .select($"doc_id", $"lang".as("actual_lang"), $"pred_lang",
+          $"score_micro", ($"pred_lang" === $"lang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
     "q142_langid_ngram" -> ((s, dir) => {
       import s.implicits._
       val words = T.documents(s, dir)
@@ -927,6 +987,55 @@ object TextOps {
     // words, positions 1..len), identical integer rank profiles and
     // out-of-place distance; the static 20-row position table covers
     // the fixture's ≤8-char words on both engines.
+    "q160_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |v AS (SELECT count(DISTINCT w) AS vsz FROM train),
+        |cls AS (SELECT lang, count(*) AS cl FROM train GROUP BY lang),
+        |pri AS (
+        |  SELECT lang, count(*) AS nd, sum(count(*)) OVER () AS ndtot
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang),
+        |label_stats AS (
+        |  SELECT cls.lang AS cand,
+        |    CAST(round(ln(1.0 / CAST(cl + vsz AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lp0,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / CAST(ndtot AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS prior
+        |  FROM cls JOIN pri ON pri.lang = cls.lang CROSS JOIN v),
+        |lp AS (
+        |  SELECT t.lang AS cand, t.w,
+        |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(cl + vsz AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM (SELECT lang, w, count(*) AS c FROM train GROUP BY lang, w) t
+        |  JOIN cls ON cls.lang = t.lang CROSS JOIN v),
+        |test_counts AS (
+        |  SELECT doc_id, w, count(*) AS k FROM toks
+        |  WHERE doc_id % 5 = 0 GROUP BY doc_id, w),
+        |totals AS (
+        |  SELECT tc.doc_id, ls.cand,
+        |    CAST(sum(k * coalesce(lp.lp, ls.lp0)) + any_value(ls.prior)
+        |      AS BIGINT) AS score_micro
+        |  FROM test_counts tc CROSS JOIN label_stats ls
+        |  LEFT JOIN lp ON lp.cand = ls.cand AND lp.w = tc.w
+        |  GROUP BY tc.doc_id, ls.cand),
+        |best AS (SELECT doc_id, max(score_micro) AS mx FROM totals
+        |  GROUP BY doc_id),
+        |pred AS (
+        |  SELECT totals.doc_id, min(cand) AS pred_lang,
+        |    max(totals.score_micro) AS score_micro
+        |  FROM totals JOIN best ON best.doc_id = totals.doc_id
+        |    AND totals.score_micro = best.mx
+        |  GROUP BY totals.doc_id)
+        |SELECT d.doc_id, d.lang AS actual_lang, pred_lang, score_micro,
+        |  pred_lang = d.lang AS correct
+        |FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q142_langid_ngram" ->
       """WITH words AS (
         |  SELECT * FROM (
