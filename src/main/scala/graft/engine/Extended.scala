@@ -37,6 +37,46 @@ object Extended {
     // salted physical shape changes distribution only, never results.
     // SkewSpec/AqeSkewSpec cover the mechanism; this makes it a
     // driver-verified query like every other operator.
+    // Association rules over order baskets (market-basket mining, the
+    // Agrawal-Srikant support/confidence/lift surface): antecedent →
+    // consequent part pairs co-purchased in ≥3 orders, ranked by lift.
+    // Spark-first shape: baskets dedup to DISTINCT (order, item) rows
+    // (combine-able), pair supports come from the per-order self-join
+    // (never a corpus cross — candidate pairs only exist where baskets
+    // overlap, the q53 spine discipline), item supports join back on
+    // the item key, and the corpus order-count travels as a broadcast
+    // 1-row stats cross (the q76 idiom). Both rule directions emit
+    // from one undirected pair count. Confidence and lift are single
+    // fixed IEEE sequences over exact integer supports (the q146
+    // overflow-safe layout). Top-30 by (lift, ant, cons) is a total
+    // order → TakeOrderedAndProject, no global sort materialized.
+    "q163_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val oi = T.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("i")).distinct()
+      val n = oi.agg(countDistinct($"o").as("n_orders"))
+      val supp = oi.groupBy($"i").agg(count(lit(1)).as("s"))
+      val pairs = oi.select($"o", $"i".as("a"))
+        .join(oi.select($"o", $"i".as("b")), "o")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("s_ab"))
+        .filter($"s_ab" >= 3L)
+      val rules = pairs.select($"a".as("ant"), $"b".as("cons"), $"s_ab")
+        .unionByName(pairs.select($"b".as("ant"), $"a".as("cons"), $"s_ab"))
+      rules
+        .join(supp.select($"i".as("ant"), $"s".as("s_ant")), "ant")
+        .join(supp.select($"i".as("cons"), $"s".as("s_cons")), "cons")
+        .crossJoin(broadcast(n))
+        .select($"ant", $"cons", $"s_ab", $"s_ant", $"s_cons",
+          round($"s_ab".cast("double") / $"s_ant".cast("double"), 6)
+            .as("confidence"),
+          round($"n_orders".cast("double") * $"s_ab".cast("double") /
+            ($"s_ant".cast("double") * $"s_cons".cast("double")), 6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"ant", $"cons")
+        .limit(30)
+    }),
+
     // 2-D skyline (Pareto frontier) over part: the cheapest-per-size
     // tradeoff curve — keep a part iff no other part is both ≤ price
     // and ≥ size with one strict (the classic Börzsönyi et al. 2001
@@ -587,6 +627,31 @@ object Extended {
 
     // Deliberately the PLAIN join: hash-matching it proves the salted
     // join is a pure physical-distribution change.
+    "q163_assoc_rules" ->
+      """WITH oi AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM oi),
+        |supp AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS s FROM oi GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS a, b.i AS b, CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM oi a JOIN oi b ON a.o = b.o AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT a AS ant, b AS cons, s_ab FROM pairs
+        |  UNION ALL SELECT b AS ant, a AS cons, s_ab FROM pairs)
+        |SELECT ant, cons, s_ab, sa.s AS s_ant, sc.s AS s_cons,
+        |  round(CAST(s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(n_orders AS DOUBLE) * CAST(s_ab AS DOUBLE) /
+        |    (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6) AS lift
+        |FROM rules
+        |JOIN supp sa ON sa.i = rules.ant
+        |JOIN supp sc ON sc.i = rules.cons
+        |CROSS JOIN n
+        |ORDER BY lift DESC, ant, cons
+        |LIMIT 30""".stripMargin,
+
     "q159_skyline" ->
       """WITH p AS (
         |  SELECT p_partkey,

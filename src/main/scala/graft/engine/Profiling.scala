@@ -64,6 +64,38 @@ object Profiling {
           element_at($"st", 2).cast("double")).as("cust_raw_est"))
   }
 
+  /** Per-distinct-score (pos_at, neg_at) counts for an orders-shaped
+    * frame — the merge-closed AUC state: any union of partial rows
+    * (stored + delta, per-batch streaming accumulations) folds through
+    * [[finalizeAuc]] to the same statistic a direct pass computes
+    * (counts sum per score; the rank walk happens only at finalize). */
+  def aucPartials(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(round($"o_totalprice" * 100.0).cast("long").as("cents"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("pos"))
+      .groupBy($"cents").agg(sum($"pos").as("pos_at"),
+        (count(lit(1)) - sum($"pos")).as("neg_at"))
+  }
+
+  /** Fold AUC partial rows into the 1-row exact tie-aware AUC (see
+    * [[aucPartials]]). */
+  def finalizeAuc(partials: DataFrame): DataFrame = {
+    val s = partials.sparkSession
+    import s.implicits._
+    val g = partials.groupBy($"cents")
+      .agg(sum($"pos_at").as("pos_at"), sum($"neg_at").as("neg_at"))
+    val w = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("neg_below", coalesce(sum($"neg_at").over(w), lit(0L)))
+      .agg(sum($"pos_at").as("npos"), sum($"neg_at").as("nneg"),
+        sum($"pos_at" * (lit(2L) * $"neg_below" + $"neg_at")).as("u2"))
+      .select($"npos", $"nneg", $"u2",
+        round($"u2".cast("double") /
+          (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")), 6)
+          .as("auc"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact ROC-AUC by rank statistic (Mann-Whitney U with the
     // standard tie correction) — the model-evaluation primitive for
@@ -77,22 +109,75 @@ object Profiling {
     // domain (the q152 discipline); at 100 TB with a near-continuous
     // score the two-level q81 rank layout or the q121 sketch replaces
     // the exact walk. One IEEE division at the very end.
-    "q161_auc" -> ((s, dir) => {
+    "q161_auc" -> ((s, dir) =>
+      finalizeAuc(aucPartials(T.orders(s, dir)))),
+
+    // Robust outlier detection by median absolute deviation: per
+    // group, the exact median, the exact MAD, and the count of rows
+    // beyond 3·MAD — the outlier gate that survives the fat tails
+    // that poison mean/stddev z-scores (q98's parametric sibling).
+    // Entirely integer arithmetic: both order statistics come from
+    // the q152 deduped cumulative-count walk (rank (n+1) div 2 over
+    // DISTINCT values — the raw table never sorts), deviations are
+    // |cents − median| longs, and the 3·MAD gate is an integer
+    // compare — no IEEE op exists until the display division.
+    "q164_mad_outliers" -> ((s, dir) => {
       import s.implicits._
-      val g = T.orders(s, dir)
-        .select(round($"o_totalprice" * 100.0).cast("long").as("cents"),
-          when($"o_orderstatus" === "F", 1L).otherwise(0L).as("pos"))
-        .groupBy($"cents").agg(sum($"pos").as("pos_at"),
-          (count(lit(1)) - sum($"pos")).as("neg_at"))
-      val w = Window.orderBy($"cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("neg_below", coalesce(sum($"neg_at").over(w), lit(0L)))
-        .agg(sum($"pos_at").as("npos"), sum($"neg_at").as("nneg"),
-          sum($"pos_at" * (lit(2L) * $"neg_below" + $"neg_at")).as("u2"))
-        .select($"npos", $"nneg", $"u2",
-          round($"u2".cast("double") /
-            (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")), 6)
-            .as("auc"))
+      val li = T.lineitem(s, dir).select($"l_returnflag",
+        round($"l_extendedprice" * 100.0).cast("long").as("cents"))
+      def rankPick(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val cnt = df.groupBy($"l_returnflag", col(valueCol))
+          .agg(count(lit(1)).as("c"))
+        val grp = Window.partitionBy($"l_returnflag")
+        cnt.withColumn("hi_rn", sum($"c").over(grp.orderBy(col(valueCol))))
+          .withColumn("n", sum($"c").over(grp))
+          .withColumn("lo_rn", $"hi_rn" - $"c" + 1L)
+          .filter(expr("(n + 1) div 2 between lo_rn and hi_rn"))
+          .groupBy($"l_returnflag").agg(min(col(valueCol)).as(out))
+      }
+      val med = rankPick(li, "cents", "medc")
+      val dev = li.join(med, "l_returnflag")
+        .select($"l_returnflag", abs($"cents" - $"medc").as("adev"))
+      val mad = rankPick(dev, "adev", "madc")
+      li.join(med, "l_returnflag").join(mad, "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          min($"medc").as("medc"), min($"madc").as("madc"),
+          sum(when(abs($"cents" - $"medc") > lit(3L) * $"madc", 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select($"l_returnflag", $"n_items",
+          ($"medc".cast("double") / 100.0).as("median_price"),
+          ($"madc".cast("double") / 100.0).as("mad"),
+          $"n_outliers")
+        .orderBy($"l_returnflag")
+    }),
+
+    // Join-key skew diagnostics: the pre-flight report a 100 TB join
+    // wants BEFORE it shuffles — per-key row counts summarized as a
+    // Gini concentration coefficient plus the max-key load. The Gini
+    // rank sum Σ i·cᵢ (keys ordered by ascending count) never ranks
+    // raw keys: counts dedup to (count value, #keys) runs and each
+    // run's rank-range contributes c·(lo+hi)·(hi−lo+1)/2 by closed
+    // form — the window walks |distinct count values| rows (typically
+    // dozens), the q152/q117 counting discipline taken one level up.
+    // Everything is exact integer arithmetic until the single final
+    // IEEE Gini expression.
+    "q165_key_skew_gini" -> ((s, dir) => {
+      import s.implicits._
+      val c = T.lineitem(s, dir).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("c"))
+      val runs = c.groupBy($"c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy($"c")
+      runs.withColumn("hi", sum($"k").over(w))
+        .withColumn("lo", $"hi" - $"k" + 1L)
+        .agg(sum($"k").as("n_keys"), sum($"c" * $"k").as("n_rows"),
+          max($"c").as("cnt_max"),
+          sum(expr("c * (((lo + hi) * (hi - lo + 1)) div 2)")).as("sic"))
+        .select($"n_keys", $"n_rows", $"cnt_max",
+          round(lit(2.0) * $"sic".cast("double") /
+            ($"n_keys".cast("double") * $"n_rows".cast("double")) -
+            ($"n_keys" + 1L).cast("double") / $"n_keys".cast("double"), 6)
+            .as("gini"))
     }),
 
     // Pearson chi-square test of independence over the
@@ -359,6 +444,68 @@ object Profiling {
         |    (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE)),
         |    6) AS auc
         |FROM c""".stripMargin,
+
+    "q164_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |medw AS (
+        |  SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM li GROUP BY 1, 2),
+        |medr AS (
+        |  SELECT l_returnflag, cents, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |      AS BIGINT) AS hi_rn,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM medw),
+        |med AS (
+        |  SELECT l_returnflag, min(cents) AS medc FROM medr
+        |  WHERE (n + 1) // 2 BETWEEN hi_rn - c + 1 AND hi_rn
+        |  GROUP BY 1),
+        |dev AS (
+        |  SELECT li.l_returnflag, abs(cents - medc) AS adev
+        |  FROM li JOIN med USING (l_returnflag)),
+        |madw AS (
+        |  SELECT l_returnflag, adev, CAST(count(*) AS BIGINT) AS c
+        |  FROM dev GROUP BY 1, 2),
+        |madr AS (
+        |  SELECT l_returnflag, adev, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY adev)
+        |      AS BIGINT) AS hi_rn,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM madw),
+        |mad AS (
+        |  SELECT l_returnflag, min(adev) AS madc FROM madr
+        |  WHERE (n + 1) // 2 BETWEEN hi_rn - c + 1 AND hi_rn
+        |  GROUP BY 1)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(min(medc) AS DOUBLE) / 100.0 AS median_price,
+        |  CAST(min(madc) AS DOUBLE) / 100.0 AS mad,
+        |  CAST(sum(CASE WHEN abs(cents - medc) > 3 * madc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM li JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+        |GROUP BY li.l_returnflag
+        |ORDER BY li.l_returnflag""".stripMargin,
+
+    "q165_key_skew_gini" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |runs AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS k FROM c GROUP BY c),
+        |walked AS (
+        |  SELECT c, k, CAST(sum(k) OVER (ORDER BY c) AS BIGINT) AS hi,
+        |    CAST(sum(k) OVER (ORDER BY c) - k + 1 AS BIGINT) AS lo
+        |  FROM runs)
+        |SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+        |  CAST(sum(c * k) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS cnt_max,
+        |  round(2.0 * CAST(sum(c * (((lo + hi) * (hi - lo + 1)) // 2))
+        |      AS DOUBLE) /
+        |    (CAST(sum(k) AS DOUBLE) * CAST(sum(c * k) AS DOUBLE)) -
+        |    CAST(sum(k) + 1 AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS gini
+        |FROM walked""".stripMargin,
 
     "q162_chi2" ->
       """WITH cells AS (

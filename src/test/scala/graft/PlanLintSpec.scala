@@ -49,7 +49,16 @@ class PlanLintSpec extends AnyFunSuite {
     "q149_bpe_apply", "q151_constraint_checks",
     // q154 broadcasts the bounded held-out query set against the
     // corpus scan — the q60 shape with a vote tail.
-    "q154_knn_classify")
+    "q154_knn_classify",
+    // q160 crosses the 1-row vocab-size stat and the 5-row label-stats
+    // model frame against token counts (the q76 1×N / q142 bounded
+    // label fan-out shapes); the likelihood table itself joins on
+    // token as a plain equi-join.
+    "q160_naive_bayes",
+    // q163 crosses the 1-row order-count stat against the rule list
+    // (the q76 shape); pair candidates come from the per-order
+    // self-join, an equi-join on the order key.
+    "q163_assoc_rules")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -182,6 +182,250 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("SSSP replays exactly via JVM bounded Bellman-Ford, dist >= hops") {
+    import spark.implicits._
+    val sssp = SparkEntry.queries("q157_sssp_weighted")(spark, dir)
+      .select($"id", $"dist").as[(Long, Long)].collect().toMap
+    assert(sssp(1L) === 0L)
+    val custs = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey").as[Long].collect()
+    val edges = custs.flatMap(u => Seq(u / 2, u / 3)
+      .filter(p => p >= 1 && p != u)
+      .map(p => (math.min(u, p), math.max(u, p)))).distinct
+    val adj: Map[Long, Seq[(Long, Long)]] = edges.toSeq.flatMap {
+      case (lo, hi) =>
+        val w = 1L + (lo + hi) % 7L
+        Seq((lo, (hi, w)), (hi, (lo, w)))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // d_r(v) = min cost over paths of <= r edges; 10 rounds
+    var best: Map[Long, Long] = Map(1L -> 0L)
+    for (_ <- 1 to 10) {
+      val relaxed: Map[Long, Long] = best.toSeq.flatMap { case (v, d) =>
+        adj.getOrElse(v, Seq.empty[(Long, Long)])
+          .map { case (nb, w) => (nb, d + w) }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      best = (best.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(best.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    assert(sssp === best)
+    // weights are >= 1, so cost dominates hop count on the same graph
+    val bfs = SparkEntry.queries("q153_bfs_layers")(spark, dir)
+      .select($"id", $"dist").as[(Long, Long)].collect().toMap
+    sssp.foreach { case (id, d) =>
+      assert(d >= bfs(id), s"node $id: cost $d < hops ${bfs(id)}")
+    }
+  }
+
+  test("onion layers replay exactly via JVM peeling") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q158_onion_layers")(spark, dir)
+      .select($"id", $"layer", $"deg0").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val custs = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey").as[Long].collect()
+    var edges = custs.flatMap(u => Seq(u / 2, u / 3, u / 5)
+      .filter(p => p >= 1 && p != u)
+      .map(p => (math.min(u, p), math.max(u, p)))).distinct.toSet
+    val deg0 = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    var layer = Map.empty[Long, Long]
+    var alive = deg0.keySet
+    for (i <- 1 to 12) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = alive.filter(v => deg.getOrElse(v, 0) >= 4)
+      (alive -- keep).foreach(v => layer += v -> i.toLong)
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      alive = keep
+    }
+    alive.foreach(v => layer += v -> 99L)
+    assert(got.keySet === layer.keySet)
+    got.foreach { case (id, (l, d0)) =>
+      assert(l === layer(id), s"node $id layer")
+      assert(d0 === deg0(id), s"node $id deg0")
+    }
+  }
+
+  test("skyline: members are mutually undominated, non-members dominated by a member") {
+    import spark.implicits._
+    val parts = graft.engine.Tables.part(spark, dir)
+      .select($"p_partkey", round($"p_retailprice" * 100.0).cast("long"),
+        $"p_size".cast("long")).as[(Long, Long, Long)].collect()
+    val sky = SparkEntry.queries("q159_skyline")(spark, dir)
+      .select($"p_partkey").as[Long].collect().toSet
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val members = parts.filter(p => sky(p._1))
+    assert(members.nonEmpty)
+    for (m <- members; o <- parts)
+      assert(!dominates(o, m), s"member ${m._1} dominated by ${o._1}")
+    for (p <- parts if !sky(p._1))
+      assert(members.exists(m => dominates(m, p)),
+        s"non-member ${p._1} not dominated by any member")
+  }
+
+  test("Naive Bayes predictions replay exactly via JVM counting") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+    val train = docs.filter(_._1 % 5 != 0)
+    val cwl = scala.collection.mutable.Map.empty[(String, String), Long]
+    val cl = scala.collection.mutable.Map.empty[String, Long]
+    val vocab = scala.collection.mutable.Set.empty[String]
+    val nd = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, l, t) =>
+      nd(l) = nd.getOrElse(l, 0L) + 1
+      toks(t).foreach { w =>
+        cwl((l, w)) = cwl.getOrElse((l, w), 0L) + 1
+        cl(l) = cl.getOrElse(l, 0L) + 1
+        vocab += w
+      }
+    }
+    val v = vocab.size.toLong
+    val ndtot = nd.values.sum
+    val labels = cl.keys.toSeq.sorted
+    val lp0 = labels.map(l => l -> rnd(math.log(1.0 / (cl(l) + v)) * 1e6)).toMap
+    val prior = labels.map(l =>
+      l -> rnd(math.log(nd(l).toDouble / ndtot.toDouble) * 1e6)).toMap
+    val got = SparkEntry.queries("q160_naive_bayes")(spark, dir)
+      .select($"doc_id", $"actual_lang", $"pred_lang", $"score_micro", $"correct")
+      .as[(Long, String, String, Long, Boolean)].collect()
+    assert(got.length === docs.count(_._1 % 5 == 0))
+    val byId = docs.map(d => d._1 -> d).toMap
+    got.foreach { case (id, actual, pred, score, correct) =>
+      val (_, lang, text) = byId(id)
+      assert(actual === lang)
+      val counts = toks(text).groupBy(identity).map { case (k, s) => k -> s.size.toLong }
+      val sc = labels.map { c =>
+        c -> (prior(c) + counts.map { case (w, k) =>
+          k * cwl.get((c, w)).map(cc =>
+            rnd(math.log((cc + 1).toDouble / (cl(c) + v).toDouble) * 1e6))
+            .getOrElse(lp0(c))
+        }.sum)
+      }.toMap
+      val mx = sc.values.max
+      assert(score === mx, s"doc $id score")
+      assert(pred === labels.filter(sc(_) == mx).min, s"doc $id pred")
+      assert(correct === (pred == actual))
+    }
+  }
+
+  test("AUC u2 equals the brute-force tie-aware pair count") {
+    import spark.implicits._
+    val tiny = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q161_auc")(spark, tiny)
+      .select($"npos", $"nneg", $"u2", $"auc")
+      .as[(Long, Long, Long, Double)].head()
+    val scored = graft.engine.Tables.orders(spark, tiny)
+      .select(round($"o_totalprice" * 100.0).cast("long"),
+        ($"o_orderstatus" === "F").cast("boolean"))
+      .as[(Long, Boolean)].collect()
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(row._1 === pos.length.toLong && row._2 === neg.length.toLong)
+    var u2 = 0L
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    assert(row._3 === u2)
+    assert(math.abs(row._4 - u2.toDouble / (2.0 * pos.length * neg.length)) < 1e-6)
+  }
+
+  test("chi2: margins add up and the statistic matches a JVM recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q162_chi2")(spark, dir)
+      .select($"obs", $"expected", $"term_micro", $"chi2_micro")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.length === 6)
+    assert(rows.map(_._3).sum === rows.head._4)
+    val n = rows.map(_._1).sum
+    assert(n === graft.engine.Tables.lineitem(spark, dir).count())
+    // expected cell counts reconstruct the grand total
+    assert(math.abs(rows.map(_._2).sum - n.toDouble) < 1e-3)
+    rows.foreach { case (obs, exp, tm, _) =>
+      val t = (obs - exp) * (obs - exp) / exp * 1e6
+      assert(math.abs(t - tm) < 2000, s"term $tm vs recompute $t") // rounding grains differ
+    }
+  }
+
+  test("association rules replay via JVM basket counting") {
+    import spark.implicits._
+    val oi = graft.engine.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val nOrders = oi.map(_._1).distinct.length.toLong
+    val supp = oi.groupBy(_._2).map { case (i, v) => i -> v.length.toLong }
+    val byOrder = oi.groupBy(_._1).map { case (_, v) => v.map(_._2).sorted }
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { items =>
+      for (x <- items.indices; y <- x + 1 until items.length)
+        pairCnt((items(x), items(y))) =
+          pairCnt.getOrElse((items(x), items(y)), 0L) + 1
+    }
+    val rules = pairCnt.toSeq.filter(_._2 >= 3L).flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s))
+    }.map { case (ant, cons, s) =>
+      val lift = nOrders.toDouble * s / (supp(ant).toDouble * supp(cons))
+      (ant, cons, s, supp(ant), supp(cons), s.toDouble / supp(ant), lift)
+    }.sortBy(r => (-r._7, r._1, r._2)).take(30)
+    val got = SparkEntry.queries("q163_assoc_rules")(spark, dir)
+      .select($"ant", $"cons", $"s_ab", $"s_ant", $"s_cons",
+        $"confidence", $"lift")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 30)
+    got.zip(rules).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5) === ((e._1, e._2, e._3, e._4, e._5)))
+      assert(math.abs(g._6 - e._6) < 1e-6 && math.abs(g._7 - e._7) < 1e-6)
+    }
+  }
+
+  test("MAD outliers: exact medians replay in JVM, gate bounds hold") {
+    import spark.implicits._
+    val li = graft.engine.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", round($"l_extendedprice" * 100.0).cast("long"))
+      .as[(String, Long)].collect()
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted
+      sorted(((vs.length + 1) / 2) - 1)
+    }
+    val got = SparkEntry.queries("q164_mad_outliers")(spark, dir)
+      .select($"l_returnflag", $"n_items", $"median_price", $"mad", $"n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { case (flag, n, med, mad, out) =>
+      val vs = li.filter(_._1 == flag).map(_._2).toSeq
+      assert(n === vs.length.toLong)
+      val medc = lowerMedian(vs)
+      assert(med === medc.toDouble / 100.0, s"$flag median")
+      val madc = lowerMedian(vs.map(v => math.abs(v - medc)))
+      assert(mad === madc.toDouble / 100.0, s"$flag mad")
+      assert(out === vs.count(v => math.abs(v - medc) > 3 * madc).toLong)
+      assert(out < n)
+    }
+  }
+
+  test("key-skew Gini matches the raw-rank JVM recompute") {
+    import spark.implicits._
+    val counts = graft.engine.Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").count()
+      .select($"count").as[Long].collect().sorted
+    val k = counts.length.toLong
+    val s = counts.sum
+    val sic = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = 2.0 * sic / (k.toDouble * s.toDouble) - (k + 1).toDouble / k
+    val row = SparkEntry.queries("q165_key_skew_gini")(spark, dir)
+      .select($"n_keys", $"n_rows", $"cnt_max", $"gini")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row._1 === k && row._2 === s && row._3 === counts.max)
+    assert(math.abs(row._4 - gini) < 1e-6)
+    assert(row._4 > 0.0 && row._4 < 1.0)
+  }
+
   test("winsorized mean sits inside [p05, p95] and differs from the raw mean") {
     import spark.implicits._
     val rows = SparkEntry.queries("q152_winsorized_stats")(spark, dir)

@@ -403,6 +403,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === direct)
   }
 
+  test("streaming AUC partials accumulate to the exact batch statistic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.engine.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+
+    var partials = graft.engine.Profiling
+      .aucPartials(Seq.empty[(Long, String, Double)]
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+      .localCheckpoint()
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDS()
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          partials = partials
+            .unionByName(graft.engine.Profiling.aucPartials(batch))
+            .localCheckpoint()
+        ()
+      }.start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = graft.engine.Profiling.finalizeAuc(partials).head()
+    val direct = graft.engine.Profiling.finalizeAuc(
+      graft.engine.Profiling.aucPartials(
+        graft.engine.Tables.orders(spark, dir))).head()
+    assert(streamed === direct)
+  }
+
   test("streaming LSH band claims flag a late near-dup across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
