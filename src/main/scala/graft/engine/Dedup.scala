@@ -133,6 +133,50 @@ object Dedup {
     // maintenance ≡ recompute. At 100 TB this is the difference
     // between re-clustering the corpus per crawl cycle and paying
     // ∝ batch: every incremental stage is bounded by the delta.
+    // Greedy maximum-coverage subset selection: pick 5 documents that
+    // together cover the most distinct shingles — the classic (1−1/e)
+    // greedy for the NP-hard max-coverage objective, and the
+    // diverse-exemplar selection step an LLM-data pipeline runs when
+    // it wants k representative documents rather than k random ones.
+    // Each round is ONE aggregate over the shingle spine: uncovered
+    // shingles per doc (anti-join against the covered set), argmax
+    // with min-doc_id tie-break, then the winner's shingles fold into
+    // the covered set. The driver holds exactly one (doc, gain) row
+    // per round — the q148 BPE-argmax discipline; the covered set
+    // stays distributed and chains localCheckpoints. At 100 TB the
+    // spine is the memoized dedup shingle table (bucketed by shingle)
+    // and each round is a co-partitioned anti-join + combine-able
+    // count. Oracle: the 5 rounds unrolled as MATERIALIZED CTEs with
+    // the identical tie-break.
+    "q167_greedy_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val allDocs = sh.select($"doc_id").distinct()
+      var covered = s.emptyDataset[String].toDF("sh").localCheckpoint()
+      var excluded = Seq.empty[Long]
+      var total = 0L
+      val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (r <- 1 to 5) {
+        val uncov = sh.join(covered, Seq("sh"), "left_anti")
+          .groupBy($"doc_id").agg(count(lit(1)).as("g"))
+        val gains = (if (excluded.isEmpty) allDocs
+                     else allDocs.filter(!$"doc_id".isin(excluded: _*)))
+          .join(uncov, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"g", lit(0L)).as("gain"))
+        val Array((doc, gain)) = gains.orderBy($"gain".desc, $"doc_id")
+          .limit(1).as[(Long, Long)].collect()
+        total += gain
+        picks += ((r.toLong, doc, gain, total))
+        covered = covered
+          .unionByName(sh.filter($"doc_id" === doc).select($"sh"))
+          .distinct().localCheckpoint()
+        excluded :+= doc
+      }
+      s.createDataFrame(picks.result())
+        .toDF("pick_round", "doc_id", "gain", "covered_total")
+        .orderBy($"pick_round")
+    }),
+
     "q122_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
       val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -1005,6 +1049,40 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q122_incremental_dedup" -> clustersOracleSql,
+
+    "q167_greedy_coverage" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""gain$r AS MATERIALIZED (
+           |  SELECT d.doc_id, CAST(coalesce(u.g, 0) AS BIGINT) AS gain
+           |  FROM docs${r - 1} d LEFT JOIN (
+           |    SELECT doc_id, count(*) AS g FROM shingles
+           |    WHERE sh NOT IN (SELECT sh FROM cov${r - 1})
+           |    GROUP BY doc_id) u ON u.doc_id = d.doc_id),
+           |pick$r AS MATERIALIZED (
+           |  SELECT doc_id, gain FROM gain$r
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |cov$r AS MATERIALIZED (
+           |  SELECT sh FROM cov${r - 1}
+           |  UNION
+           |  SELECT sh FROM shingles
+           |  WHERE doc_id IN (SELECT doc_id FROM pick$r)),
+           |docs$r AS MATERIALIZED (
+           |  SELECT doc_id FROM docs${r - 1}
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM pick$r))""".stripMargin
+      }.mkString(",\n")
+      val arms = (1 to 5).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS pick_round, doc_id, gain,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cov$r) AS covered_total
+           |FROM pick$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shinglesCte,
+         |docs0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM shingles),
+         |cov0 AS MATERIALIZED (
+         |  SELECT sh FROM shingles WHERE 1 = 0),
+         |$rounds
+         |$arms
+         |ORDER BY pick_round""".stripMargin
+    },
 
     "q51_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -566,6 +566,45 @@ object Sketches {
     // estimate-bearing sketch the estimator input itself is
     // oracle-exact). At 100 TB this is ONE combine-able aggregation —
     // no distinct shuffle — with 64 ints per group on the wire.
+    // Pre-join cardinality estimation by Count-Min inner product (the
+    // AMS/CMS join-size estimator, Alon-Matias-Szegedy / Cormode-
+    // Muthukrishnan): |A ⋈ B on k| = Σ_k c_A(k)·c_B(k), estimated as
+    // min over depths of Σ_j cmsA[d][j]·cmsB[d][j] — the planner-side
+    // statistic that decides salting/broadcast BEFORE paying the
+    // shuffle (q165's Gini tells you the skew; this tells you the
+    // output size). Each table's CMS row is just a groupBy(slot)
+    // count — combine-able, one scan, 64·2 longs of state per table,
+    // merge-closed across shards. The true size is computed alongside
+    // from per-key counts (never the join itself), so the row carries
+    // estimate AND ground truth — the overestimate bound est ≥ exact
+    // is a CMS theorem, spec-asserted. All integer arithmetic; one
+    // IEEE division for the ratio.
+    "q166_join_size_cms" -> ((s, dir) => {
+      import s.implicits._
+      def slots(df: DataFrame, key: String): DataFrame =
+        df.select(col(key).cast("string").as("k")).select(
+          expr("CAST(conv(substr(md5(concat(k, ':cms0')), 1, 13), 16, 10) " +
+            "AS BIGINT) % 64").as("s0"),
+          expr("CAST(conv(substr(md5(concat(k, ':cms1')), 1, 13), 16, 10) " +
+            "AS BIGINT) % 64").as("s1"))
+      val li = slots(T.lineitem(s, dir), "l_orderkey")
+      val od = slots(T.orders(s, dir), "o_orderkey")
+      def est(d: String): DataFrame =
+        li.groupBy(col(d)).agg(count(lit(1)).as("ca"))
+          .join(od.groupBy(col(d)).agg(count(lit(1)).as("cb")), d)
+          .agg(sum($"ca" * $"cb").as("est" + d.drop(1)))
+      val exact = T.lineitem(s, dir).groupBy($"l_orderkey".as("k"))
+        .agg(count(lit(1)).as("cl"))
+        .join(T.orders(s, dir).groupBy($"o_orderkey".as("k"))
+          .agg(count(lit(1)).as("co")), "k")
+        .agg(sum($"cl" * $"co").as("exact_size"))
+      exact.crossJoin(broadcast(est("s0"))).crossJoin(broadcast(est("s1")))
+        .select($"exact_size", $"est0", $"est1",
+          least($"est0", $"est1").as("est"),
+          round(least($"est0", $"est1").cast("double") /
+            $"exact_size".cast("double"), 6).as("blowup"))
+    }),
+
     "q125_hll_distinct" -> ((s, dir) => {
       import s.implicits._
       val hll = udaf(new Hll)
@@ -698,6 +737,40 @@ object Sketches {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q166_join_size_cms" ->
+      """WITH ls AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+        |      || ':cms0'), 1, 13)) AS BIGINT) % 64 AS s0,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+        |      || ':cms1'), 1, 13)) AS BIGINT) % 64 AS s1
+        |  FROM lineitem),
+        |os AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |      || ':cms0'), 1, 13)) AS BIGINT) % 64 AS s0,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |      || ':cms1'), 1, 13)) AS BIGINT) % 64 AS s1
+        |  FROM orders),
+        |e0 AS (
+        |  SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS est0 FROM
+        |    (SELECT s0, count(*) AS ca FROM ls GROUP BY s0) a JOIN
+        |    (SELECT s0, count(*) AS cb FROM os GROUP BY s0) b
+        |    ON a.s0 = b.s0),
+        |e1 AS (
+        |  SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS est1 FROM
+        |    (SELECT s1, count(*) AS ca FROM ls GROUP BY s1) a JOIN
+        |    (SELECT s1, count(*) AS cb FROM os GROUP BY s1) b
+        |    ON a.s1 = b.s1),
+        |ex AS (
+        |  SELECT CAST(sum(a.cl * b.co) AS BIGINT) AS exact_size FROM
+        |    (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+        |     GROUP BY 1) a JOIN
+        |    (SELECT o_orderkey AS k, count(*) AS co FROM orders
+        |     GROUP BY 1) b ON a.k = b.k)
+        |SELECT exact_size, est0, est1, least(est0, est1) AS est,
+        |  round(CAST(least(est0, est1) AS DOUBLE) /
+        |    CAST(exact_size AS DOUBLE), 6) AS blowup
+        |FROM ex CROSS JOIN e0 CROSS JOIN e1""".stripMargin,
+
     "q92_kmv_distinct" ->
       s"""WITH raw AS (
          |  SELECT lang, doc_id,

@@ -58,7 +58,10 @@ class PlanLintSpec extends AnyFunSuite {
     // q163 crosses the 1-row order-count stat against the rule list
     // (the q76 shape); pair candidates come from the per-order
     // self-join, an equi-join on the order key.
-    "q163_assoc_rules")
+    "q163_assoc_rules",
+    // q166 crosses three 1-row aggregates (exact size + two CMS inner
+    // products) into the single report row — the q151 1×1×1 shape.
+    "q166_join_size_cms")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -426,6 +426,57 @@ class ProfilingSpec extends AnyFunSuite {
     assert(row._4 > 0.0 && row._4 < 1.0)
   }
 
+  test("CMS join-size estimate: est >= exact, inner products replay in JVM") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q166_join_size_cms")(spark, dir)
+      .select($"exact_size", $"est0", $"est1", $"est", $"blowup")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(row._4 === math.min(row._2, row._3))
+    assert(row._4 >= row._1, "CMS inner product must overestimate")
+    // exact join size from per-key counts
+    val lc = graft.engine.Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").count().as[(Long, Long)].collect().toMap
+    val oc = graft.engine.Tables.orders(spark, dir)
+      .groupBy($"o_orderkey").count().as[(Long, Long)].collect().toMap
+    val exact = lc.map { case (k, c) => c * oc.getOrElse(k, 0L) }.sum
+    assert(row._1 === exact)
+    assert(row._5 >= 1.0 && math.abs(row._5 - row._4.toDouble / exact) < 1e-6)
+  }
+
+  test("greedy coverage: gains non-increasing, totals telescope, replay matches") {
+    import spark.implicits._
+    val picks = SparkEntry.queries("q167_greedy_coverage")(spark, dir)
+      .select($"pick_round", $"doc_id", $"gain", $"covered_total")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(picks.map(_._1).toSeq === (1L to 5L))
+    assert(picks.map(_._2).distinct.length === 5)
+    picks.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "greedy marginal gains must be non-increasing")
+    }
+    assert(picks.map(_._3).sum === picks.last._4)
+    // full JVM replay of the greedy loop
+    val docsSh = {
+      val d = graft.engine.Tables.documents(spark, dir)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      d.map { case (id, t) =>
+        val ws = t.trim.split("\\s+").toSeq
+        id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    }
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    picks.foreach { case (_, doc, gain, totalAfter) =>
+      val gains = docsSh.filter(p => !chosen(p._1))
+        .map { case (id, s) => id -> (s -- covered).size.toLong }
+      val bestGain = gains.values.max
+      val bestDoc = gains.filter(_._2 == bestGain).keys.min
+      assert(doc === bestDoc && gain === bestGain, s"round pick $doc")
+      covered ++= docsSh(doc)
+      chosen += doc
+      assert(totalAfter === covered.size.toLong)
+    }
+  }
+
   test("winsorized mean sits inside [p05, p95] and differs from the raw mean") {
     import spark.implicits._
     val rows = SparkEntry.queries("q152_winsorized_stats")(spark, dir)
