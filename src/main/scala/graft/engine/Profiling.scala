@@ -116,9 +116,9 @@ object Profiling {
     // group, the exact median, the exact MAD, and the count of rows
     // beyond 3·MAD — the outlier gate that survives the fat tails
     // that poison mean/stddev z-scores (q98's parametric sibling).
-    // Entirely integer arithmetic: both order statistics come from
-    // the q152 deduped cumulative-count walk (rank (n+1) div 2 over
-    // DISTINCT values — the raw table never sorts), deviations are
+    // Entirely integer arithmetic: both order statistics are exact
+    // rank picks (rank (n+1) div 2 — a per-group sort each, the q152
+    // honest cost on this near-unique column), deviations are
     // |cents − median| longs, and the 3·MAD gate is an integer
     // compare — no IEEE op exists until the display division.
     "q164_mad_outliers" -> ((s, dir) => {
@@ -126,13 +126,11 @@ object Profiling {
       val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
       def rankPick(df: DataFrame, valueCol: String, out: String): DataFrame = {
-        val cnt = df.groupBy($"l_returnflag", col(valueCol))
-          .agg(count(lit(1)).as("c"))
         val grp = Window.partitionBy($"l_returnflag")
-        cnt.withColumn("hi_rn", sum($"c").over(grp.orderBy(col(valueCol))))
-          .withColumn("n", sum($"c").over(grp))
-          .withColumn("lo_rn", $"hi_rn" - $"c" + 1L)
-          .filter(expr("(n + 1) div 2 between lo_rn and hi_rn"))
+        df.withColumn("rn",
+          row_number().over(grp.orderBy(col(valueCol))).cast("long"))
+          .withColumn("n", count(lit(1)).over(grp))
+          .filter($"rn" === expr("(n + 1) div 2"))
           .groupBy($"l_returnflag").agg(min(col(valueCol)).as(out))
       }
       val med = rankPick(li, "cents", "medc")
@@ -379,39 +377,33 @@ object Profiling {
     // `Exact` discipline), so every sum is order-independent integer
     // arithmetic and the final divisions are single IEEE ops.
     //
-    // Scale note: the raw table never enters a sort. The scan folds to
-    // per-(group, value) COUNTS first (a map-side-combinable shuffle —
-    // the q117 counting construction), so the rank window runs over
-    // DISTINCT values per group, a cumulative-count walk that locates
-    // the p05/p95 ranks inside each value's [first, last]-rank span.
-    // Duplicate-heavy columns collapse by their multiplicity; for a
-    // truly continuous column the mergeable 100 TB alternative is the
-    // q121 quantile sketch (ε-rank). All downstream sums also fold
-    // the count table, never the raw rows.
+    // Scale note: exact order statistics need a per-group sort (one
+    // shuffle by group, rank via window). That is the honest cost of
+    // EXACT quantiles on a near-unique continuous column like this
+    // one (≥99% distinct — pre-folding to counts was measured SLOWER
+    // here: it adds a shuffle and shrinks nothing). The counting
+    // construction stays the right shape where values repeat (q117,
+    // q155, q165); the mergeable 100 TB alternative is the q121
+    // quantile sketch (ε-rank).
     "q152_winsorized_stats" -> ((s, dir) => {
       import s.implicits._
-      val cnt = T.lineitem(s, dir).select($"l_returnflag",
+      val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
-        .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("c"))
       val grp = Window.partitionBy($"l_returnflag")
-      val walked = cnt
-        .withColumn("hi_rn", sum($"c").over(grp.orderBy($"cents")))
-        .withColumn("n", sum($"c").over(grp))
-        .withColumn("lo_rn", $"hi_rn" - $"c" + 1L)
-      val th = walked
-        .filter(expr("(n * 5 + 99) div 100 between lo_rn and hi_rn") ||
-          expr("(n * 95 + 99) div 100 between lo_rn and hi_rn"))
+      val ranked = li
+        .withColumn("rn", row_number().over(grp.orderBy($"cents")).cast("long"))
+        .withColumn("n", count(lit(1)).over(grp))
+      val th = ranked
+        .filter($"rn" === expr("(n * 5 + 99) div 100") ||
+          $"rn" === expr("(n * 95 + 99) div 100"))
         .groupBy($"l_returnflag")
-        .agg(min(when(expr("(n * 5 + 99) div 100 between lo_rn and hi_rn"),
-          $"cents")).as("p05c"),
-          max(when(expr("(n * 95 + 99) div 100 between lo_rn and hi_rn"),
-            $"cents")).as("p95c"))
-      cnt.join(th, "l_returnflag")
+        .agg(min($"cents").as("p05c"), max($"cents").as("p95c"))
+      li.join(th, "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(sum($"c").as("n_items"),
+        .agg(count(lit(1)).as("n_items"),
           min($"p05c").as("p05c"), min($"p95c").as("p95c"),
-          sum($"cents" * $"c").as("sum_c"),
-          sum(greatest($"p05c", least($"p95c", $"cents")) * $"c").as("sum_w"))
+          sum($"cents").as("sum_c"),
+          sum(greatest($"p05c", least($"p95c", $"cents"))).as("sum_w"))
         .select($"l_returnflag", $"n_items",
           ($"p05c".cast("double") / 100.0).as("p05"),
           ($"p95c".cast("double") / 100.0).as("p95"),
