@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables => T}
 
 /** Iterative graph analytics over the referral graph (SURVEY.md §2.6's
@@ -674,6 +675,52 @@ object Graph {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try hits(edges).orderBy($"id")
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Label-propagation community detection (Raghavan et al. 2007) on
+    // the undirected two-parent referral graph (q143's edge set):
+    // every node starts in its own community, then synchronously takes
+    // the most frequent label among its neighbors, ties toward the
+    // smaller label — 3 fixed rounds. Deterministic by construction
+    // (counts + total (cnt desc, label) tie-break), which is what
+    // makes it verifiable: async/random-order LPA can't be oracled.
+    // Per round: one edges⋈labels equi-join, one (node, label) count,
+    // one per-node argmax window over ≤deg rows — the Pregel-on-SQL
+    // shape (same posture as pagerank above). At 100 TB the edge
+    // table is bucketed by node id so the per-round join is
+    // shuffle-free on the edge side; the window partitions by node,
+    // never globally.
+    "q171_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+      val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+        .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+        .filter($"p" >= 1L && $"p" =!= $"u")
+      val und = rawE.select(least($"u", $"p").as("lo"),
+        greatest($"u", $"p").as("hi")).distinct()
+      val nbr = und.select($"lo".as("id"), $"hi".as("nb"))
+        .union(und.select($"hi".as("id"), $"lo".as("nb"))).persist()
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var labels = nbr.select($"id").distinct()
+          .select($"id", $"id".as("lab")).localCheckpoint()
+        for (_ <- 1 to 3) {
+          val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"nlab")
+          labels = nbr
+            .join(labels.select($"id".as("nb"), $"lab".as("nlab")), "nb")
+            .groupBy($"id", $"nlab").agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"id", $"nlab".as("lab"))
+            .localCheckpoint()
+        }
+        val csize = labels.groupBy($"lab")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(csize, "lab")
+          .select($"id", $"lab".as("label"), $"community_size")
+          .orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** The oracle replays the identical integer iteration as a recursive
@@ -969,5 +1016,43 @@ object Graph {
         |       LEFT JOIN a3 ON a3.id = e.dst GROUP BY n.id)
         |SELECT n.id, a3.a AS authority, h3.h AS hub
         |FROM nodes n JOIN a3 ON a3.id = n.id JOIN h3 ON h3.id = n.id
-        |ORDER BY n.id""".stripMargin)
+        |ORDER BY n.id""".stripMargin,
+
+    // Three synchronous LPA rounds unrolled as chained CTEs, identical
+    // (count DESC, label) argmax tie-break per round.
+    "q171_label_prop" ->
+      """WITH cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |und AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |nbr AS (
+        |  SELECT lo AS id, hi AS nb FROM und
+        |  UNION ALL
+        |  SELECT hi AS id, lo AS nb FROM und),
+        |l0 AS (SELECT DISTINCT id, id AS lab FROM nbr),
+        |l1 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l0 l ON l.id = n.nb GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l2 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l1 l ON l.id = n.nb GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l3 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l2 l ON l.id = n.nb GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |cs AS (
+        |  SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+        |  FROM l3 GROUP BY lab)
+        |SELECT l3.id, l3.lab AS label, cs.community_size
+        |FROM l3 JOIN cs ON cs.lab = l3.lab
+        |ORDER BY l3.id""".stripMargin)
 }

@@ -311,6 +311,39 @@ object Similarity {
         .select($"bucket", $"v1", $"v2", round(cos($"e1", $"e2"), 6).as("cos_sim"))
         .filter($"cos_sim" >= 0.3)
         .orderBy($"v1", $"v2")
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication prunes near-duplicate MEANING — cluster the
+    // embedding space (q144's trained Lloyd codebook), compare pairs
+    // ONLY within a cluster, and drop every vector that has an earlier
+    // (smaller vec_id) same-cluster neighbor above the similarity
+    // threshold (keep-first election, q62's fixture threshold). The
+    // clustering is the blocking structure: pairwise work is Σ_c|c|²
+    // instead of n², and at 100 TB the cluster count grows with the
+    // corpus (k ~ √n, SemDeDup uses 50k clusters for LAION) so each
+    // cell stays bounded — the same cell-local discipline as IVF
+    // (q63/q145). Cosines reuse the codegen'd kernel; the oracle
+    // replays clustering AND pair election in SQL, so the
+    // cluster-blocked keep-set is independently re-derived.
+    "q168_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val (_, a2) = trainCodebook(s, dir)
+      val asg = a2.join(T.spread(T.embeddings(s, dir)), "vec_id")
+        .select($"vec_id", $"cl", $"embedding").persist()
+      val earlier = asg.select($"cl", $"vec_id".as("keep_id"),
+        $"embedding".as("ek"))
+      val near = asg.join(earlier, Seq("cl"))
+        .filter($"keep_id" < $"vec_id")
+        .filter(round(cos($"ek", $"embedding"), 6) >= 0.3)
+        .groupBy($"cl", $"vec_id").agg(count(lit(1)).as("n_near"))
+      asg.select($"vec_id", $"cl").join(near, Seq("cl", "vec_id"), "left")
+        .select($"vec_id", $"cl".as("cell"),
+          coalesce($"n_near", lit(0L)).as("n_near"),
+          when(coalesce($"n_near", lit(0L)) > 0L, 1L).otherwise(0L)
+            .as("is_dup"))
+        .orderBy($"vec_id")
     }))
 
   /** Multi-probe sign-LSH top-k — the recall/cost knob on q61's
@@ -676,7 +709,54 @@ object Similarity {
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-         |ORDER BY v1, v2""".stripMargin)
+         |ORDER BY v1, v2""".stripMargin,
+
+    // q144's Lloyd replay (identical micro-int training chain) feeding
+    // the within-cluster keep-first election — the whole SemDeDup
+    // dataflow re-derived from the raw embeddings.
+    "q168_semdedup" ->
+      """WITH vq AS (
+        |  SELECT vec_id, CAST(dim1 - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM (
+        |    SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS dim1
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id AS cl, dim, qv AS qc FROM vq WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vq.vec_id, c0.cl,
+        |    sum((vq.qv - c0.qc) * (vq.qv - c0.qc)) AS dist
+        |  FROM vq JOIN c0 USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c1 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a1 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d2 AS (
+        |  SELECT vq.vec_id, c1.cl,
+        |    sum((vq.qv - c1.qc) * (vq.qv - c1.qc)) AS dist
+        |  FROM vq JOIN c1 USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |asg AS (
+        |  SELECT a2.vec_id, a2.cl, e.embedding
+        |  FROM a2 JOIN embeddings e USING (vec_id)),
+        |near AS (
+        |  SELECT b.cl, b.vec_id, CAST(count(*) AS BIGINT) AS n_near
+        |  FROM asg b JOIN asg a ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        |  GROUP BY b.cl, b.vec_id)
+        |SELECT asg.vec_id, asg.cl AS cell,
+        |  coalesce(n.n_near, CAST(0 AS BIGINT)) AS n_near,
+        |  CAST(CASE WHEN coalesce(n.n_near, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_dup
+        |FROM asg LEFT JOIN near n ON n.cl = asg.cl AND n.vec_id = asg.vec_id
+        |ORDER BY asg.vec_id""".stripMargin)
 
   /** Product-quantization ANN with exact re-ranking: split the 64-dim
     * embedding into `m` subspaces, learn a `kSub`-centroid codebook

@@ -218,6 +218,71 @@ object TimeSeries {
           round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
             .as("retention"))
         .orderBy($"cohort_day", $"day_offset")
+    }),
+
+    // Holt level+trend smoothing per user series — q103's EWMA with a
+    // trend state, via the mergeable 2×2 affine-matrix Aggregator
+    // (functions/HoltAffine.scala: O(1) state per key, composition
+    // associative, in-order contract enforced loudly). (α, γ) =
+    // (0.5, 0.25) keeps every map constant dyadic. Output: final
+    // level, trend, and the h=3 linear forecast — the "where is this
+    // user's activity heading" read the raw EWMA can't give. Same
+    // scale shape as q103: repartition by key + sortWithinPartitions,
+    // one combine-able aggregation, no per-key history collected.
+    "q170_holt_trend" -> ((s, dir) => {
+      import s.implicits._
+      val holt = graft.functions.HoltAffine.udafFor(0.5, 0.25)
+      T.events(s, dir)
+        .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
+          $"event_id", $"value")
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          holt($"ts_us", $"event_id", $"value").as("h"))
+        .select($"user_id", $"n_events",
+          round($"h.level", 6).as("level"),
+          round($"h.trend", 6).as("trend"),
+          round($"h.fc3", 6).as("fc3"))
+        .orderBy($"user_id")
+    }),
+
+    // Autocorrelation (ACF lags 1–3) of the daily revenue series, one
+    // series per user shard: the seasonality probe a forecasting
+    // pipeline runs before model choice. Exactness device: with cents
+    // c_t (ints), n days and S = Σc_t, the centered residual is
+    // (x_t − x̄) = (c_t·n − S)/(100n) — the 100n denominator cancels
+    // in the ratio, so r_k = Σeₜe₍ₜ₊ₖ₎ / Σeₜ² over PURE INTEGER
+    // e_t = c_t·n − S (order-independent long sums) with ONE IEEE
+    // divide at the end. Integer envelope: |e| ≤ S ≈ daily_cents·n;
+    // Σe² ≤ n·S² — 3e17 at sf1 per 8-way shard; at larger scale the
+    // shard count grows with the data (user_id % k, k ∝ sf) to keep
+    // the envelope inside i64, the q165 sharding lever. Lags via
+    // lead() inside the per-shard window: one shuffle by shard, no
+    // global sort.
+    "q169_acf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"), to_date($"ts").as("d"))
+        .agg(sum(Exact.scaled($"value", 100)).as("c"))
+      val st = daily.groupBy($"shard")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+      val w = Window.partitionBy($"shard").orderBy($"d")
+      val e = daily.join(broadcast(st), "shard")
+        .select($"shard", $"d", $"n", ($"c" * $"n" - $"s").as("e"))
+        .withColumn("e1", lead($"e", 1).over(w))
+        .withColumn("e2", lead($"e", 2).over(w))
+        .withColumn("e3", lead($"e", 3).over(w))
+      e.groupBy($"shard")
+        .agg(max($"n").as("n_days"),
+          round(sum($"e" * $"e1").cast("double")
+            / sum($"e" * $"e").cast("double"), 6).as("acf1"),
+          round(sum($"e" * $"e2").cast("double")
+            / sum($"e" * $"e").cast("double"), 6).as("acf2"),
+          round(sum($"e" * $"e3").cast("double")
+            / sum($"e" * $"e").cast("double"), 6).as("acf3"))
+        .orderBy($"shard")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -371,5 +436,62 @@ object TimeSeries {
         |  round(CAST(n_active AS DOUBLE) /
         |    CAST(max(CASE WHEN day_offset = 0 THEN n_active END)
         |      OVER (PARTITION BY cohort_day) AS DOUBLE), 6) AS retention
-        |FROM cell ORDER BY cohort_day, day_offset""".stripMargin)
+        |FROM cell ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // The q103 discipline lifted to 2×2: identity-seeded list_reduce
+    // with the same operand order per IEEE multiply/add as
+    // HoltAffine.step — the two engines run the same op sequence
+    // token for token. Map constants are dyadic (0.5 / −0.125 /
+    // 0.875 / 0.125), so no decimal-repr noise. State travels as a
+    // 6-element LIST [m11,m12,m21,m22,b1,b2], NOT a struct: DuckDB
+    // evaluates struct_pack fields sequentially inside a lambda (a
+    // later field reading acc.m11 sees the already-updated m11 —
+    // q103's scalar fold never reads an updated field, this matrix
+    // fold would), while a list literal reads the incoming acc only.
+    "q170_holt_trend" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         list(value ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events, l[1] AS x1,
+        |    list_reduce(
+        |      [[CAST(1.0 AS DOUBLE), 0.0, 0.0, 1.0, 0.0, 0.0]] ||
+        |      list_transform(l[2:], x -> [0.0, 0.0, 0.0, 0.0,
+        |        CAST(0.5 AS DOUBLE) * x, CAST(0.125 AS DOUBLE) * x]),
+        |      (acc, e) -> [0.5 * acc[1] + 0.5 * acc[3],
+        |                   0.5 * acc[2] + 0.5 * acc[4],
+        |                   -0.125 * acc[1] + 0.875 * acc[3],
+        |                   -0.125 * acc[2] + 0.875 * acc[4],
+        |                   0.5 * acc[5] + 0.5 * acc[6] + e[5],
+        |                   -0.125 * acc[5] + 0.875 * acc[6] + e[6]]) AS r
+        |  FROM s)
+        |SELECT user_id, n_events,
+        |  round(r[1] * x1 + r[5], 6) AS level,
+        |  round(r[3] * x1 + r[6], 6) AS trend,
+        |  round((r[1] * x1 + r[5]) + 3.0 * (r[3] * x1 + r[6]), 6) AS fc3
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // Same integer-residual construction: e_t = c_t·n − S, ratio of
+    // integer sums, one IEEE divide + round per lag.
+    "q169_acf" ->
+      """WITH daily AS (
+        |  SELECT user_id % 8 AS shard, date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s
+        |  FROM daily GROUP BY shard),
+        |e AS (
+        |  SELECT daily.shard, n, c*n - s AS e,
+        |    lead(c*n - s, 1) OVER (PARTITION BY daily.shard ORDER BY d) AS e1,
+        |    lead(c*n - s, 2) OVER (PARTITION BY daily.shard ORDER BY d) AS e2,
+        |    lead(c*n - s, 3) OVER (PARTITION BY daily.shard ORDER BY d) AS e3
+        |  FROM daily JOIN st USING (shard))
+        |SELECT shard, max(n) AS n_days,
+        |  round(CAST(sum(e*e1) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf1,
+        |  round(CAST(sum(e*e2) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf2,
+        |  round(CAST(sum(e*e3) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf3
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin)
 }
