@@ -283,6 +283,71 @@ object TimeSeries {
           round(sum($"e" * $"e3").cast("double")
             / sum($"e" * $"e").cast("double"), 6).as("acf3"))
         .orderBy($"shard")
+    }),
+
+    // Per-group OLS regression + Pearson correlation of daily revenue
+    // against the day index — trend fitting as ONE combine-able
+    // aggregation. All five moments (n, Σt, Σc, Σt², Σc², Σtc) are
+    // exact integer sums, and the closed forms
+    //   slope = (nΣtc − ΣtΣc) / (nΣt² − (Σt)²)
+    //   icept = (ΣcΣt² − ΣtΣtc) / (nΣt² − (Σt)²)
+    //   r     = (nΣtc − ΣtΣc) / (√(nΣt²−(Σt)²)·√(nΣc²−(Σc)²))
+    // keep every data-dependent operation in integer space until a
+    // fixed tail of IEEE divides/sqrts (correctly rounded, so
+    // bit-identical cross-engine). The split √a·√b keeps each radicand
+    // inside i64 where the product a·b would overflow. Scale shape:
+    // pure map-side partial aggregation — the cheapest possible
+    // distributed fit, no window, no shuffle beyond the group keys.
+    "q172_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val daily = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"), to_date($"ts").as("d"))
+        .agg(sum(Exact.scaled($"value", 100)).as("c"))
+        .withColumn("t",
+          datediff($"d", lit(java.sql.Date.valueOf("2024-01-01"))).cast("long"))
+      daily.groupBy($"shard")
+        .agg(count(lit(1)).as("n"), sum($"t").as("st"), sum($"c").as("sc"),
+          sum($"t" * $"t").as("stt"), sum($"c" * $"c").as("scc"),
+          sum($"t" * $"c").as("stc"))
+        .select($"shard", $"n".as("n_days"),
+          round(($"n" * $"stc" - $"st" * $"sc").cast("double")
+            / ($"n" * $"stt" - $"st" * $"st").cast("double"), 6).as("slope"),
+          round(($"sc" * $"stt" - $"st" * $"stc").cast("double")
+            / ($"n" * $"stt" - $"st" * $"st").cast("double"), 6).as("icept"),
+          round(($"n" * $"stc" - $"st" * $"sc").cast("double")
+            / (sqrt(($"n" * $"stt" - $"st" * $"st").cast("double"))
+              * sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double"))), 6)
+            .as("r"))
+        .orderBy($"shard")
+    }),
+
+    // CUSUM changepoint detection over the same per-shard daily
+    // series: the day where the running sum of centered residuals
+    // peaks in magnitude is the classic single-changepoint estimate
+    // (Page 1954). Reuses q169's integer residual e_t = c_t·n − S —
+    // the running sum, the |·| and the (|cum| desc, day) argmax are
+    // all integer/total-order operations, so the picked day is
+    // bit-stable under any partitioning. Per-shard window, no global
+    // sort; the argmax is a rank-1 pick inside each ≤|days| frame.
+    "q173_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val daily = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"), to_date($"ts").as("d"))
+        .agg(sum(Exact.scaled($"value", 100)).as("c"))
+      val st = daily.groupBy($"shard")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+      val wRun = Window.partitionBy($"shard").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPick = Window.partitionBy($"shard")
+        .orderBy(abs($"cum").desc, $"d")
+      daily.join(broadcast(st), "shard")
+        .select($"shard", $"d", $"n", ($"c" * $"n" - $"s").as("e"))
+        .withColumn("cum", sum($"e").over(wRun))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"shard", $"n".as("n_days"), $"d".as("cp_day"),
+          abs($"cum").as("cusum_max"))
+        .orderBy($"shard")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -493,5 +558,54 @@ object TimeSeries {
         |  round(CAST(sum(e*e1) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf1,
         |  round(CAST(sum(e*e2) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf2,
         |  round(CAST(sum(e*e3) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf3
-        |FROM e GROUP BY shard ORDER BY shard""".stripMargin)
+        |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Same integer moments, same fixed IEEE tail (two divides, two
+    // sqrts) in the identical operand order.
+    "q172_linreg" ->
+      """WITH daily AS (
+        |  SELECT user_id % 8 AS shard, date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT shard,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(t*t) AS BIGINT) AS stt, CAST(sum(c*c) AS BIGINT) AS scc,
+        |    CAST(sum(t*c) AS BIGINT) AS stc
+        |  FROM (SELECT shard, c,
+        |          CAST(d - DATE '2024-01-01' AS BIGINT) AS t FROM daily) x
+        |  GROUP BY shard)
+        |SELECT shard, n AS n_days,
+        |  round(CAST(n*stc - st*sc AS DOUBLE)
+        |    / CAST(n*stt - st*st AS DOUBLE), 6) AS slope,
+        |  round(CAST(sc*stt - st*stc AS DOUBLE)
+        |    / CAST(n*stt - st*st AS DOUBLE), 6) AS icept,
+        |  round(CAST(n*stc - st*sc AS DOUBLE)
+        |    / (sqrt(CAST(n*stt - st*st AS DOUBLE))
+        |       * sqrt(CAST(n*scc - sc*sc AS DOUBLE))), 6) AS r
+        |FROM m ORDER BY shard""".stripMargin,
+
+    // q169's integer residual, a running integer window sum, and a
+    // total-order (|cum| DESC, day) rank-1 pick.
+    "q173_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id % 8 AS shard, date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s
+        |  FROM daily GROUP BY shard),
+        |cum AS (
+        |  SELECT daily.shard, d, n,
+        |    CAST(sum(c*n - s) OVER (PARTITION BY daily.shard ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM daily JOIN st USING (shard))
+        |SELECT shard, n AS n_days, d AS cp_day, abs(cum) AS cusum_max
+        |FROM cum
+        |QUALIFY row_number() OVER (PARTITION BY shard
+        |  ORDER BY abs(cum) DESC, d) = 1
+        |ORDER BY shard""".stripMargin)
 }

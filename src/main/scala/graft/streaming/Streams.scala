@@ -279,6 +279,60 @@ object Streams {
       }
   }
 
+  /** Per-key streaming Holt state: the batch aggregator's composed
+    * 2×2 affine run (graft.functions.HoltAffine.Run, minus the
+    * lo-span bookkeeping a single growing run never needs). */
+  case class HoltRunState(firstX: Double,
+                          m11: Double, m12: Double, m21: Double, m22: Double,
+                          b1: Double, b2: Double,
+                          n: Long, hiTs: Long, hiId: Long)
+  case class HoltOut(user_id: Long, n_events: Long,
+                     level: Double, trend: Double)
+
+  /** Stateful streaming Holt level+trend smoothing: identical operand
+    * order as graft.functions.HoltAffine.step, so after the last event
+    * the streaming answer equals the batch q170 answer bit-exactly
+    * (StreamingSpec asserts) — the one-engine-two-modes property the
+    * EWMA path already pins, now with matrix state. Same in-order
+    * input contract, loud failure on violation; state is seven
+    * doubles + three longs per key — no history. */
+  def holtStateful(events: Dataset[Event], alpha: Double,
+                   gamma: Double): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    val a = 1.0 - alpha
+    val ga = gamma * alpha
+    val nga = -ga
+    val gag = gamma * a + (1.0 - gamma)
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[HoltRunState, HoltOut](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[HoltRunState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var st = state.getOption
+          sorted.foreach { e =>
+            st = st match {
+              case None =>
+                Some(HoltRunState(e.value, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0,
+                  1L, e.tsUs, e.event_id))
+              case Some(r) =>
+                require(r.hiTs < e.tsUs || (r.hiTs == e.tsUs && r.hiId < e.event_id),
+                  s"holtStateful: out-of-order arrival (${e.tsUs},${e.event_id}) " +
+                    s"after (${r.hiTs},${r.hiId}) for key $uid")
+                Some(HoltRunState(r.firstX,
+                  a * r.m11 + a * r.m21,
+                  a * r.m12 + a * r.m22,
+                  nga * r.m11 + gag * r.m21,
+                  nga * r.m12 + gag * r.m22,
+                  a * r.b1 + a * r.b2 + alpha * e.value,
+                  nga * r.b1 + gag * r.b2 + ga * e.value,
+                  r.n + 1, e.tsUs, e.event_id))
+            }
+          }
+          st.foreach(state.update)
+          val r = st.get
+          HoltOut(uid, r.n, r.m11 * r.firstX + r.b1, r.m21 * r.firstX + r.b2)
+      }
+  }
+
   case class PatternState(lastViewUs: Long, lastClickUs: Long,
                           nView: Long, nClick: Long, nValidClick: Long,
                           nPurchase: Long, nMatched: Long,

@@ -221,6 +221,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming Holt equals the batch aggregator bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("tsUs"), $"user_id",
+        $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.tsUs, e.event_id))
+    val input = MemoryStream[Event]
+    val q = Streams.holtStateful(input.toDS(), 0.5, 0.25)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("holt_stream_test").start()
+    ev.grouped(ev.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("holt_stream_test").as[Streams.HoltOut]
+      .collect().groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    val holt = graft.functions.HoltAffine.udafFor(0.5, 0.25)
+    val batch = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_us", $"event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), holt($"ts_us", $"event_id", $"value").as("h"))
+      .select($"user_id", $"n", $"h.level", $"h.trend")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(batch.nonEmpty && streamed.nonEmpty)
+    batch.foreach { case (u, n, l, b) =>
+      val s = streamed(u)
+      assert(s.n_events == n, s"user $u event count: stream ${s.n_events} vs batch $n")
+      assert(s.level == l, s"user $u level: stream ${s.level} != batch $l (bit-exact contract)")
+      assert(s.trend == b, s"user $u trend: stream ${s.trend} != batch $b (bit-exact contract)")
+    }
+  }
+
   test("streaming HLL sketch state equals the batch sketch exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
