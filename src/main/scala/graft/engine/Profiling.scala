@@ -112,6 +112,47 @@ object Profiling {
     "q161_auc" -> ((s, dir) =>
       finalizeAuc(aucPartials(T.orders(s, dir)))),
 
+    // Decile lift / calibration table — the chart every scored
+    // campaign is judged by ("how concentrated are the positives in
+    // the top 10% of scores"). Score = exact cosine to a probe vector
+    // (vec 0, 1-row broadcast); target = label 0. The global rank
+    // NEVER sorts rows globally: per-distinct-score counts walk the
+    // DEDUPED score domain (q161's discipline) for each score's
+    // cumulative offset, and a within-score row_number over bounded
+    // tie groups completes rank = offset + tie position — the
+    // two-level q81 layout. Decile = ((rank−1)·10) div N is integer
+    // arithmetic; per-decile positives are integer sums; pos_rate
+    // and lift = (n_pos·N)/(n·P) are single IEEE divides of exact
+    // integer products.
+    "q174_lift_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val cos = graft.functions.CosineSimilarity.cosineSim(s) _
+      val emb = T.embeddings(s, dir)
+      val probe = emb.filter($"vec_id" === 0L).select($"embedding".as("pe"))
+      val scored = emb.filter($"vec_id" =!= 0L)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id", ($"label" === 0).cast("long").as("pos"),
+          round(cos($"pe", $"embedding"), 6).as("score"))
+      val dom = scored.groupBy($"score").agg(count(lit(1)).as("cnt"))
+      val wDom = Window.orderBy($"score".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = dom.withColumn("off", coalesce(sum($"cnt").over(wDom), lit(0L)))
+      val wTie = Window.partitionBy($"score").orderBy($"vec_id")
+      val ranked = scored.join(cum.select($"score", $"off"), "score")
+        .withColumn("rank", $"off" + row_number().over(wTie).cast("long"))
+      val tot = scored.agg(count(lit(1)).as("nn"), sum($"pos").as("pp"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(expr("((rank - 1) * 10) div nn").as("decile"))
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+          max($"nn").as("nn"), max($"pp").as("pp"))
+        .select($"decile", $"n", $"n_pos",
+          round($"n_pos".cast("double") / $"n".cast("double"), 6)
+            .as("pos_rate"),
+          round(($"n_pos" * $"nn").cast("double")
+            / ($"n" * $"pp").cast("double"), 6).as("lift"))
+        .orderBy($"decile")
+    }),
+
     // Robust outlier detection by median absolute deviation: per
     // group, the exact median, the exact MAD, and the count of rows
     // beyond 3·MAD — the outlier gate that survives the fat tails
@@ -415,6 +456,40 @@ object Profiling {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same two-level rank layout: deduped-score cumulative offsets +
+    // within-score row_number; `//` is DuckDB's integer division
+    // (both engines floor on the non-negative ranks here).
+    "q174_lift_deciles" ->
+      """WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    CAST(CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS BIGINT) AS pos,
+        |    round(list_cosine_similarity(CAST(p.pe AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[])), 6)
+        |      AS score
+        |  FROM embeddings e, probe p WHERE e.vec_id <> 0),
+        |dom AS (SELECT score, count(*) AS cnt FROM scored GROUP BY score),
+        |cum AS (
+        |  SELECT score, CAST(coalesce(sum(cnt) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off
+        |  FROM dom),
+        |ranked AS (
+        |  SELECT s.pos, c.off + row_number()
+        |    OVER (PARTITION BY s.score ORDER BY s.vec_id) AS rank
+        |  FROM scored s JOIN cum c USING (score)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |               CAST(sum(pos) AS BIGINT) AS pp FROM scored),
+        |sel AS (
+        |  SELECT CAST(((rank - 1) * 10) // nn AS BIGINT) AS decile,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    max(nn) AS nn, max(pp) AS pp
+        |  FROM ranked, tot GROUP BY 1)
+        |SELECT decile, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  round(CAST(n_pos*nn AS DOUBLE)/CAST(n*pp AS DOUBLE), 6) AS lift
+        |FROM sel ORDER BY decile""".stripMargin,
+
     "q161_auc" ->
       """WITH g AS (
         |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,

@@ -61,7 +61,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q163_assoc_rules",
     // q166 crosses three 1-row aggregates (exact size + two CMS inner
     // products) into the single report row — the q151 1×1×1 shape.
-    "q166_join_size_cms")
+    "q166_join_size_cms",
+    // q174 crosses the 1-row probe vector and the 1-row N/P totals
+    // against the scored stream (the q76/q95 1×N stats shape).
+    "q174_lift_deciles")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
