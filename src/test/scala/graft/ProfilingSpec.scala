@@ -336,6 +336,41 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(row._4 - u2.toDouble / (2.0 * pos.length * neg.length)) < 1e-6)
   }
 
+  test("lift deciles: JVM replay downstream of the engine's own scores") {
+    import spark.implicits._
+    val tiny = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q174_lift_deciles")(spark, tiny)
+      .select($"decile", $"n", $"n_pos", $"pos_rate", $"lift")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    // rebuild the scored stream with the same kernel + round, then
+    // replay rank → decile → lift entirely in JVM collections
+    val cos = graft.functions.CosineSimilarity.cosineSim(spark) _
+    val emb = graft.engine.Tables.embeddings(spark, tiny)
+    val probe = emb.filter($"vec_id" === 0L).select($"embedding".as("pe"))
+    val scored = emb.filter($"vec_id" =!= 0L)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", ($"label" === 0).cast("long"),
+        round(cos($"pe", $"embedding"), 6))
+      .as[(Long, Long, Double)].collect()
+    val nn = scored.length.toLong
+    val pp = scored.map(_._2).sum
+    val ranked = scored.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+    val expected = ranked
+      .groupBy { case (_, i) => i.toLong * 10L / nn }
+      .map { case (d, rows) =>
+        val n = rows.length.toLong
+        val np = rows.map(_._1._2).sum
+        (d, n, np)
+      }.toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == expected)
+    // structural invariants: deciles tile the corpus, rates consistent
+    assert(got.map(_._2).sum == nn && got.map(_._3).sum == pp)
+    got.foreach { case (_, n, np, rate, lift) =>
+      assert(math.abs(rate - np.toDouble / n) < 1e-6)
+      assert(math.abs(lift - (np * nn).toDouble / (n * pp)) < 1e-6)
+    }
+  }
+
   test("chi2: margins add up and the statistic matches a JVM recompute") {
     import spark.implicits._
     val rows = SparkEntry.queries("q162_chi2")(spark, dir)
