@@ -256,6 +256,37 @@ object Profiling {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // Mutual information over the same contingency table — q162's
+    // chi-square answers "are these columns independent", MI answers
+    // "how many nats does one column tell you about the other" (the
+    // feature-selection ranking signal; chi2 and MI disagree exactly
+    // when low-count cells carry the dependence). Determinism: each
+    // cell's pointwise MI is ln of a RATIO OF EXACT INTEGERS
+    // ((obs·n)/(rt·ct)), scaled to micro-nats and rounded — the
+    // q118/q146/q160 device that erases last-ulp libm differences —
+    // and the total is Σ obs·pmi_micro, an order-free integer sum.
+    // One aggregation + bounded |cells| windows; nothing touches raw
+    // rows twice.
+    "q175_mutual_info" -> ((s, dir) => {
+      import s.implicits._
+      val cells = T.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("obs"))
+      cells
+        .withColumn("rt", sum($"obs").over(Window.partitionBy($"l_returnflag")))
+        .withColumn("ct", sum($"obs").over(Window.partitionBy($"l_linestatus")))
+        .withColumn("n", sum($"obs").over(Window.partitionBy(lit(1))))
+        .withColumn("pmi_micro",
+          round(log(($"obs" * $"n").cast("double") /
+            ($"rt" * $"ct").cast("double")) * 1e6).cast("long"))
+        .withColumn("mi_micro_total",
+          sum($"obs" * $"pmi_micro").over(Window.partitionBy(lit(1))))
+        .select($"l_returnflag", $"l_linestatus", $"obs", $"pmi_micro",
+          round($"mi_micro_total".cast("double") /
+            ($"n".cast("double") * 1e6), 6).as("mi_nats"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // INCREMENTAL profile maintenance (the q122/q135/q136 discipline
     // applied to table stats): the per-shard metric partials a nightly
     // job persists — row/null counts, exact-cents sum, min/max, and
@@ -573,6 +604,29 @@ object Profiling {
         |    (CAST(sum(k) AS DOUBLE) * CAST(sum(c * k) AS DOUBLE)) -
         |    CAST(sum(k) + 1 AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS gini
         |FROM walked""".stripMargin,
+
+    // Same contingency + micro-nat PMI per cell; the total is an
+    // order-free integer sum divided once.
+    "q175_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS rt,
+        |    CAST(sum(obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS ct,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |p AS (
+        |  SELECT l_returnflag, l_linestatus, obs, n,
+        |    CAST(round(ln(CAST(obs * n AS DOUBLE) / CAST(rt * ct AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS pmi_micro
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, obs, pmi_micro,
+        |  round(CAST(sum(obs * pmi_micro) OVER () AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mi_nats
+        |FROM p ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q162_chi2" ->
       """WITH cells AS (

@@ -388,6 +388,32 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual information: micro-nat cells and total replay in JVM") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q175_mutual_info")(spark, dir)
+      .select($"l_returnflag", $"l_linestatus", $"obs", $"pmi_micro", $"mi_nats")
+      .as[(String, String, Long, Long, Double)].collect()
+    val cells = graft.engine.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val pmi = cells.map { case (f, st, obs) =>
+      (f, st) -> math.round(math.log((obs * n).toDouble /
+        (rt(f) * ct(st)).toDouble) * 1e6)
+    }.toMap
+    val miTotal = cells.map { case (f, st, obs) => obs * pmi((f, st)) }.sum
+    got.foreach { case (f, st, obs, pm, mi) =>
+      assert(pm == pmi((f, st)), s"cell ($f,$st) pmi: $pm vs ${pmi((f, st))}")
+      assert(math.abs(mi - miTotal.toDouble / (n.toDouble * 1e6)) < 1e-6)
+      // independence sanity: a cell's sign says over/under-represented
+      assert(obs > 0L)
+    }
+    // MI is non-negative up to micro-nat rounding of each cell
+    assert(miTotal.toDouble / (n.toDouble * 1e6) > -1e-4)
+  }
+
   test("association rules replay via JVM basket counting") {
     import spark.implicits._
     val oi = graft.engine.Tables.lineitem(spark, dir)
