@@ -1,0 +1,412 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Tables => T}
+import graft.functions.CosineSimilarity
+
+/** Retrieval-quality operators: hybrid sparse+dense rank fusion and the
+  * standard ranked-retrieval evaluation metrics (MRR, nDCG, MAP), plus
+  * DSIR-style importance weighting for targeted data selection.
+  *
+  * The reference has no search surface at all (its only "retrieval" is
+  * keyed point lookups), but a corpus engine that already ships BM25
+  * (q76), an inverted index (q132) and exact/ANN cosine search
+  * (q60–q63) owes its users the two missing pieces of a production
+  * retrieval stack: FUSING the two arms into one ranking, and SCORING
+  * any ranking against labels. Both are first-class 100 TB shapes:
+  * fusion touches only the two top-k lists (k rows per query, never the
+  * corpus), and every eval metric here folds to per-query integer
+  * aggregates with one IEEE divide at the end.
+  *
+  * Determinism discipline (the q118/q160/q175 device): every
+  * data-dependent float is either (a) a ratio/log of EXACT INTEGERS
+  * rounded to micro units and then summed in integer space — order-free
+  * at any parallelism — or (b) a per-rank constant folded ONCE in Scala
+  * and interpolated into BOTH engines as a literal table, so no libm
+  * call happens at runtime at all (the fold-constants-once rule).
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-rank DCG gain 1/log2(k+1) for k = 1..10, in micro units,
+    * folded once here and interpolated into both engines (no runtime
+    * libm). dcgTermMicro(k-1) is the gain of a relevant hit at rank k. */
+  private[graft] val dcgTermMicro: Seq[Long] =
+    (1 to 10).map(k => math.round(1e6 * math.log(2) / math.log(k + 1.0)))
+
+  /** Cumulative ideal DCG: idcgMicro(m-1) = Σ_{k≤m} dcgTermMicro(k-1)
+    * — the DCG of a ranking whose first m positions are all relevant. */
+  private[graft] val idcgMicro: Seq[Long] =
+    dcgTermMicro.scanLeft(0L)(_ + _).tail
+
+  private def sqlList(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+
+  /** The labeled exact-cosine ranking q177/q178 evaluate: every 50th
+    * vector queries the full pool (candidates ≠ query), ranked by
+    * (rounded cosine desc, cid) for a total, oracle-stable order —
+    * q60's spine with relevance labels attached. */
+  private def labeledRanking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cos = CosineSimilarity.cosineSim(s) _
+    val emb = T.embeddings(s, dir)
+    val q = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".cast("long").as("qlabel"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+    emb.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"qlabel", $"vec_id".as("cid"),
+        ($"label".cast("long") === $"qlabel").as("rel"),
+        round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Shared oracle prefix: the same labeled ranking in DuckDB. */
+  private val rankedSql =
+    """ranked AS (
+      |  SELECT qid, qlabel, cid, rel, rank FROM (
+      |    SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS qlabel,
+      |      c.vec_id AS cid,
+      |      CAST(c.label AS BIGINT) = CAST(q.label AS BIGINT) AS rel,
+      |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(c.embedding AS DOUBLE[])), 6)
+      |        DESC, c.vec_id) AS BIGINT) AS rank
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 50 = 0) s)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Hybrid retrieval with reciprocal rank fusion (Cormack et al.
+    // SIGIR 2009): the sparse arm scores candidates by BM25 against
+    // the probe document's term set (q76's tf/df/dl spine — per-term
+    // scores in micro units, summed in INTEGER space so the doc score
+    // is order-free), the dense arm is exact cosine against the
+    // probe's embedding (q60's kernel), and each arm keeps only its
+    // top-20. Fusion then runs over ≤40 rows per query — never the
+    // corpus: rrf = Σ_arms 1/(60+rank), a fixed two-term IEEE sum of
+    // integer-derived reciprocals (rank ties impossible, row_number
+    // is total). This is exactly how a production stack bolts dense
+    // retrieval onto an existing BM25 index: fuse the lists, not the
+    // engines. At 100 TB each arm is served by its own layout (q132
+    // postings / q63 IVF cells) and fusion cost stays k·|queries|.
+    "q176_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val cosF = CosineSimilarity.cosineSim(s) _
+      val tf = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .cache() // feeds dl, df, qterms, and the scoring join
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum($"dl").as("tot"), count(lit(1)).as("nd"))
+        .select(($"tot".cast("double") / $"nd".cast("double")).as("avgdl"),
+          $"nd".cast("double").as("nd"))
+      val qterms = tf.filter($"doc_id" % 100 === 0)
+        .select($"doc_id".as("qid"), $"term")
+      val tfD = $"tf".cast("double")
+      val dfD = $"df".cast("double")
+      val dlD = $"dl".cast("double")
+      val idf = log(($"nd" - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val bm25 = idf * (tfD * 2.2) /
+        (tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * dlD / $"avgdl"))
+      val sparse = tf.join(broadcast(qterms), Seq("term"))
+        .filter($"doc_id" =!= $"qid")
+        .join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(stats))
+        .select($"qid", $"doc_id".as("cid"),
+          round(bm25 * 1e6).cast("long").as("bm_micro"))
+        .groupBy($"qid", $"cid").agg(sum($"bm_micro").as("s_micro"))
+      val ws = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"cid")
+      val sparseTop = sparse
+        .withColumn("sparse_rank", row_number().over(ws).cast("long"))
+        .filter($"sparse_rank" <= 20)
+        .select($"qid", $"cid", $"sparse_rank")
+      val emb = T.embeddings(s, dir)
+      val qe = emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val wd = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      val denseTop = emb.join(broadcast(qe), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          round(cosF($"qe", $"embedding"), 6).as("cos_sim"))
+        .withColumn("dense_rank", row_number().over(wd).cast("long"))
+        .filter($"dense_rank" <= 20)
+        .select($"qid", $"cid", $"dense_rank")
+      val fused = sparseTop.join(denseTop, Seq("qid", "cid"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + $"sparse_rank".cast("double")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"dense_rank".cast("double")),
+            lit(0.0)))
+      val wf = Window.partitionBy($"qid").orderBy($"rrf".desc, $"cid")
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"qid", $"cid", $"sparse_rank", $"dense_rank",
+          round($"rrf", 6).as("rrf"), $"rank")
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Ranked-retrieval evaluation: MRR@10 and nDCG@10 of the labeled
+    // cosine ranking (relevant = candidate shares the query's label)
+    // — the metric pair every retrieval/reranker change is judged by.
+    // DCG gains 1/log2(k+1) are a 10-entry literal table folded once
+    // in Scala and interpolated into BOTH engines, so the metric
+    // arithmetic is table lookups + integer sums; the ideal DCG is the
+    // cumulative table at min(|relevant|, 10). Reciprocal ranks go to
+    // micro units BEFORE the corpus-level mean (order-free integer
+    // sum; one divide at the end). Scale shape: one window per query
+    // partition, per-query aggregates, a 1-row corpus fold — the same
+    // plan at 10 or 10^7 queries.
+    "q177_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      val terms = typedLit(dcgTermMicro)
+      val ideals = typedLit(idcgMicro)
+      val perQ = labeledRanking(s, dir).groupBy($"qid", $"qlabel")
+        .agg(sum(when($"rel", 1L).otherwise(0L)).as("n_rel_pool"),
+          coalesce(min(when($"rel" && $"rank" <= 10, $"rank")), lit(0L))
+            .as("first_rel_rank"),
+          coalesce(sum(when($"rel" && $"rank" <= 10,
+            element_at(terms, $"rank".cast("int")))), lit(0L))
+            .as("dcg_micro"))
+        .withColumn("idcg_micro", when($"n_rel_pool" === 0, lit(0L))
+          .otherwise(element_at(ideals,
+            least($"n_rel_pool", lit(10L)).cast("int"))))
+        .withColumn("rr_micro", when($"first_rel_rank" === 0, lit(0L))
+          .otherwise(round(lit(1e6) / $"first_rel_rank".cast("double"))
+            .cast("long")))
+      val wAll = Window.partitionBy(lit(1))
+      perQ
+        .withColumn("mrr", round(sum($"rr_micro").over(wAll).cast("double") /
+          (count(lit(1)).over(wAll).cast("double") * 1e6), 6))
+        .select($"qid", $"qlabel", $"n_rel_pool", $"first_rel_rank",
+          round($"rr_micro".cast("double") / 1e6, 6).as("rr"),
+          $"dcg_micro", $"idcg_micro",
+          when($"idcg_micro" === 0, lit(0.0))
+            .otherwise(round($"dcg_micro".cast("double") /
+              $"idcg_micro".cast("double"), 6)).as("ndcg"),
+          $"mrr")
+        .orderBy($"qid")
+    }),
+
+    // Average precision @50 and its corpus mean (MAP) over the same
+    // labeled ranking — the area-under-PR-curve companion to q161's
+    // ROC-AUC (AP is the metric that doesn't saturate under class
+    // imbalance). Each relevant hit contributes precision@k =
+    // cumrel/k, a ratio of exact integers rounded to micro units;
+    // the per-query AP divides the integer term sum by min(R, 50)
+    // once, re-rounds to an integer, and the corpus MAP folds THOSE
+    // integers — no float ever accumulates across rows. Same bounded
+    // shape as q177: windows per query partition, never global.
+    "q178_avg_precision" -> ((s, dir) => {
+      import s.implicits._
+      val ranked = labeledRanking(s, dir)
+      val wcum = Window.partitionBy($"qid").orderBy($"rank")
+      val terms = ranked.filter($"rank" <= 50)
+        .withColumn("cumrel",
+          sum(when($"rel", 1L).otherwise(0L)).over(wcum))
+        .filter($"rel")
+        .select($"qid",
+          round($"cumrel".cast("double") * 1e6 / $"rank".cast("double"))
+            .cast("long").as("p_micro"))
+        .groupBy($"qid").agg(sum($"p_micro").as("sum_p_micro"),
+          count(lit(1)).as("n_rel_at_k"))
+      val pool = ranked.groupBy($"qid")
+        .agg(sum(when($"rel", 1L).otherwise(0L)).as("n_rel_pool"))
+      val wAll = Window.partitionBy(lit(1))
+      pool.join(terms, Seq("qid"), "left")
+        .withColumn("n_rel_at_k", coalesce($"n_rel_at_k", lit(0L)))
+        .withColumn("ap_micro", when($"n_rel_pool" === 0, lit(0L))
+          .otherwise(round(coalesce($"sum_p_micro", lit(0L)).cast("double") /
+            least($"n_rel_pool", lit(50L)).cast("double")).cast("long")))
+        .withColumn("map", round(sum($"ap_micro").over(wAll).cast("double") /
+          (count(lit(1)).over(wAll).cast("double") * 1e6), 6))
+        .select($"qid", $"n_rel_pool", $"n_rel_at_k",
+          round($"ap_micro".cast("double") / 1e6, 6).as("ap"), $"map")
+        .orderBy($"qid")
+    }),
+
+    // DSIR-style importance weighting for targeted data selection
+    // (Xie et al., NeurIPS 2023: Data Selection for Language Models
+    // via Importance Resampling): score every out-of-target document
+    // by how much its hashed n-gram distribution looks like the
+    // target's. Features = unigrams hashed to 16 md5-nibble buckets;
+    // target = the English slice, source = the whole corpus; each
+    // bucket's add-one-smoothed log probability ratio is ln of a
+    // RATIO OF EXACT INTEGER PRODUCTS ((tcnt+1)(S+16)) /
+    // ((scnt+1)(T+16)), rounded to micro-nats — so a document's log
+    // importance weight is a pure INTEGER sum over its token
+    // occurrences, bit-stable at any parallelism. The 16-row ratio
+    // table broadcasts; scoring is one map-side lookup join + one
+    // combine-able groupBy — the cheapest possible 100 TB selection
+    // pass (DSIR's own design point: hashed features exist so that
+    // the scorer never holds a vocabulary). Top-25 by (weight, id).
+    "q179_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val tok = T.spread(T.documents(s, dir))
+        .select($"doc_id", $"lang",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+        .withColumn("bucket",
+          conv(substring(md5($"term"), 1, 1), 16, 10).cast("long"))
+      val totals = tok.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_tot"),
+        count(lit(1)).as("s_tot"))
+      val src = tok.groupBy($"bucket").agg(count(lit(1)).as("scnt"))
+      val tgt = tok.filter($"lang" === "en")
+        .groupBy($"bucket").agg(count(lit(1)).as("tcnt"))
+      val lr = src.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select($"bucket",
+          round(log(((coalesce($"tcnt", lit(0L)) + 1L) * ($"s_tot" + 16L))
+            .cast("double") /
+            (($"scnt" + 1L) * ($"t_tot" + 16L)).cast("double")) * 1e6)
+            .cast("long").as("lr_micro"))
+      tok.filter($"lang" =!= "en")
+        .join(broadcast(lr), Seq("bucket"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lr_micro").as("logw_micro"))
+        .withColumn("logw_nats", round($"logw_micro".cast("double") / 1e6, 6))
+        .orderBy($"logw_micro".desc, $"doc_id").limit(25)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q176_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl,
+        |                 CAST(count(*) AS DOUBLE) AS nd FROM dl),
+        |qterms AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 100 = 0),
+        |sparse AS (
+        |  SELECT q.qid, t.doc_id AS cid,
+        |    CAST(sum(CAST(round(
+        |      ln((s.nd - CAST(f.df AS DOUBLE) + 0.5)/(CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(t.tf AS DOUBLE) * 2.2)
+        |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS s_micro
+        |  FROM tf t JOIN qterms q ON q.term = t.term AND t.doc_id <> q.qid
+        |  JOIN dl d ON d.doc_id = t.doc_id
+        |  JOIN dfreq f ON f.term = t.term CROSS JOIN stats s
+        |  GROUP BY q.qid, t.doc_id),
+        |stop AS (SELECT qid, cid, sparse_rank FROM (
+        |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY s_micro DESC, cid) AS BIGINT) AS sparse_rank
+        |  FROM sparse) r WHERE sparse_rank <= 20),
+        |dense AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |dtop AS (SELECT qid, cid, dense_rank FROM (
+        |  SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, cid) AS BIGINT) AS dense_rank
+        |  FROM dense) r WHERE dense_rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.cid, d.cid) AS cid,
+        |    s.sparse_rank, d.dense_rank,
+        |    COALESCE(1.0/(60.0 + CAST(s.sparse_rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0/(60.0 + CAST(d.dense_rank AS DOUBLE)), 0.0) AS rrf
+        |  FROM stop s FULL OUTER JOIN dtop d ON d.qid = s.qid AND d.cid = s.cid)
+        |SELECT qid, cid, sparse_rank, dense_rank, round(rrf, 6) AS rrf, rank
+        |FROM (
+        |  SELECT fused.*, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, cid) AS BIGINT) AS rank FROM fused) r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q177_rank_eval" ->
+      s"""WITH $rankedSql,
+         |perq AS (
+         |  SELECT qid, qlabel,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_pool,
+         |    CAST(COALESCE(min(CASE WHEN rel AND rank <= 10 THEN rank END), 0)
+         |      AS BIGINT) AS first_rel_rank,
+         |    CAST(COALESCE(sum(CASE WHEN rel AND rank <= 10
+         |      THEN (${sqlList(dcgTermMicro)})[rank] END), 0) AS BIGINT)
+         |      AS dcg_micro
+         |  FROM ranked GROUP BY qid, qlabel),
+         |scored AS (
+         |  SELECT qid, qlabel, n_rel_pool, first_rel_rank, dcg_micro,
+         |    CASE WHEN n_rel_pool = 0 THEN 0
+         |      ELSE (${sqlList(idcgMicro)})[least(n_rel_pool, 10)]
+         |      END AS idcg_micro,
+         |    CASE WHEN first_rel_rank = 0 THEN 0
+         |      ELSE CAST(round(1000000.0 / CAST(first_rel_rank AS DOUBLE))
+         |        AS BIGINT) END AS rr_micro
+         |  FROM perq)
+         |SELECT qid, qlabel, n_rel_pool, first_rel_rank,
+         |  round(CAST(rr_micro AS DOUBLE) / 1000000.0, 6) AS rr,
+         |  dcg_micro, CAST(idcg_micro AS BIGINT) AS idcg_micro,
+         |  CASE WHEN idcg_micro = 0 THEN 0.0
+         |    ELSE round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+         |    END AS ndcg,
+         |  round(CAST(sum(rr_micro) OVER () AS DOUBLE)
+         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0), 6) AS mrr
+         |FROM scored ORDER BY qid""".stripMargin,
+
+    "q178_avg_precision" ->
+      s"""WITH $rankedSql,
+         |cum AS (
+         |  SELECT qid, rel, rank,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY qid
+         |      ORDER BY rank) AS BIGINT) AS cumrel
+         |  FROM ranked WHERE rank <= 50),
+         |terms AS (
+         |  SELECT qid,
+         |    CAST(sum(CAST(round(CAST(cumrel AS DOUBLE) * 1000000.0
+         |      / CAST(rank AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_p_micro,
+         |    CAST(count(*) AS BIGINT) AS n_rel_at_k
+         |  FROM cum WHERE rel GROUP BY qid),
+         |pool AS (
+         |  SELECT qid,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_pool
+         |  FROM ranked GROUP BY qid),
+         |perq AS (
+         |  SELECT p.qid, p.n_rel_pool,
+         |    CAST(COALESCE(t.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+         |    CASE WHEN p.n_rel_pool = 0 THEN 0
+         |      ELSE CAST(round(CAST(COALESCE(t.sum_p_micro, 0) AS DOUBLE)
+         |        / CAST(least(p.n_rel_pool, 50) AS DOUBLE)) AS BIGINT)
+         |      END AS ap_micro
+         |  FROM pool p LEFT JOIN terms t ON t.qid = p.qid)
+         |SELECT qid, n_rel_pool, n_rel_at_k,
+         |  round(CAST(ap_micro AS DOUBLE) / 1000000.0, 6) AS ap,
+         |  round(CAST(sum(ap_micro) OVER () AS DOUBLE)
+         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0), 6) AS map
+         |FROM perq ORDER BY qid""".stripMargin,
+
+    "q179_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |bt AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(term), 1, 1)) AS BIGINT) AS bucket
+        |  FROM tok),
+        |totals AS (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_tot,
+        |    CAST(count(*) AS BIGINT) AS s_tot
+        |  FROM bt),
+        |src AS (SELECT bucket, CAST(count(*) AS BIGINT) AS scnt
+        |        FROM bt GROUP BY bucket),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt
+        |        FROM bt WHERE lang = 'en' GROUP BY bucket),
+        |lr AS (
+        |  SELECT s.bucket,
+        |    CAST(round(ln(
+        |      CAST((COALESCE(t.tcnt, 0) + 1) * (x.s_tot + 16) AS DOUBLE)
+        |      / CAST((s.scnt + 1) * (x.t_tot + 16) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lr_micro
+        |  FROM src s LEFT JOIN tgt t ON t.bucket = s.bucket
+        |  CROSS JOIN totals x)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(l.lr_micro) AS BIGINT) AS logw_micro,
+        |  round(CAST(sum(l.lr_micro) AS DOUBLE) / 1000000.0, 6) AS logw_nats
+        |FROM bt b JOIN lr l ON l.bucket = b.bucket
+        |WHERE b.lang <> 'en'
+        |GROUP BY doc_id, lang
+        |ORDER BY logw_micro DESC, doc_id LIMIT 25""".stripMargin)
+}
