@@ -721,6 +721,53 @@ object Graph {
           .select($"id", $"lab".as("label"), $"community_size")
           .orderBy($"id")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // SEMI-SYNCHRONOUS label propagation over the same graph: each
+    // round updates only one parity class (odd ids, then even, ×2 =
+    // 4 half-rounds), reading the labels the OTHER half just wrote.
+    // This is the standard fix for synchronous LPA's failure mode —
+    // on near-bipartite structure the all-at-once update oscillates
+    // between two colorings and never converges, while alternating
+    // halves give every update a stable frozen neighborhood (the
+    // graph-coloring scheduling of Pregel-style LPA). Still fully
+    // deterministic — same (cnt desc, label) argmax as q171, so the
+    // oracle unrolls the 4 half-rounds exactly; per half-round cost
+    // is HALF the edge join of q171 (only the updating parity's
+    // adjacency rows join), same bucketed-by-node 100 TB posture.
+    "q181_label_prop_semi" -> ((s, dir) => {
+      import s.implicits._
+      val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+      val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+        .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+        .filter($"p" >= 1L && $"p" =!= $"u")
+      val und = rawE.select(least($"u", $"p").as("lo"),
+        greatest($"u", $"p").as("hi")).distinct()
+      val nbr = und.select($"lo".as("id"), $"hi".as("nb"))
+        .union(und.select($"hi".as("id"), $"lo".as("nb"))).persist()
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        var labels = nbr.select($"id").distinct()
+          .select($"id", $"id".as("lab")).localCheckpoint()
+        for (r <- 1 to 4) {
+          val par = r % 2
+          val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"nlab")
+          val upd = nbr.filter($"id" % 2 === par)
+            .join(labels.select($"id".as("nb"), $"lab".as("nlab")), "nb")
+            .groupBy($"id", $"nlab").agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"id", $"nlab".as("lab"))
+          labels = labels.filter($"id" % 2 =!= par).unionByName(upd)
+            .localCheckpoint()
+        }
+        val csize = labels.groupBy($"lab")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(csize, "lab")
+          .select($"id", $"lab".as("label"), $"community_size")
+          .orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** The oracle replays the identical integer iteration as a recursive
@@ -1054,5 +1101,60 @@ object Graph {
         |  FROM l3 GROUP BY lab)
         |SELECT l3.id, l3.lab AS label, cs.community_size
         |FROM l3 JOIN cs ON cs.lab = l3.lab
-        |ORDER BY l3.id""".stripMargin)
+        |ORDER BY l3.id""".stripMargin,
+
+    // The 4 half-rounds unrolled: uK computes the updating parity's
+    // argmax from l(K-1); lK carries the other parity forward.
+    "q181_label_prop_semi" ->
+      """WITH cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |und AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |nbr AS (
+        |  SELECT lo AS id, hi AS nb FROM und
+        |  UNION ALL
+        |  SELECT hi AS id, lo AS nb FROM und),
+        |l0 AS (SELECT DISTINCT id, id AS lab FROM nbr),
+        |u1 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l0 l ON l.id = n.nb
+        |    WHERE n.id % 2 = 1 GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l1 AS (SELECT id, lab FROM l0 WHERE id % 2 = 0
+        |       UNION ALL SELECT id, lab FROM u1),
+        |u2 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l1 l ON l.id = n.nb
+        |    WHERE n.id % 2 = 0 GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l2 AS (SELECT id, lab FROM l1 WHERE id % 2 = 1
+        |       UNION ALL SELECT id, lab FROM u2),
+        |u3 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l2 l ON l.id = n.nb
+        |    WHERE n.id % 2 = 1 GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l3 AS (SELECT id, lab FROM l2 WHERE id % 2 = 0
+        |       UNION ALL SELECT id, lab FROM u3),
+        |u4 AS (
+        |  SELECT id, nlab AS lab FROM (
+        |    SELECT n.id AS id, l.lab AS nlab, count(*) AS cnt
+        |    FROM nbr n JOIN l3 l ON l.id = n.nb
+        |    WHERE n.id % 2 = 0 GROUP BY n.id, l.lab) t
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nlab) = 1),
+        |l4 AS (SELECT id, lab FROM l3 WHERE id % 2 = 1
+        |       UNION ALL SELECT id, lab FROM u4),
+        |cs AS (
+        |  SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+        |  FROM l4 GROUP BY lab)
+        |SELECT l4.id, l4.lab AS label, cs.community_size
+        |FROM l4 JOIN cs ON cs.lab = l4.lab
+        |ORDER BY l4.id""".stripMargin)
 }

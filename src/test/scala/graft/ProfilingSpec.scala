@@ -553,4 +553,115 @@ class ProfilingSpec extends AnyFunSuite {
       assert(math.abs(wmean - mean) > 1e-9) // the tail trim did something
     }
   }
+
+  test("q180 ANOVA terms and eta2 replay from the raw daily series") {
+    import spark.implicits._
+    // the Exact.scaled device rounds; replicate via round on double
+    val exact = graft.engine.Tables.events(spark, dir)
+      .select(($"user_id" % 8L).as("shard"), to_date($"ts").as("d"),
+        round($"value" * 100).cast("long").as("sv"))
+      .groupBy($"shard", $"d").agg(sum($"sv").as("c"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val got = SparkEntry.queries("q180_weekday_seasonal")(spark, dir)
+      .select($"shard", $"weekday0", $"n_days", $"ssb_term_micro", $"eta2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty && exact.nonEmpty)
+    exact.groupBy(_._1).foreach { case (shard, rows) =>
+      val n = rows.length.toLong
+      val s = rows.map(_._3).sum
+      val sstMicro = rows.map { case (_, _, c) =>
+        val e = (c * n - s).toDouble
+        math.round(e * e / (n.toDouble * n.toDouble * 1e4) * 1e6)
+      }.sum
+      val byW = rows.groupBy { case (_, d, _) =>
+        (d.toLocalDate.getDayOfWeek.getValue - 1).toLong // Monday=0
+      }
+      var ssbMicro = 0L
+      byW.foreach { case (w, wrows) =>
+        val nW = wrows.length.toLong
+        val sW = wrows.map(_._3).sum
+        val dd = (sW * n - s * nW).toDouble
+        val term = math.round(
+          dd * dd / (nW.toDouble * n.toDouble * n.toDouble * 1e4) * 1e6)
+        val (gotN, gotTerm, _) = got((shard, w))
+        assert(gotN === nW, s"shard $shard weekday $w n_days")
+        assert(gotTerm === term, s"shard $shard weekday $w ssb term")
+        ssbMicro += term
+      }
+      val expEta = if (sstMicro == 0) 0.0
+        else BigDecimal(ssbMicro.toDouble / sstMicro.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      byW.keys.foreach { w =>
+        assert(math.abs(got((shard, w))._3 - expEta) < 1e-9, s"shard $shard eta2")
+      }
+      assert(expEta >= 0.0 && expEta <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q181 semi-synchronous LPA replays in a JVM half-round simulation") {
+    import spark.implicits._
+    val ids = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey".cast("long")).as[Long].collect()
+    val rawE = ids.flatMap(u => Seq((u, u / 2), (u, u / 3)))
+      .filter { case (u, p) => p >= 1 && p != u }
+    val und = rawE.map { case (u, p) => (math.min(u, p), math.max(u, p)) }.distinct
+    val nbr = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (id, es) => id -> es.map(_._2).toSeq }
+    var labels: Map[Long, Long] = nbr.keys.map(id => id -> id).toMap
+    for (r <- 1 to 4) {
+      val par = r % 2
+      val upd = nbr.collect { case (id, nbs) if id % 2 == par =>
+        val counts = nbs.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        id -> best
+      }
+      labels = labels ++ upd
+    }
+    val got = SparkEntry.queries("q181_label_prop_semi")(spark, dir)
+      .select($"id", $"label", $"community_size")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === labels.size)
+    val sizes = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    got.foreach { case (id, lab, cs) =>
+      assert(lab === labels(id), s"node $id label")
+      assert(cs === sizes(lab), s"node $id community size")
+    }
+  }
+
+  test("semi-sync LPA converges on an even cycle where synchronous oscillates") {
+    // the scheduling rationale, shown on the adversarial structure:
+    // a 2-colorable cycle. Synchronous updates swap the two colorings
+    // forever; alternating halves reach a fixpoint.
+    val n = 8
+    val nbr = (0 until n).map(i => i -> Seq((i + n - 1) % n, (i + 1) % n)).toMap
+    def argmax(nbs: Seq[Int], labels: Map[Int, Int]): Int =
+      nbs.map(labels).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    // start from the 2-coloring — the sync-LPA trap state
+    val init: Map[Int, Int] = (0 until n).map(i => i -> (i % 2)).toMap
+    // synchronous: all nodes update at once → the colorings swap forever
+    var sync = init
+    val states = scala.collection.mutable.ListBuffer[Map[Int, Int]](sync)
+    for (_ <- 1 to 8) {
+      sync = nbr.map { case (id, nbs) => id -> argmax(nbs, sync) }
+      states += sync
+    }
+    assert(states.last != states(states.size - 2), "sync must not settle")
+    assert(states.last == states(states.size - 3), "period-2 oscillation")
+    // semi-synchronous: parity halves alternate → fixpoint
+    var semi = init
+    var prev = semi
+    var semiFix = false
+    for (r <- 1 to 8 if !semiFix) {
+      val par = r % 2
+      semi = semi ++ nbr.collect { case (id, nbs) if id % 2 == par =>
+        id -> argmax(nbs, semi)
+      }
+      if (r >= 2 && semi == prev) semiFix = true
+      prev = semi
+    }
+    assert(semiFix, "semi-synchronous schedule must reach a fixpoint")
+  }
 }
