@@ -560,6 +560,59 @@ object Extended {
           count(when($"t_view" > $"t_signup", true)).as("n_view_after"),
           count(when($"t_purchase" > $"t_view" && $"t_view" > $"t_signup",
             true)).as("n_full_funnel"))
+    }),
+
+    // Correlated scalar subqueries — the SQL surface ORMs and hand
+    // analysts actually write ("each order vs its customer's own
+    // average"). Catalyst decorrelates both subqueries into one
+    // aggregate + join (no per-row re-execution — the plan a naive
+    // engine would loop); determinism via the q169 device: the
+    // above-own-average test is c·n > s over exact integer cents,
+    // no float average ever materializes.
+    "q183_correlated_scalar" -> ((s, dir) => {
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               (SELECT count(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_n,
+               (SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT)
+                FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_cents,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 * (SELECT count(*) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey)
+                 > (SELECT CAST(sum(round(o2.o_totalprice * 100)) AS BIGINT)
+                    FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey) AS above_own_avg
+        FROM orders o
+        WHERE o_custkey < 50
+        ORDER BY o_orderkey""")
+    }),
+
+    // LATERAL correlated subquery join — per-customer top-3 orders
+    // written the way SQL users write it (the DataFrame twin is q14's
+    // window rank; agreement of the two formulations is the point).
+    // Catalyst turns the correlated LIMIT subquery into a partitioned
+    // window under the hood, so the lateral form inherits the same
+    // scalable plan — no per-outer-row re-execution.
+    "q184_lateral_topk" -> ((s, dir) => {
+      T.customer(s, dir).createOrReplaceTempView("customer")
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents, t.rnk
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3) t
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, t.rnk""")
     }))
 
   private def msumIfSql(cond: String, expr: String): String =
@@ -846,5 +899,39 @@ object Extended {
         |  count(CASE WHEN t_view > t_signup THEN 1 END) AS n_view_after,
         |  count(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
         |    AS n_full_funnel
-        |FROM u""".stripMargin)
+        |FROM u""".stripMargin,
+
+    // Same correlated scalar subqueries verbatim — DuckDB decorrelates
+    // them the same way; all compared values are integers/booleans.
+    "q183_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS cust_n,
+        |  (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |     AS BIGINT) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS cust_cents,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey) AS above_own_avg
+        |FROM orders o
+        |WHERE o_custkey < 50
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q184_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents, t.rnk
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3) AS t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, t.rnk""".stripMargin)
 }

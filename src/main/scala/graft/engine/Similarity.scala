@@ -344,6 +344,36 @@ object Similarity {
           when(coalesce($"n_near", lit(0L)) > 0L, 1L).otherwise(0L)
             .as("is_dup"))
         .orderBy($"vec_id")
+    }),
+
+    // SEMANTIC decontamination — the embedding-space complement of
+    // q74's n-gram benchmark decontamination (paraphrased leakage
+    // passes an n-gram probe; it does not pass a cosine one). The
+    // held-out set (every 50th vector, the q177 probe convention)
+    // BROADCASTS; each corpus vector takes its max cosine against the
+    // bench set in one map-side pass — the q60 codegen'd kernel, an
+    // argmax over a bounded broadcast, never a corpus×corpus join.
+    // At 100 TB benchmark sets stay small (thousands of rows), so the
+    // broadcast shape is exactly right; if the bench set itself grew,
+    // the q61/q63 bucketed forms take over. Flag at max_cos ≥ 0.35
+    // with the (cos desc, bench id) argmax recorded for audit.
+    "q182_semantic_decon" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.spread(T.embeddings(s, dir))
+      val bench = T.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("bench_id"), $"embedding".as("be"))
+      val w = Window.partitionBy($"vec_id")
+        .orderBy($"cos_sim".desc, $"bench_id")
+      emb.filter($"vec_id" % 50 =!= 0)
+        .crossJoin(broadcast(bench))
+        .select($"vec_id", $"bench_id",
+          round(cos($"embedding", $"be"), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"bench_id".as("nearest_bench"),
+          $"cos_sim".as("max_cos"), ($"cos_sim" >= 0.35).as("flagged"))
+        .orderBy($"vec_id")
     }))
 
   /** Multi-probe sign-LSH top-k — the recall/cost knob on q61's
@@ -756,7 +786,24 @@ object Similarity {
         |  CAST(CASE WHEN coalesce(n.n_near, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_dup
         |FROM asg LEFT JOIN near n ON n.cl = asg.cl AND n.vec_id = asg.vec_id
-        |ORDER BY asg.vec_id""".stripMargin)
+        |ORDER BY asg.vec_id""".stripMargin,
+
+    "q182_semantic_decon" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bench_id, embedding AS be FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(b.be AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings c CROSS JOIN b
+        |  WHERE c.vec_id % 50 <> 0)
+        |SELECT vec_id, bench_id AS nearest_bench, cos_sim AS max_cos,
+        |  cos_sim >= 0.35 AS flagged
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY cos_sim DESC, bench_id) = 1
+        |ORDER BY vec_id""".stripMargin)
 
   /** Product-quantization ANN with exact re-ranking: split the 64-dim
     * embedding into `m` subspaces, learn a `kSub`-centroid codebook

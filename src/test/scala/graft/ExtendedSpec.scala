@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{round, row_number}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.Extended
 
@@ -87,5 +88,46 @@ class ExtendedSpec extends AnyFunSuite {
         s"$flag: ($p50,$p90,$p99) vs sorted " +
           s"(${disc(vs, 0.5)},${disc(vs, 0.9)},${disc(vs, 0.99)})")
     }
+  }
+
+  test("q183 correlated subqueries agree with a groupBy-join derivation") {
+    import spark.implicits._
+    val got = Extended.queries("q183_correlated_scalar")(spark, dir)
+      .select($"o_orderkey", $"cents", $"cust_n", $"cust_cents",
+        $"above_own_avg")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // the decorrelated formulation, hand-written
+    val orders = graft.engine.Tables.orders(spark, dir)
+      .filter($"o_custkey" < 50)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val byCust = orders.groupBy(_._2)
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val exp = orders.map { case (ok, ck, c) =>
+      val (n, s) = byCust(ck)
+      (ok, c, n, s, c * n > s)
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === exp.toSeq)
+  }
+
+  test("q184 lateral top-3 agrees with the window-rank formulation (q14's shape)") {
+    import spark.implicits._
+    val got = Extended.queries("q184_lateral_topk")(spark, dir)
+      .select($"c_custkey", $"o_orderkey", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val custs = graft.engine.Tables.customer(spark, dir)
+      .filter($"c_custkey" < 100).select($"c_custkey".as("o_custkey"))
+    val exp = graft.engine.Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .join(custs, "o_custkey")
+      .select($"o_custkey", $"o_orderkey", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === exp)
   }
 }

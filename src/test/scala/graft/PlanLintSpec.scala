@@ -64,7 +64,18 @@ class PlanLintSpec extends AnyFunSuite {
     "q166_join_size_cms",
     // q174 crosses the 1-row probe vector and the 1-row N/P totals
     // against the scored stream (the q76/q95 1×N stats shape).
-    "q174_lift_deciles")
+    "q174_lift_deciles",
+    // q176's dense arm and q177/q178's labeled ranking broadcast the
+    // bounded query set against the corpus (the q60 shape); q176's
+    // sparse arm additionally crosses the 1-row corpus stats (the q76
+    // shape).
+    "q176_rrf_fusion", "q177_rank_eval", "q178_avg_precision",
+    // q179 crosses the 1-row corpus token totals (q76 shape); the
+    // 16-row bucket ratio table joins as a plain equi-join.
+    "q179_dsir_weights",
+    // q182 broadcasts the bounded benchmark set against the corpus
+    // scan — the q60/q154 shape (a benchmark is small by nature).
+    "q182_semantic_decon")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
