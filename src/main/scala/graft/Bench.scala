@@ -45,7 +45,8 @@ object Bench {
     "timeseries" -> TimeSeries.queries,
     "graph"      -> Graph.queries,
     "sources"    -> graft.sources.SourceQueries.queries,
-    "profiling"  -> Profiling.queries)
+    "profiling"  -> Profiling.queries,
+    "retrieval"  -> Retrieval.queries)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

