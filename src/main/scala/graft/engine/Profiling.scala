@@ -484,7 +484,67 @@ object Profiling {
           round($"sum_w".cast("double") / $"n_items".cast("double") / 100.0, 6)
             .as("winsorized_mean"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Poisson bootstrap CI for the mean order value — THE bootstrap
+    // that works at 100 TB (Chamandy et al. 2012: resampling-with-
+    // replacement is impossible when no machine holds the data, but
+    // Poisson(1) per-row replicate weights approximate the multinomial
+    // and need only a SINGLE PASS with map-side combine). Each row
+    // derives its 16 replicate weights from md5(key:replicate) mapped
+    // through the Poisson(1) CDF as INTEGER thresholds on the 13-hex-
+    // digit hash domain — the thresholds fold once in Scala
+    // ([[poisson1Thresholds]]) and interpolate into both engines, so
+    // the whole resample is exact integer arithmetic (the q49 keyed-
+    // hash discipline applied to replicate weights). Per replicate:
+    // one weighted count + one weighted cents sum; the 95% CI is a
+    // rank pick over the 16-row replicate frame (2nd smallest / 2nd
+    // largest mean). No shuffle ever carries more than |replicates|
+    // aggregates per partition.
+    "q185_poisson_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val t = poisson1Thresholds
+      val base = T.orders(s, dir).select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val u = conv(substring(md5(concat($"o_orderkey".cast("string"),
+        lit(":bs"), $"b".cast("string"))), 1, 13), 16, 10).cast("long")
+      val weight = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+        .when(u < t(3), 3L).when(u < t(4), 4L).when(u < t(5), 5L)
+        .when(u < t(6), 6L).otherwise(7L)
+      val reps = base
+        .select($"o_orderkey", $"cents",
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("w", weight)
+        .groupBy($"b").agg(sum($"w").as("n_eff"),
+          sum($"w" * $"cents").as("sum_cents"))
+        .withColumn("mean_b", round($"sum_cents".cast("double") /
+          ($"n_eff".cast("double") * 100.0), 6))
+      val point = base.agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+        .select(round($"s".cast("double") /
+          ($"n".cast("double") * 100.0), 6).as("point_mean"))
+      val wAll = Window.partitionBy(lit(1))
+      val wRank = Window.orderBy($"mean_b", $"b")
+      reps.withColumn("rk", row_number().over(wRank))
+        .withColumn("ci_lo", max(when($"rk" === 2, $"mean_b")).over(wAll))
+        .withColumn("ci_hi", max(when($"rk" === 15, $"mean_b")).over(wAll))
+        .crossJoin(broadcast(point))
+        .select($"b".cast("long").as("replicate"), $"n_eff", $"sum_cents",
+          $"mean_b", $"ci_lo", $"ci_hi", $"point_mean")
+        .orderBy($"replicate")
     }))
+
+  /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
+    * (16¹³ = 2⁵²), folded once here and interpolated into BOTH engines
+    * as integer literals: P(W < k) thresholds for k = 1..7, weight 7
+    * is the tail. Pure integer compares at runtime — no libm. */
+  private[graft] val poisson1Thresholds: Seq[Long] = {
+    val m = 4503599627370496L // 16^13
+    var p = 0.0
+    (0 to 6).map { k =>
+      p += math.exp(-1.0) / (1 to k).product
+      math.floor(p * m).toLong
+    }
+  }
 
   val oracle: Map[String, String] = Map(
     // Same two-level rank layout: deduped-score cumulative offsets +
@@ -800,5 +860,50 @@ object Profiling {
         |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS winsorized_mean
         |FROM li JOIN th ON li.l_returnflag = th.l_returnflag
         |GROUP BY li.l_returnflag
-        |ORDER BY li.l_returnflag""".stripMargin)
+        |ORDER BY li.l_returnflag""".stripMargin,
+
+    // Identical integer thresholds (one Scala source), identical hash,
+    // identical rank picks — the whole resample replays exactly.
+    "q185_poisson_bootstrap" -> {
+      val t = poisson1Thresholds
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |reps AS (
+         |  SELECT o_orderkey, cents, CAST(r.range AS BIGINT) AS b,
+         |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':bs'
+         |      || CAST(r.range AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+         |  FROM base, range(0, 16) r),
+         |wts AS (
+         |  SELECT b, cents,
+         |    CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+         |         WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+         |         WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+         |         WHEN u < ${t(6)} THEN 6 ELSE 7 END AS w
+         |  FROM reps),
+         |agg AS (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(w * cents) AS BIGINT) AS sum_cents
+         |  FROM wts GROUP BY b),
+         |m AS (
+         |  SELECT b, n_eff, sum_cents,
+         |    round(CAST(sum_cents AS DOUBLE)
+         |      / (CAST(n_eff AS DOUBLE) * 100.0), 6) AS mean_b
+         |  FROM agg),
+         |rk AS (
+         |  SELECT m.*, row_number() OVER (ORDER BY mean_b, b) AS rk FROM m),
+         |ci AS (
+         |  SELECT max(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+         |    max(CASE WHEN rk = 15 THEN mean_b END) AS ci_hi
+         |  FROM rk),
+         |pt AS (
+         |  SELECT round(CAST(sum(cents) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS point_mean
+         |  FROM base)
+         |SELECT b AS replicate, n_eff, sum_cents, mean_b,
+         |  ci.ci_lo, ci.ci_hi, pt.point_mean
+         |FROM rk CROSS JOIN ci CROSS JOIN pt
+         |ORDER BY replicate""".stripMargin
+    })
 }

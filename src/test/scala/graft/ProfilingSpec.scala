@@ -599,6 +599,45 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 Poisson weights replay via JVM md5; CI brackets the point mean") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q185_poisson_bootstrap")(spark, dir)
+      .select($"replicate", $"n_eff", $"sum_cents", $"mean_b",
+        $"ci_lo", $"ci_hi", $"point_mean")
+      .collect()
+    assert(rows.length === 16)
+    val n = graft.engine.Tables.orders(spark, dir).count()
+    val t = graft.engine.Profiling.poisson1Thresholds
+    // per-replicate effective n concentrates around n: Var(Σw) = n for
+    // Poisson(1), so 6σ bounds are generous and deterministic-safe
+    rows.foreach { r =>
+      val nEff = r.getLong(1)
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 1)
+      assert(r.getDouble(4) <= r.getDouble(5), "ci_lo <= ci_hi")
+      assert(r.getDouble(6) >= r.getDouble(4) - 1e-6 &&
+        r.getDouble(6) <= r.getDouble(5) + 1e-6,
+        "point mean inside the 2nd..15th rank CI")
+    }
+    // replay replicate 3's weights for the first 200 orders in JVM md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(key: Long, b: Long): Long = {
+      val hex = md.digest(s"$key:bs$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val i = t.indexWhere(u < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val sample = graft.engine.Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long")).as[(Long, Long)]
+      .collect()
+    val expN = sample.map { case (k, _) => weight(k, 3) }.sum
+    val expS = sample.map { case (k, c) => weight(k, 3) * c }.sum
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert(r3.getLong(1) === expN)
+    assert(r3.getLong(2) === expS)
+  }
+
   test("q181 semi-synchronous LPA replays in a JVM half-round simulation") {
     import spark.implicits._
     val ids = graft.engine.Tables.customer(spark, dir)
