@@ -730,6 +730,68 @@ object TextOps {
           round($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"), 6)
             .as("mean_logprob"))
         .orderBy($"doc_id")
+    }),
+
+    // BLEU-2 pairwise overlap scoring (Papineni et al. 2002) — the
+    // generation-eval metric, run candidate-vs-reference over adjacent
+    // doc pairs (odd doc scores against its even predecessor; in a
+    // real eval the pairing key is the prompt id). Modified n-gram
+    // precision is a ratio of EXACT INTEGERS (clipped overlap via a
+    // per-gram least() under a left join / total candidate grams);
+    // add-one smoothing keeps zero-overlap pairs finite (smoothing
+    // method 1). Everything stays in log space as micro-nat INTEGERS
+    // — ln of integer ratios, the brevity penalty min(0, 1 − r/c) as
+    // one rounded IEEE term — so the corpus fold is order-free and no
+    // exp() runs at query time. Shapes: two count aggregations + two
+    // gram-keyed equi-joins per n-gram order, grouped per pair —
+    // embarrassingly parallel by pair at any scale.
+    "q186_bleu" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T.spread(T.documents(s, dir))
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      val uni = docs.select($"doc_id", explode($"ws").as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      val bi = docs.filter(size($"ws") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
+          .as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      def overlap(counts: DataFrame): DataFrame = {
+        val cand = counts.filter($"doc_id" % 2 === 1)
+          .select($"doc_id".as("cand_id"), ($"doc_id" - 1L).as("ref_id"),
+            $"g", $"cnt".as("ccnt"))
+        val ref = counts
+          .select($"doc_id".as("ref_id"), $"g", $"cnt".as("rcnt"))
+        cand.join(ref, Seq("ref_id", "g"), "left")
+          .groupBy($"cand_id", $"ref_id")
+          .agg(sum(least($"ccnt", coalesce($"rcnt", lit(0L)))).as("num"),
+            sum($"ccnt").as("den"))
+      }
+      val o1 = overlap(uni).select($"cand_id", $"ref_id",
+        $"num".as("p1_num"), $"den".as("c_len"))
+      val o2 = overlap(bi).select($"cand_id", $"ref_id",
+        $"num".as("p2_num"), $"den".as("p2_den"))
+      val rlen = uni.groupBy($"doc_id").agg(sum($"cnt").as("r_len"))
+        .select($"doc_id".as("ref_id"), $"r_len")
+      o1.join(o2, Seq("cand_id", "ref_id")).join(rlen, "ref_id")
+        .withColumn("lnp1_micro", round(log(
+          ($"p1_num" + 1L).cast("double") / ($"c_len" + 1L).cast("double"))
+          * 1e6).cast("long"))
+        .withColumn("lnp2_micro", round(log(
+          ($"p2_num" + 1L).cast("double") / ($"p2_den" + 1L).cast("double"))
+          * 1e6).cast("long"))
+        .withColumn("bp_micro", when($"c_len" < $"r_len",
+          round((lit(1.0) - $"r_len".cast("double") / $"c_len".cast("double"))
+            * 1e6).cast("long")).otherwise(lit(0L)))
+        .withColumn("logbleu_micro", $"bp_micro" +
+          round(($"lnp1_micro" + $"lnp2_micro").cast("double") / 2.0)
+            .cast("long"))
+        .select($"cand_id", $"ref_id", $"c_len", $"r_len",
+          $"p1_num", $"p2_num", $"p2_den", $"lnp1_micro", $"lnp2_micro",
+          $"bp_micro", $"logbleu_micro",
+          round($"logbleu_micro".cast("double") / 1e6, 6).as("log_bleu2"))
+        .orderBy($"cand_id")
     }))
 
   /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
@@ -1284,6 +1346,63 @@ object TextOps {
          |  string_agg(parts, ' ' ORDER BY ord) AS pieces_str
          |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // Identical clipped-overlap/length integers, identical micro-nat
+    // rounding; bigrams built positionally (the q146 cross-formulation).
+    "q186_bleu" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(a) AS g, generate_subscripts(a, 1) AS pos
+        |  FROM docs),
+        |uni AS (SELECT doc_id, g, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |bit AS (
+        |  SELECT t1.doc_id, t1.g || ' ' || t2.g AS g
+        |  FROM toks t1 JOIN toks t2
+        |    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+        |bi AS (SELECT doc_id, g, count(*) AS cnt FROM bit GROUP BY 1, 2),
+        |o1 AS (
+        |  SELECT c.doc_id AS cand_id, c.doc_id - 1 AS ref_id,
+        |    CAST(sum(least(c.cnt, coalesce(r.cnt, 0))) AS BIGINT) AS p1_num,
+        |    CAST(sum(c.cnt) AS BIGINT) AS c_len
+        |  FROM uni c LEFT JOIN uni r
+        |    ON r.doc_id = c.doc_id - 1 AND r.g = c.g
+        |  WHERE c.doc_id % 2 = 1 GROUP BY 1, 2),
+        |o2 AS (
+        |  SELECT c.doc_id AS cand_id, c.doc_id - 1 AS ref_id,
+        |    CAST(sum(least(c.cnt, coalesce(r.cnt, 0))) AS BIGINT) AS p2_num,
+        |    CAST(sum(c.cnt) AS BIGINT) AS p2_den
+        |  FROM bi c LEFT JOIN bi r
+        |    ON r.doc_id = c.doc_id - 1 AND r.g = c.g
+        |  WHERE c.doc_id % 2 = 1 GROUP BY 1, 2),
+        |rlen AS (
+        |  SELECT doc_id AS ref_id, CAST(sum(cnt) AS BIGINT) AS r_len
+        |  FROM uni GROUP BY 1),
+        |m AS (
+        |  SELECT o1.cand_id, o1.ref_id, o1.c_len, rlen.r_len,
+        |    o1.p1_num, o2.p2_num, o2.p2_den,
+        |    CAST(round(ln(CAST(o1.p1_num + 1 AS DOUBLE)
+        |      / CAST(o1.c_len + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lnp1_micro,
+        |    CAST(round(ln(CAST(o2.p2_num + 1 AS DOUBLE)
+        |      / CAST(o2.p2_den + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lnp2_micro,
+        |    CASE WHEN o1.c_len < rlen.r_len THEN
+        |      CAST(round((1.0 - CAST(rlen.r_len AS DOUBLE)
+        |        / CAST(o1.c_len AS DOUBLE)) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS bp_micro
+        |  FROM o1
+        |  JOIN o2 ON o2.cand_id = o1.cand_id AND o2.ref_id = o1.ref_id
+        |  JOIN rlen ON rlen.ref_id = o1.ref_id)
+        |SELECT cand_id, ref_id, c_len, r_len, p1_num, p2_num, p2_den,
+        |  lnp1_micro, lnp2_micro, bp_micro,
+        |  bp_micro + CAST(round(CAST(lnp1_micro + lnp2_micro AS DOUBLE) / 2.0)
+        |    AS BIGINT) AS logbleu_micro,
+        |  round(CAST(bp_micro + CAST(round(
+        |      CAST(lnp1_micro + lnp2_micro AS DOUBLE) / 2.0) AS BIGINT)
+        |    AS DOUBLE) / 1000000.0, 6) AS log_bleu2
+        |FROM m ORDER BY cand_id""".stripMargin,
 
     "q132_postings" ->
       """WITH tok AS (

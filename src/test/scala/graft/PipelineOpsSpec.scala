@@ -102,4 +102,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect()
     assert(rows.forall { case (d, n, c) => d >= 25 && (c == (n > 0)) })
   }
+
+  test("q186 BLEU clipped precisions and log score replay in JVM counting") {
+    import spark.implicits._
+    val texts = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = TextOps.queries("q186_bleu")(spark, dir)
+      .select($"cand_id", $"c_len", $"r_len", $"p1_num", $"p2_num",
+        $"p2_den", $"logbleu_micro")
+      .collect()
+    assert(got.length === texts.size / 2)
+    def toks(s: String) = s.trim.split("\\s+").toSeq
+    def counts(xs: Seq[String]) =
+      xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got.take(40).foreach { r =>
+      val cand = toks(texts(r.getLong(0)))
+      val ref = toks(texts(r.getLong(0) - 1))
+      assert(r.getLong(1) === cand.size.toLong, "c_len")
+      assert(r.getLong(2) === ref.size.toLong, "r_len")
+      val (cu, ru) = (counts(cand), counts(ref))
+      val p1 = cu.map { case (g, c) => math.min(c, ru.getOrElse(g, 0L)) }.sum
+      assert(r.getLong(3) === p1, "p1_num clipped overlap")
+      val cb = counts(cand.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+      val rb = counts(ref.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+      val p2 = cb.map { case (g, c) => math.min(c, rb.getOrElse(g, 0L)) }.sum
+      assert(r.getLong(4) === p2, "p2_num clipped overlap")
+      assert(r.getLong(5) === cb.values.sum, "p2_den")
+      val lnp1 = math.round(math.log((p1 + 1.0) / (cand.size + 1.0)) * 1e6)
+      val lnp2 = math.round(math.log((p2 + 1.0) / (cb.values.sum + 1.0)) * 1e6)
+      val bp = if (cand.size < ref.size)
+        math.round((1.0 - ref.size.toDouble / cand.size.toDouble) * 1e6)
+      else 0L
+      // Spark/DuckDB round() is half-AWAY-FROM-ZERO; math.round is
+      // half-toward-+inf — they differ on the odd-sum -x.5 halves
+      val exp = bp + BigDecimal((lnp1 + lnp2).toDouble / 2.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getLong(6) === exp, "logbleu_micro")
+      assert(r.getLong(6) <= 0L, "log BLEU is non-positive")
+    }
+  }
 }
