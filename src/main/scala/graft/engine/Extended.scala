@@ -562,6 +562,34 @@ object Extended {
             true)).as("n_full_funnel"))
     }),
 
+    // Time travel / snapshot reconstruction from a CDC change log —
+    // the "AS OF version" read every versioned lake table (Delta/
+    // Iceberg/Hudi) serves, expressed as pure dataflow over the log:
+    // bound the log at the requested version, take the latest-wins row
+    // per key ((version, seq) desc — q71's CDC discipline plus the
+    // version bound), and drop keys whose latest op is a delete. The
+    // synthetic log derives deterministically from orders (version =
+    // key mod 5, tombstones on every 17th seq) so both engines replay
+    // the identical reconstruction. Scale shape: one window per key
+    // partition over the bounded log — snapshot cost ∝ log size, and
+    // at 100 TB the log is partitioned by version so the bound prunes
+    // files before anything is read.
+    "q187_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"key").orderBy($"version".desc, $"seq".desc)
+      T.orders(s, dir).select(
+        ($"o_orderkey" % 5L).as("version"),
+        $"o_orderkey".as("seq"),
+        ($"o_custkey" % 100L).as("key"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderkey" % 17L === 0L).as("is_delete"))
+        .filter($"version" <= 2L)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && !$"is_delete")
+        .select($"key", $"cents", $"version", $"seq")
+        .orderBy($"key")
+    }),
+
     // Correlated scalar subqueries — the SQL surface ORMs and hand
     // analysts actually write ("each order vs its customer's own
     // average"). Catalyst decorrelates both subqueries into one
@@ -900,6 +928,20 @@ object Extended {
         |  count(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
         |    AS n_full_funnel
         |FROM u""".stripMargin,
+
+    "q187_time_travel" ->
+      """WITH log AS (
+        |  SELECT o_orderkey % 5 AS version, o_orderkey AS seq,
+        |    o_custkey % 100 AS key,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 17 = 0 AS is_delete
+        |  FROM orders)
+        |SELECT key, cents, version, seq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY version DESC, seq DESC) AS rn
+        |  FROM log WHERE version <= 2) t
+        |WHERE rn = 1 AND NOT is_delete
+        |ORDER BY key""".stripMargin,
 
     // Same correlated scalar subqueries verbatim — DuckDB decorrelates
     // them the same way; all compared values are integers/booleans.

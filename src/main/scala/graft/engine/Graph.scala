@@ -723,6 +723,47 @@ object Graph {
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
 
+    // Bill-of-materials rollup over the referral tree: each node's
+    // rolled-up cost = own cost + Σ over descendants of (descendant
+    // cost × the PRODUCT of per-edge quantities along the path) — the
+    // parts-explosion aggregate (TPC-style BOM; qty of the edge out of
+    // v is 1 + v mod 3, cost is u mod 100 + 1, both derived so the
+    // oracle replays them). The classic formulation iterates bottom-up
+    // once per tree LEVEL; this one does NO iteration at all: because
+    // the parent function is arithmetic (⌊v/2⌋), every node enumerates
+    // its ≤24 ancestors MAP-SIDE with the cumulative quantity product
+    // built in the same higher-order fold (the q137 bounded-fold
+    // device), and one groupBy sums contributions per ancestor — the
+    // Commission.ancestors closure trick upgraded with multiplicative
+    // path weights. One shuffle total, depth never schedules a round.
+    // Integer envelope: Π qty ≤ 3^24 ≈ 2.8e11, × cost ≤ 100, summed
+    // over |subtree| — inside i64 through sf10 (documented vs the
+    // 6^depth bound).
+    "q188_bom_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = T.customer(s, dir).select($"c_custkey".as("u"))
+        .withColumn("cost", ($"u" % 100L) + 1L)
+      val walks = nodes.select($"cost", explode(expr(
+        """aggregate(
+          |  sequence(1, 24),
+          |  named_struct('v', u, 'p', CAST(1 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<a: BIGINT, p: BIGINT>>)),
+          |  (st, i) -> CASE WHEN st.v <= 1 THEN st ELSE named_struct(
+          |    'v', st.v div 2,
+          |    'p', st.p * (1 + st.v % 3),
+          |    'out', array_append(st.out, named_struct(
+          |      'a', st.v div 2, 'p', st.p * (1 + st.v % 3)))) END,
+          |  st -> st.out)""".stripMargin)).as("w"))
+        .select($"w.a".as("a"), ($"cost" * $"w.p").as("contrib"))
+      val sub = walks.groupBy($"a")
+        .agg(count(lit(1)).as("nd"), sum($"contrib").as("dc"))
+      nodes.join(sub, nodes("u") === sub("a"), "left")
+        .select($"u".as("node"), $"cost".as("own_cost"),
+          coalesce($"nd", lit(0L)).as("n_desc"),
+          ($"cost" + coalesce($"dc", lit(0L))).as("rollup_cost"))
+        .orderBy($"node")
+    }),
+
     // SEMI-SYNCHRONOUS label propagation over the same graph: each
     // round updates only one parity class (odd ids, then even, ×2 =
     // 4 half-rounds), reading the labels the OTHER half just wrote.
@@ -1102,6 +1143,29 @@ object Graph {
         |SELECT l3.id, l3.lab AS label, cs.community_size
         |FROM l3 JOIN cs ON cs.lab = l3.lab
         |ORDER BY l3.id""".stripMargin,
+
+    // The recursive walk IS the ancestor enumeration: each step halves
+    // v and multiplies in that edge's quantity — cross-formulation
+    // proof of the map-side fold.
+    "q188_bom_rollup" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS u FROM customer),
+        |nodes AS (SELECT u, (u % 100) + 1 AS cost FROM cust),
+        |walk AS (
+        |  SELECT u AS d, cost, u AS v, CAST(1 AS BIGINT) AS p,
+        |    0 AS step
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT d, cost, v // 2, p * (1 + v % 3), step + 1
+        |  FROM walk WHERE v > 1),
+        |contrib AS (
+        |  SELECT v AS a, CAST(count(*) AS BIGINT) AS n_desc,
+        |    CAST(sum(cost * p) AS BIGINT) AS desc_cost
+        |  FROM walk WHERE step >= 1 GROUP BY v)
+        |SELECT n.u AS node, CAST(n.cost AS BIGINT) AS own_cost,
+        |  coalesce(c.n_desc, 0) AS n_desc,
+        |  CAST(n.cost + coalesce(c.desc_cost, 0) AS BIGINT) AS rollup_cost
+        |FROM nodes n LEFT JOIN contrib c ON c.a = n.u
+        |ORDER BY node""".stripMargin,
 
     // The 4 half-rounds unrolled: uK computes the updating parity's
     // argmax from l(K-1); lK carries the other parity forward.

@@ -599,6 +599,37 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 BOM rollup replays via bottom-up JVM recursion over children") {
+    import spark.implicits._
+    val ids = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey".cast("long")).as[Long].collect().sorted
+    val children = ids.filter(_ > 1).groupBy(_ / 2)
+    val memo = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    // (n_desc, rollup): child-recursive — the OPPOSITE direction from
+    // the engine's ancestor-enumeration fold
+    def roll(u: Long): (Long, Long) = memo.getOrElseUpdate(u, {
+      val own = (u % 100) + 1
+      val kids = children.getOrElse(u, Array.empty[Long])
+        .filter(k => k != u) // u=1 lists itself as child of 0 only; guard
+      val sub = kids.map { k =>
+        val (nd, rc) = roll(k)
+        val qty = 1 + k % 3
+        (nd + 1, qty * rc)
+      }
+      (sub.map(_._1).sum, own + sub.map(_._2).sum)
+    })
+    val got = SparkEntry.queries("q188_bom_rollup")(spark, dir)
+      .select($"node", $"own_cost", $"n_desc", $"rollup_cost")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === ids.length)
+    got.foreach { case (node, own, nd, rc) =>
+      assert(own === (node % 100) + 1)
+      val (en, er) = roll(node)
+      assert(nd === en, s"node $node n_desc")
+      assert(rc === er, s"node $node rollup")
+    }
+  }
+
   test("q185 Poisson weights replay via JVM md5; CI brackets the point mean") {
     import spark.implicits._
     val rows = SparkEntry.queries("q185_poisson_bootstrap")(spark, dir)
