@@ -792,6 +792,78 @@ object TextOps {
           $"bp_micro", $"logbleu_micro",
           round($"logbleu_micro".cast("double") / 1e6, 6).as("log_bleu2"))
         .orderBy($"cand_id")
+    }),
+
+    // Unigram-LM subword segmentation (Kudo 2018, the SentencePiece
+    // model) — the THIRD tokenizer of the family: q148 trains BPE
+    // merges, q137 segments greedily against a fixed vocab, this one
+    // finds the OPTIMAL (minimum total cost) segmentation by Viterbi
+    // DP under corpus-trained piece costs. Model: every substring of
+    // length ≤ 4 is a piece; cost(piece) = micro-nats of
+    // ln(T / cnt(piece)) with occurrence counts weighted by word
+    // frequency — ints through the ln, the established device. The
+    // DICTIONARY iterates, never the corpus (q148's scale trick): per
+    // distinct word ≤ 80 candidate pieces collect into an array and
+    // one bounded higher-order fold runs the DP — best[e] carries
+    // (cost·32 + (8−len)) so the integer MIN is simultaneously the
+    // Viterbi minimum and a deterministic longest-piece tie-break
+    // (min over a set — collect order cannot matter). A second
+    // bounded fold backtracks the chosen piece lengths. Shapes: two
+    // count aggregations + one piece-keyed equi-join + one per-word
+    // collect — no iteration over positions ever schedules a round.
+    "q189_unigram_viterbi" -> ((s, dir) => {
+      import s.implicits._
+      val words = T.spread(T.documents(s, dir))
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+      // all (word, start, piece) candidates, length ≤ 4
+      val cands = words.select($"w", $"f", explode(expr(
+        """flatten(transform(sequence(1, length(w)),
+          |  s -> transform(sequence(1, least(4, length(w) - s + 1)),
+          |    l -> named_struct('s', s, 'l', l,
+          |      'piece', substring(w, s, l)))))""".stripMargin)).as("c"))
+        .select($"w", $"f", $"c.s".as("s"), $"c.l".as("l"),
+          $"c.piece".as("piece"))
+      val vocab = cands.groupBy($"piece").agg(sum($"f").as("cnt"))
+      val tot = vocab.agg(sum($"cnt").as("t"))
+      val costs = vocab.crossJoin(broadcast(tot))
+        .select($"piece",
+          round(log($"t".cast("double") / $"cnt".cast("double")) * 1e6)
+            .cast("long").as("cost"))
+      val packed = cands.join(costs, "piece")
+        .groupBy($"w", $"f")
+        .agg(collect_list(struct($"s", $"l", $"cost")).as("cands"))
+      // Viterbi forward pass: best(0..n) as encoded ints
+      val withBest = packed.withColumn("best", expr(
+        """aggregate(
+          |  sequence(1, length(w)),
+          |  CAST(array(0) AS ARRAY<BIGINT>),
+          |  (best, e) -> array_append(best,
+          |    aggregate(
+          |      filter(cands, c -> c.s + c.l - 1 = e),
+          |      CAST(4000000000000000 AS BIGINT),
+          |      (m, c) -> least(m,
+          |        (element_at(best, c.s) div 32 + c.cost) * 32
+          |          + (8 - c.l)))))""".stripMargin))
+      withBest
+        .withColumn("pieces", expr(
+          """aggregate(
+            |  sequence(1, length(w)),
+            |  named_struct('e', length(w),
+            |    'parts', CAST(array() AS ARRAY<STRING>)),
+            |  (st, i) -> CASE WHEN st.e <= 0 THEN st ELSE named_struct(
+            |    'e', st.e - (8 - CAST(element_at(best, st.e + 1) % 32 AS INT)),
+            |    'parts', array_prepend(st.parts,
+            |      substring(w,
+            |        st.e - (8 - CAST(element_at(best, st.e + 1) % 32 AS INT)) + 1,
+            |        8 - CAST(element_at(best, st.e + 1) % 32 AS INT)))) END,
+            |  st -> st.parts)""".stripMargin))
+        .select($"w", $"f",
+          expr("CAST(size(pieces) AS BIGINT)").as("n_pieces"),
+          expr("element_at(best, length(w) + 1) div 32").as("cost_micro"),
+          expr("array_join(pieces, ' ')").as("pieces_str"))
+        .orderBy($"w")
     }))
 
   /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
@@ -1346,6 +1418,62 @@ object TextOps {
          |  string_agg(parts, ' ' ORDER BY ord) AS pieces_str
          |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // Same candidate enumeration (s capped at 63 chars — fixture words
+    // are ≤ ~12), same integer-encoded Viterbi min via an identity-
+    // seeded list_reduce whose state is a plain BIGINT LIST (the
+    // documented struct_pack-sequential-evaluation pitfall does not
+    // apply to lists), and a recursive-CTE backtrack per word.
+    "q189_unigram_viterbi" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w),
+        |cands AS (
+        |  SELECT w, f, CAST(s.range AS BIGINT) AS s,
+        |    CAST(l.range AS BIGINT) AS l,
+        |    substr(w, CAST(s.range AS INT), CAST(l.range AS INT)) AS piece
+        |  FROM words, range(1, 64) s, range(1, 5) l
+        |  WHERE CAST(s.range AS BIGINT) <= length(w)
+        |    AND CAST(l.range AS BIGINT)
+        |      <= least(4, length(w) - CAST(s.range AS BIGINT) + 1)),
+        |vocab AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+        |          FROM cands GROUP BY piece),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |costs AS (
+        |  SELECT piece, CAST(round(ln(CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS cost
+        |  FROM vocab CROSS JOIN tot),
+        |packed AS (
+        |  SELECT c.w, c.f,
+        |    list(struct_pack(s := c.s, l := c.l, cost := k.cost)) AS cands
+        |  FROM cands c JOIN costs k USING (piece) GROUP BY c.w, c.f),
+        |dp AS (
+        |  SELECT w, f, list_reduce(
+        |    [[CAST(0 AS BIGINT)]]
+        |      || list_transform(range(1, CAST(length(w) + 1 AS BIGINT)),
+        |           e -> [e]),
+        |    (acc, el) -> list_append(acc, list_min(list_transform(
+        |      list_filter(cands, c -> c.s + c.l - 1 = el[1]),
+        |      c -> (acc[c.s] // 32 + c.cost) * 32 + (8 - c.l))))) AS best
+        |  FROM packed),
+        |seg AS (
+        |  SELECT w, f, best, CAST(length(w) AS BIGINT) AS e,
+        |    CAST('' AS VARCHAR) AS parts, CAST(0 AS BIGINT) AS np
+        |  FROM dp
+        |  UNION ALL
+        |  SELECT w, f, best, e - pl,
+        |    CASE WHEN parts = '' THEN piece ELSE piece || ' ' || parts END,
+        |    np + 1
+        |  FROM (
+        |    SELECT w, f, best, e, parts, np, 8 - best[e + 1] % 32 AS pl,
+        |      substr(w, CAST(e - (8 - best[e + 1] % 32) + 1 AS INT),
+        |        CAST(8 - best[e + 1] % 32 AS INT)) AS piece
+        |    FROM seg WHERE e > 0) x)
+        |SELECT w, f, np AS n_pieces,
+        |  best[length(w) + 1] // 32 AS cost_micro, parts AS pieces_str
+        |FROM seg WHERE e = 0 ORDER BY w""".stripMargin,
 
     // Identical clipped-overlap/length integers, identical micro-nat
     // rounding; bigrams built positionally (the q146 cross-formulation).

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, explode, length, lit, split, trim}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Dedup, TextOps}
 
@@ -101,6 +102,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"doc_id", $"n_overlap", $"contaminated")
       .as[(Long, Long, Boolean)].collect()
     assert(rows.forall { case (d, n, c) => d >= 25 && (c == (n > 0)) })
+  }
+
+  test("q189 Viterbi segmentation is optimal: JVM DP replay, pieces rebuild the word") {
+    import spark.implicits._
+    // rebuild the weighted piece-count model exactly as the query does
+    val words = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; s <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - s))
+      cnt.updateWith(w.substring(s, s + l)) {
+        c => Some(c.getOrElse(0L) + f)
+      }
+    val t = cnt.values.sum
+    def cost(p: String): Long =
+      math.round(math.log(t.toDouble / cnt(p).toDouble) * 1e6)
+    // independent JVM Viterbi (plain arrays, no encoding trick)
+    def viterbi(w: String): Long = {
+      val best = Array.fill(w.length + 1)(Long.MaxValue / 4)
+      best(0) = 0L
+      for (e <- 1 to w.length; l <- 1 to math.min(4, e))
+        best(e) = math.min(best(e), best(e - l) + cost(w.substring(e - l, e)))
+      best(w.length)
+    }
+    val got = graft.engine.TextOps.queries("q189_unigram_viterbi")(spark, dir)
+      .select($"w", $"n_pieces", $"cost_micro", $"pieces_str")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.length === words.length)
+    got.foreach { case (w, np, cm, ps) =>
+      assert(cm === viterbi(w), s"'$w' optimal cost")
+      val pieces = ps.split(" ").toSeq
+      assert(pieces.size.toLong === np)
+      assert(pieces.mkString === w, s"'$w' pieces must rebuild the word")
+      assert(pieces.map(cost).sum === cm,
+        s"'$w' reported pieces must realize the optimal cost")
+    }
   }
 
   test("q186 BLEU clipped precisions and log score replay in JVM counting") {
