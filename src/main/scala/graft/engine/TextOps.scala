@@ -644,6 +644,37 @@ object TextOps {
         .orderBy($"term", $"segment")
     }),
 
+    // INCREMENTAL inverted-index maintenance (the q122/q135/q136
+    // discipline applied to q132's postings layout): the stored index
+    // rows for the old corpus slice (doc_id < 400 — in production the
+    // persisted artifact) are NOT rebuilt when a delta batch arrives;
+    // the delta's postings build from delta docs alone, and because
+    // segments are doc-id ranges the new rows are DISJOINT from the
+    // stored ones — the union is the merge. Only the global df
+    // re-aggregates, and that folds over (term, segment) index rows
+    // (|vocab|·|segments|), never the corpus. Hash-equality with the
+    // full-rebuild oracle proves the maintenance lossless; refresh
+    // cost ∝ delta + index size, the 100 TB requirement.
+    "q190_postings_incremental" -> ((s, dir) => {
+      import s.implicits._
+      def seg(docs: DataFrame): DataFrame = docs
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        .distinct()
+        .withColumn("segment", expr("doc_id DIV 100"))
+        .groupBy($"term", $"segment")
+        .agg(count(lit(1)).as("seg_df"),
+          expr("array_join(transform(array_sort(collect_list(doc_id))," +
+            " x -> CAST(x AS STRING)), ',')").as("postings"))
+      val all = T.spread(T.documents(s, dir))
+      val stored = seg(all.filter($"doc_id" < 400))  // the persisted index
+      val delta = seg(all.filter($"doc_id" >= 400))  // new batch only
+      val merged = stored.unionByName(delta)
+      val dfreq = merged.groupBy($"term").agg(sum($"seg_df").as("df"))
+      merged.join(dfreq.filter($"df" >= 5), Seq("term"))
+        .select($"term", $"segment", $"df", $"seg_df", $"postings")
+        .orderBy($"term", $"segment")
+    }),
+
     // Greedy longest-match SUBWORD TOKENIZATION (the wordpiece
     // segmentation step of a BPE/WordPiece pipeline, with a fixed
     // vocabulary): each whitespace token is consumed left-to-right,
@@ -1531,6 +1562,25 @@ object TextOps {
         |      CAST(lnp1_micro + lnp2_micro AS DOUBLE) / 2.0) AS BIGINT)
         |    AS DOUBLE) / 1000000.0, 6) AS log_bleu2
         |FROM m ORDER BY cand_id""".stripMargin,
+
+    // The oracle is the FULL REBUILD over the whole corpus — hash
+    // equality is the proof that stored-plus-delta maintenance loses
+    // nothing.
+    "q190_postings_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM tok),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+        |seg AS (
+        |  SELECT term, doc_id // 100 AS segment,
+        |    CAST(count(*) AS BIGINT) AS seg_df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM t GROUP BY term, doc_id // 100)
+        |SELECT s.term, s.segment, d.df, s.seg_df, s.postings
+        |FROM seg s JOIN dfreq d ON d.term = s.term
+        |WHERE d.df >= 5
+        |ORDER BY s.term, s.segment""".stripMargin,
 
     "q132_postings" ->
       """WITH tok AS (
