@@ -75,7 +75,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q179_dsir_weights",
     // q182 broadcasts the bounded benchmark set against the corpus
     // scan — the q60/q154 shape (a benchmark is small by nature).
-    "q182_semantic_decon")
+    "q182_semantic_decon",
+    // q185 crosses the 1-row point-estimate aggregate against the
+    // 16-row replicate frame (1×16); q189 crosses the 1-row corpus
+    // token total into the piece-cost table — both the q76/q95
+    // 1-row-stats shape.
+    "q185_poisson_bootstrap", "q189_unigram_viterbi")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
