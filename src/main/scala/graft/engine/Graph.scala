@@ -809,6 +809,45 @@ object Graph {
           .select($"id", $"lab".as("label"), $"community_size")
           .orderBy($"id")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Pointer doubling (path doubling) over the referral tree: every
+    // node finds its ROOT and exact DEPTH in O(log depth) rounds
+    // instead of the one-round-per-level walk of q30's upline join.
+    // State per node: (ancestor reached so far, edges walked); each
+    // round joins the state table WITH ITSELF on anc = id, composing
+    // two jumps into one (1→2→4→8→16→32 edges) — the root's
+    // self-loop fixpoint row (anc = itself, 0 edges) absorbs finished
+    // chains, so 5 rounds close any depth ≤ 32 (sf10's deepest chain
+    // is 21). Node 0 (⌊0/2⌋ = 0) is its own isolated root — the walk
+    // terminates wherever parent(v) = v, not at a hardcoded node.
+    // This is the general-graph device: unlike q188's
+    // map-side ancestor fold it never exploits the parent function's
+    // arithmetic form — the parent table is DATA, touched only by
+    // equi-joins, so the same 5 rounds run when parents come from a
+    // 100 TB edge table bucketed by id (each round co-partitioned,
+    // the Pregel-on-SQL layout). Depth arithmetic is pure integer —
+    // bit-identical at any parallelism. Oracle: recursive CTE walking
+    // the parent chain one edge at a time — the O(depth) formulation
+    // whose agreement proves the doubling composition exact.
+    "q191_pointer_doubling" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+        var st = cust.select($"u".as("id"),
+          when($"u" > 1L, expr("CAST(u div 2 AS BIGINT)")).otherwise($"u").as("anc"),
+          when($"u" > 1L, lit(1L)).otherwise(lit(0L)).as("d"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          val jump = st.select($"id".as("anc"), $"anc".as("anc2"), $"d".as("d2"))
+          st = st.join(jump, "anc")
+            .select($"id", $"anc2".as("anc"), ($"d" + $"d2").as("d"))
+            .localCheckpoint()
+        }
+        st.select($"id", $"anc".as("root"), $"d".as("depth")).orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** The oracle replays the identical integer iteration as a recursive
@@ -817,6 +856,20 @@ object Graph {
     * look up each node's single rank source; node 0 (the root, no
     * incoming edge) joins its own previous row and contributes 0. */
   val oracle: Map[String, String] = Map(
+    // One-edge-at-a-time parent-chain walk; depth = steps until the
+    // root. The O(depth) sequential formulation whose agreement
+    // proves the engine's O(log depth) doubling composition exact.
+    "q191_pointer_doubling" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS u FROM customer),
+        |walk AS (
+        |  SELECT u AS id, u AS cur, CAST(0 AS BIGINT) AS d FROM cust
+        |  UNION ALL
+        |  SELECT id, CAST(floor(cur/2) AS BIGINT), d + 1
+        |  FROM walk WHERE cur > 1)
+        |SELECT id, cur AS root, d AS depth FROM walk
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d DESC) = 1
+        |ORDER BY id""".stripMargin,
+
     // All ≤10-hop walks from node 1 with recursive-UNION dedup;
     // min(dist) per node = BFS layer. Different formulation from the
     // engine's first-touch frontier — agreement proves them equal.

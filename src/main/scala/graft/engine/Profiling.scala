@@ -531,6 +531,133 @@ object Profiling {
         .select($"b".cast("long").as("replicate"), $"n_eff", $"sum_cents",
           $"mean_b", $"ci_lo", $"ci_hi", $"point_mean")
         .orderBy($"replicate")
+    }),
+
+    // Cohen's kappa inter-rater agreement — the label-quality gate of
+    // any human- or model-annotated training corpus ("do two labelers
+    // agree beyond chance"). Raters here are two deterministic
+    // document-quality heuristics (so the oracle replays them): A
+    // buckets by length terciles, B by stopword density (q55's
+    // replace-trick hit counter; the density compare is the integer
+    // cross-multiply sh·1000 vs n·45/n·70 — no division). The whole
+    // statistic is exact integer arithmetic until ONE final IEEE
+    // divide: kappa = (n·agree − Σᵢrᵢcᵢ) / (n² − Σᵢrᵢcᵢ), with the
+    // chance term built by joining the row/column margins on the
+    // rating value — correct even when a diagonal cell is empty.
+    // One combine-able 3×3 cell aggregate over the corpus; margins
+    // and the 1-row stats frames are cell-table folds (the q151/q166
+    // 1-row-stats broadcast shape).
+    "q194_cohens_kappa" -> ((s, dir) => {
+      import s.implicits._
+      val padded = concat(lit(" "), $"text", lit(" "))
+      def hits(wrd: String) =
+        ((length(padded) - length(regexp_replace(padded, s" $wrd ", " "))) /
+          lit(wrd.length + 1)).cast("long")
+      val nChars = length($"text").cast("long")
+      val nTok = size(split(trim($"text"), "\\s+")).cast("long")
+      val sh = hits("the") + hits("a") + hits("of")
+      val raterA = when(nChars < 220L, 0L).when(nChars < 380L, lit(1L))
+        .otherwise(2L)
+      val raterB = when(sh * 1000L < nTok * 45L, 0L)
+        .when(sh * 1000L < nTok * 70L, lit(1L)).otherwise(2L)
+      val cells = T.documents(s, dir)
+        .select(raterA.as("ra"), raterB.as("rb"))
+        .groupBy($"ra", $"rb").agg(count(lit(1)).as("obs"))
+      val rm = cells.groupBy($"ra".as("i")).agg(sum($"obs").as("rt"))
+      val cm = cells.groupBy($"rb".as("i")).agg(sum($"obs").as("ct"))
+      val stats = cells.agg(sum($"obs").as("n"),
+        sum(when($"ra" === $"rb", $"obs").otherwise(0L)).as("agree"))
+      val pe = rm.join(cm, "i")
+        .agg(coalesce(sum($"rt" * $"ct"), lit(0L)).as("pe_num"))
+      cells.crossJoin(broadcast(stats)).crossJoin(broadcast(pe))
+        .select($"ra", $"rb", $"obs", $"n", $"agree", $"pe_num",
+          round(($"n" * $"agree" - $"pe_num").cast("double") /
+            ($"n" * $"n" - $"pe_num").cast("double"), 6).as("kappa"))
+        .orderBy($"ra", $"rb")
+    }),
+
+    // Welch's unequal-variance t-test — the A/B-testing primitive for
+    // CONTINUOUS outcomes (q162's chi-square covers categorical;
+    // Welch is what an experimentation platform runs on revenue).
+    // Groups are the deterministic o_orderkey parity split, so under
+    // the null the t-statistic should sit near 0 — a built-in sanity
+    // anchor. Determinism: per-group (n, Σc, Σc²) are exact integer
+    // moments in ONE map-side conditional aggregation (Σc² as
+    // DECIMAL(38)/HUGEINT — c² ≈ 2.5e15 per row overflows a BIGINT
+    // sum at corpus scale; both engines sum it exactly and convert
+    // the identical integer to double ONCE); every derived quantity
+    // (means, Welch variances, t, Satterthwaite df) is then a fixed
+    // chain of IEEE ops mirrored token-for-token. Scale shape: one
+    // combine-able pass over orders, a 1-row tail — nothing else.
+    "q200_welch_ttest" -> ((s, dir) => {
+      import s.implicits._
+      val base = T.orders(s, dir).select(($"o_orderkey" % 2L).as("g"),
+        round($"o_totalprice" * 100.0).cast("long").as("c"))
+      val agg = base.agg(
+        sum(when($"g" === 0L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 1L, 1L).otherwise(0L)).as("n2"),
+        sum(when($"g" === 0L, $"c").otherwise(0L)).as("s1"),
+        sum(when($"g" === 1L, $"c").otherwise(0L)).as("s2"),
+        sum(when($"g" === 0L, ($"c" * $"c").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1d"),
+        sum(when($"g" === 1L, ($"c" * $"c").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2d"))
+      val n1d = $"n1".cast("double"); val n2d = $"n2".cast("double")
+      val s1d = $"s1".cast("double"); val s2d = $"s2".cast("double")
+      val m1 = s1d / n1d; val m2 = s2d / n2d
+      val v1 = ($"q1d".cast("double") - s1d * s1d / n1d) / (n1d - lit(1.0))
+      val v2 = ($"q2d".cast("double") - s2d * s2d / n2d) / (n2d - lit(1.0))
+      val a1 = v1 / n1d; val a2 = v2 / n2d
+      val se2 = a1 + a2
+      agg.select($"n1", $"n2",
+        round(m1 / 100.0, 6).as("mean1"), round(m2 / 100.0, 6).as("mean2"),
+        round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+        round(se2 * se2 / (a1 * a1 / (n1d - lit(1.0)) +
+          a2 * a2 / (n2d - lit(1.0))), 6).as("df"))
+    }),
+
+    // Population Stability Index — the production data-drift metric
+    // (scorecard monitoring's canonical statistic): compare the
+    // order-value distribution of a reference period (< 1998) against
+    // the current one (≥ 1998) over EXPONENTIAL cents buckets (the
+    // q195 bit-length device — bounded bins at any scale, no
+    // quantile estimation step to disagree about). Laplace-smoothed
+    // counts keep empty bins finite. Determinism: the bin counts are
+    // one conditional combine-able aggregate; each bin's ln ratio is
+    // ln of EXACT INTEGER products rounded to micro-nats (the q175
+    // device); each bin's PSI term is a fixed IEEE chain FLOORED to
+    // micro-units before the total — so the total is an order-free
+    // integer sum and the final PSI one exact divide. PSI > 0.25 is
+    // the conventional "population shifted" alarm.
+    "q202_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).select(
+        (year($"o_orderdate") < 1998).as("is_ref"),
+        expr("CAST(length(bin(CAST(round(o_totalprice * 100.0) AS BIGINT) + 1)) - 1 AS BIGINT)")
+          .as("bin"))
+      val cnt = o.groupBy($"bin").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+      val wAll = Window.partitionBy(lit(1))
+      cnt
+        .withColumn("b_count", count(lit(1)).over(wAll))
+        .withColumn("sr", $"n_ref" + 1L)
+        .withColumn("sc", $"n_cur" + 1L)
+        .withColumn("tr", sum($"n_ref").over(wAll) + $"b_count")
+        .withColumn("tc", sum($"n_cur").over(wAll) + $"b_count")
+        .withColumn("ln_ratio_micro",
+          round(log(($"sr" * $"tc").cast("double") /
+            ($"sc" * $"tr").cast("double")) * 1e6).cast("long"))
+        .withColumn("term_micro", floor(
+          (($"sr".cast("double") / $"tr".cast("double") -
+            $"sc".cast("double") / $"tc".cast("double")) *
+            ($"ln_ratio_micro".cast("double") / lit(1000000.0))) *
+            lit(1000000.0)).cast("long"))
+        .withColumn("psi",
+          sum($"term_micro").over(wAll).cast("double") / lit(1000000.0))
+        .select($"bin", $"n_ref", $"n_cur", $"ln_ratio_micro", $"term_micro",
+          $"psi")
+        .orderBy($"bin")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -547,6 +674,122 @@ object Profiling {
   }
 
   val oracle: Map[String, String] = Map(
+    // Identical rater heuristics (q55's replace-trick hit counts,
+    // integer cross-multiplied density compares) and the identical
+    // margin-join chance term; one final IEEE divide on both engines.
+    "q194_cohens_kappa" ->
+      """WITH d AS (
+        |  SELECT ' ' || text || ' ' AS padded,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (
+        |  SELECT CASE WHEN nc < 220 THEN 0 WHEN nc < 380 THEN 1 ELSE 2 END AS ra,
+        |    CASE WHEN sh * 1000 < nt * 45 THEN 0
+        |         WHEN sh * 1000 < nt * 70 THEN 1 ELSE 2 END AS rb
+        |  FROM (
+        |    SELECT nc, nt,
+        |      CAST((length(padded) - length(regexp_replace(padded, ' the ', ' ', 'g'))) / 4 AS BIGINT)
+        |      + CAST((length(padded) - length(regexp_replace(padded, ' a ', ' ', 'g'))) / 2 AS BIGINT)
+        |      + CAST((length(padded) - length(regexp_replace(padded, ' of ', ' ', 'g'))) / 3 AS BIGINT)
+        |        AS sh
+        |    FROM d) h),
+        |cells AS (
+        |  SELECT CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM r GROUP BY ra, rb),
+        |rm AS (SELECT ra AS i, sum(obs) AS rt FROM cells GROUP BY ra),
+        |cm AS (SELECT rb AS i, sum(obs) AS ct FROM cells GROUP BY rb),
+        |stats AS (
+        |  SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN obs ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells),
+        |pe AS (
+        |  SELECT CAST(coalesce(sum(rm.rt * cm.ct), 0) AS BIGINT) AS pe_num
+        |  FROM rm JOIN cm ON cm.i = rm.i)
+        |SELECT c.ra, c.rb, c.obs, s.n, s.agree, p.pe_num,
+        |  round(CAST(s.n * s.agree - p.pe_num AS DOUBLE) /
+        |        CAST(s.n * s.n - p.pe_num AS DOUBLE), 6) AS kappa
+        |FROM cells c CROSS JOIN stats s CROSS JOIN pe p
+        |ORDER BY c.ra, c.rb""".stripMargin,
+
+    // Identical integer moments (Σc² summed as HUGEINT, converted to
+    // double once — mirroring Spark's DECIMAL(38) sum) and the
+    // identical IEEE tail for means, Welch variances, t, and df.
+    "q200_welch_ttest" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 2 AS g,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+        |  FROM orders),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN g = 0 THEN c * c ELSE 0 END) AS DOUBLE) AS q1,
+        |         CAST(sum(CASE WHEN g = 1 THEN c * c ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM base),
+        |der AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM agg),
+        |fin AS (
+        |  SELECT n1, n2, m1, m2,
+        |    v1 / CAST(n1 AS DOUBLE) AS a1,
+        |    v2 / CAST(n2 AS DOUBLE) AS a2
+        |  FROM der)
+        |SELECT n1, n2,
+        |  round(m1 / 100.0, 6) AS mean1, round(m2 / 100.0, 6) AS mean2,
+        |  round((m1 - m2) / sqrt(a1 + a2), 6) AS t_stat,
+        |  round((a1 + a2) * (a1 + a2) /
+        |    (a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |     + a2 * a2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+        |FROM fin""".stripMargin,
+
+    // Identical bit-length bins (printf('%b') mirrors bin()), Laplace
+    // smoothing, micro-nat ln of exact integer products, floored
+    // micro-unit terms, order-free integer total.
+    "q202_psi_drift" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) < 1998 AS is_ref,
+        |    CAST(length(printf('%b',
+        |      CAST(round(o_totalprice * 100.0) AS BIGINT) + 1)) - 1 AS BIGINT)
+        |      AS bin
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM base GROUP BY bin),
+        |sm AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    n_ref + 1 AS sr, n_cur + 1 AS sc,
+        |    CAST(sum(n_ref) OVER () + count(*) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) OVER () + count(*) OVER () AS BIGINT) AS tc
+        |  FROM cnt),
+        |terms AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(round(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS ln_ratio_micro,
+        |    sr, sc, tr, tc
+        |  FROM sm),
+        |tm AS (
+        |  SELECT bin, n_ref, n_cur, ln_ratio_micro,
+        |    CAST(floor(
+        |      (CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |       - CAST(sc AS DOUBLE) / CAST(tc AS DOUBLE))
+        |      * (CAST(ln_ratio_micro AS DOUBLE) / 1000000.0)
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms)
+        |SELECT bin, n_ref, n_cur, ln_ratio_micro, term_micro,
+        |  CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0 AS psi
+        |FROM tm ORDER BY bin""".stripMargin,
+
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division
     // (both engines floor on the non-negative ranks here).

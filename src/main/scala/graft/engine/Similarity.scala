@@ -379,7 +379,123 @@ object Similarity {
         .select($"vec_id", $"bench_id".as("nearest_bench"),
           $"cos_sim".as("max_cos"), ($"cos_sim" >= 0.35).as("flagged"))
         .orderBy($"vec_id")
+    }),
+
+    // Johnson-Lindenstrauss random projection (64 → 8 dims) with a
+    // measured distortion audit. The projection is a fixed Rademacher
+    // (±1) sign matrix — folded once in Scala ([[jlSign]]) and
+    // interpolated as literal ADD/SUBTRACT chains into BOTH engines,
+    // so there is no runtime RNG and the left-assoc IEEE sum order is
+    // token-identical — making each projected coordinate a pure
+    // MAP-SIDE expression over the corpus scan: the dimensionality
+    // reducer that runs before ANN indexing at 100 TB (8× smaller
+    // vectors ⇒ 8× cheaper distance kernels; recall the same
+    // plan-shape argument as q62's int8 quantization). The audit
+    // computes, per sampled pair, squared distance in original vs
+    // projected space (scaled by d/k via an exact dyadic ×0.125) and
+    // their ratio — the JL lemma's measurable guarantee. The pair set
+    // is CAPPED (vec_id % 25 = 0 AND < 2000 ⇒ ≤80 vectors at any sf,
+    // the q182 bounded-set discipline), so the audit join stays a
+    // constant-size broadcast while the projection itself scales
+    // linearly.
+    "q193_jl_distortion" -> ((s, dir) => {
+      import s.implicits._
+      val base = T.embeddings(s, dir)
+        .filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
+      def projCols(prefix: String): Seq[Column] = (0 until JlK).map { j =>
+        (0 until JlD).map { i =>
+          val e = element_at($"embedding", i + 1).cast("double")
+          if (jlSign(j, i) > 0) e else -e
+        }.reduce(_ + _).as(s"$prefix${j + 1}")
+      }
+      val pa = base.select($"vec_id".as("a") +: $"embedding".as("ea") +:
+        projCols("pa"): _*)
+      val pb = base.select($"vec_id".as("b") +: $"embedding".as("eb") +:
+        projCols("pb"): _*)
+      val d2o = (0 until JlD).map { i =>
+        val d = element_at($"ea", i + 1).cast("double") -
+          element_at($"eb", i + 1).cast("double")
+        d * d
+      }.reduce(_ + _)
+      val d2p = (0 until JlK).map { j =>
+        val d = col(s"pa${j + 1}") - col(s"pb${j + 1}")
+        d * d
+      }.reduce(_ + _)
+      pa.join(broadcast(pb), $"a" < $"b")
+        .select($"a", $"b", round(d2o, 6).as("d2_orig"),
+          round(d2p * lit(0.125), 6).as("d2_proj_scaled"),
+          round(d2p * lit(0.125) / d2o, 6).as("ratio"))
+        .orderBy($"a", $"b")
+    }),
+
+    // Simplified (centroid-based) silhouette score over q144's trained
+    // Lloyd clustering — the clustering-quality metric an embedding
+    // pipeline reports after training: a = squared distance to the
+    // OWN centroid, b = squared distance to the nearest OTHER
+    // centroid, s = (b − a)/max(a, b) ∈ [0, 1] here since a is the
+    // argmin. The centroid-based form is THE scalable silhouette —
+    // the classical all-pairs definition is O(n²) and never runs at
+    // corpus scale; this one is one broadcast-codebook fan-out per
+    // vector (k = 8 rows), exactly the q145 routing pass reused with
+    // a rank ≤ 2 window instead of rank = 1. Determinism: distances
+    // are exact integers in micro-int space, the ratio is ONE IEEE
+    // divide of exact integers, and per-vector s is floored to
+    // integer micro-units BEFORE the per-cluster mean — so the mean
+    // is an order-free integer sum + one divide (no float
+    // accumulation across rows, the q77 discipline).
+    "q196_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val (c2, _) = trainCodebook(s, dir)
+      val cents = c2.groupBy($"cl").agg(
+        expr("transform(sort_array(collect_list(struct(dim, qc))), s -> s.qc)")
+          .as("ca"))
+      val vecs = T.spread(T.embeddings(s, dir)).select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("qa"))
+      val d2 = expr(
+        "aggregate(zip_with(qa, ca, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cl")
+      val ranked = vecs.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cl", d2.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+      val own = ranked.filter($"rn" === 1)
+        .select($"vec_id", $"cl", $"dist".as("d2_own"))
+      val nxt = ranked.filter($"rn" === 2)
+        .select($"vec_id", $"dist".as("d2_next"))
+      own.join(nxt, "vec_id")
+        .withColumn("sil_micro",
+          floor(($"d2_next" - $"d2_own").cast("double") /
+            greatest($"d2_own", $"d2_next").cast("double") * lit(1000000.0))
+            .cast("long"))
+        .withColumn("cluster_mean_sil", round(
+          sum($"sil_micro").over(Window.partitionBy($"cl")).cast("double") /
+            (count(lit(1)).over(Window.partitionBy($"cl")).cast("double") *
+              lit(1000000.0)), 6))
+        .select($"vec_id", $"cl", $"d2_own", $"d2_next", $"sil_micro",
+          $"cluster_mean_sil")
+        .orderBy($"vec_id")
     }))
+
+  /** Fixed Rademacher JL sign matrix cell (k=8 rows × d=64 cols): a
+    * splitmix-style bit scramble of the cell index, folded once here
+    * and interpolated into both engines — no runtime randomness. */
+  private val JlK = 8
+  private val JlD = 64
+  private def jlSign(j: Int, i: Int): Int = {
+    val x = (j * 64 + i + 1).toLong * 0x9E3779B97F4A7C15L
+    val z = x ^ (x >>> 31)
+    if (((z >>> 17) & 1L) == 1L) 1 else -1
+  }
+
+  /** SQL rendering of one projected coordinate — the identical ±term
+    * chain [[jlSign]] drives on the Spark side, same left-assoc order. */
+  private def jlProjSql(alias: String, j: Int): String =
+    (0 until JlD).map { i =>
+      val t = s"CAST($alias.embedding[${i + 1}] AS DOUBLE)"
+      if (i == 0) { if (jlSign(j, i) > 0) t else s"(- $t)" }
+      else if (jlSign(j, i) > 0) s" + $t" else s" - $t"
+    }.mkString
 
   /** Multi-probe sign-LSH top-k — the recall/cost knob on q61's
     * single-bucket search. Candidates come from the query's own sign
@@ -511,6 +627,91 @@ object Similarity {
       expr("transform(q_vec, v -> CAST(CAST(v AS DOUBLE) * q_scale AS FLOAT))"))
 
   val oracle: Map[String, String] = Map(
+    // The identical ±term projection chains (generated from the same
+    // jlSign matrix) and the identical left-assoc distance sums —
+    // token-for-token IEEE mirroring, the q60-family device.
+    "q193_jl_distortion" -> {
+      val proj = (0 until JlK)
+        .map(j => s"${jlProjSql("e", j)} AS p${j + 1}").mkString(",\n    ")
+      val d2o = (0 until JlD).map { i =>
+        val d = s"(CAST(a.embedding[${i + 1}] AS DOUBLE) - CAST(b.embedding[${i + 1}] AS DOUBLE))"
+        s"$d * $d"
+      }.mkString(" + ")
+      val d2p = (0 until JlK).map { j =>
+        val d = s"(a.p${j + 1} - b.p${j + 1})"
+        s"$d * $d"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    $proj
+         |  FROM embeddings e WHERE e.vec_id % 25 = 0 AND e.vec_id < 2000)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round($d2o, 6) AS d2_orig,
+         |  round(($d2p) * 0.125, 6) AS d2_proj_scaled,
+         |  round(($d2p) * 0.125 / ($d2o), 6) AS ratio
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // The q144/q145 Lloyd replay chain (identical micro-int training,
+    // two iterations) through the final distance table, then the
+    // silhouette tail: rank-1 = own cluster, rank-2 = nearest other,
+    // floored micro-ratio, order-free per-cluster integer mean.
+    "q196_silhouette" ->
+      """WITH vq AS (
+        |  SELECT vec_id, CAST(dim1 - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM (
+        |    SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS dim1
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id AS cl, dim, qv AS qc FROM vq WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT vq.vec_id, c0.cl,
+        |    sum((vq.qv - c0.qc) * (vq.qv - c0.qc)) AS dist
+        |  FROM vq JOIN c0 USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c1 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a1 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d2 AS (
+        |  SELECT vq.vec_id, c1.cl,
+        |    sum((vq.qv - c1.qc) * (vq.qv - c1.qc)) AS dist
+        |  FROM vq JOIN c1 USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |c2 AS (
+        |  SELECT cl, dim,
+        |    CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      AS BIGINT) AS qc
+        |  FROM a2 JOIN vq USING (vec_id) GROUP BY cl, dim),
+        |d3 AS (
+        |  SELECT vq.vec_id, c2.cl,
+        |    sum((vq.qv - c2.qc) * (vq.qv - c2.qc)) AS dist
+        |  FROM vq JOIN c2 USING (dim) GROUP BY 1, 2),
+        |own AS (
+        |  SELECT vec_id, cl, dist FROM d3
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |nxt AS (
+        |  SELECT vec_id, dist FROM d3
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 2),
+        |sil AS (
+        |  SELECT o.vec_id, o.cl, o.dist AS d2_own, x.dist AS d2_next,
+        |    CAST(floor(CAST(x.dist - o.dist AS DOUBLE) /
+        |      CAST(greatest(o.dist, x.dist) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS sil_micro
+        |  FROM own o JOIN nxt x USING (vec_id))
+        |SELECT vec_id, cl, d2_own, d2_next, sil_micro,
+        |  round(CAST(sum(sil_micro) OVER (PARTITION BY cl) AS DOUBLE) /
+        |    (CAST(count(*) OVER (PARTITION BY cl) AS DOUBLE) * 1000000.0), 6)
+        |    AS cluster_mean_sil
+        |FROM sil ORDER BY vec_id""".stripMargin,
+
     // Lloyd replay: identical micro-int quantization, integer
     // distances, (dist, cl) argmin tie-break, and floor(Σ/n) centroid
     // update, two iterations as chained CTEs. dim is 0-based on both

@@ -895,6 +895,71 @@ object TextOps {
           expr("element_at(best, length(w) + 1) div 32").as("cost_micro"),
           expr("array_join(pieces, ' ')").as("pieces_str"))
         .orderBy($"w")
+    }),
+
+    // Heaps'-law vocabulary growth curve: distinct-vocabulary size as
+    // a function of cumulative tokens seen, at EXPONENTIAL doc-count
+    // checkpoints (bucket = bit-length of doc_id + 1 — an exact
+    // integer device via bin()/printf('%b') string length, no float
+    // log near power-of-two boundaries). Log-spaced checkpoints are
+    // what a growth curve wants AND what makes it scale: ≤ ~40
+    // buckets at ANY corpus size, so the cumulative window folds
+    // bounded rows — vs linear checkpoints whose window grows with
+    // the corpus. "First doc containing each term" is one combine-able
+    // min per term; per-bucket token mass one combine-able count —
+    // nothing rescans the corpus. The per-checkpoint Heaps exponent
+    // ln(V)/ln(N) is the corpus-health signal (vocabulary saturating
+    // vs exploding — tokenizer drift, boilerplate floods, language
+    // mix shifts all bend it).
+    "q195_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      val bucketOfDoc = expr("CAST(length(bin(doc_id + 1)) - 1 AS BIGINT)")
+      val bucketOfFirst = expr("CAST(length(bin(first_doc + 1)) - 1 AS BIGINT)")
+      val perBucket = toks.groupBy(bucketOfDoc.as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val newTerms = toks.groupBy($"term").agg(min($"doc_id").as("first_doc"))
+        .groupBy(bucketOfFirst.as("bucket"))
+        .agg(count(lit(1)).as("n_new_terms"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket.join(newTerms, Seq("bucket"), "left")
+        .select($"bucket", $"n_tokens",
+          coalesce($"n_new_terms", lit(0L)).as("n_new_terms"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("cum_vocab", sum($"n_new_terms").over(w))
+        .withColumn("heaps_beta",
+          when($"cum_tokens" > 1L,
+            round(log($"cum_vocab".cast("double")) /
+              log($"cum_tokens".cast("double")), 6)))
+        .orderBy($"bucket")
+    }),
+
+    // INCREMENTAL vocabulary-census maintenance (the q122/q156/q190
+    // discipline on the term census q195 consumes): the stored
+    // per-term (first_doc, occurrence) rows for the old corpus slice
+    // are NOT rebuilt when a delta batch arrives — the delta's census
+    // builds from delta docs alone, and because BOTH metrics are
+    // merge-closed (min for first-occurrence, sum for occurrences)
+    // the union + one |vocab|-sized re-aggregation is the whole
+    // refresh: cost ∝ delta + vocabulary, never the corpus. The
+    // oracle is the FULL-REBUILD census, so hash equality proves the
+    // maintenance lossless — exactly the property that lets a 100 TB
+    // corpus keep its vocabulary stats current per ingest batch.
+    "q201_incremental_vocab" -> ((s, dir) => {
+      import s.implicits._
+      def census(docs: DataFrame): DataFrame = docs
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"term")
+        .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("occ"))
+      val all = T.spread(T.documents(s, dir))
+      val stored = census(all.filter($"doc_id" < 400)) // the persisted rows
+      val delta = census(all.filter($"doc_id" >= 400)) // new batch only
+      stored.unionByName(delta)
+        .groupBy($"term")
+        .agg(min($"first_doc").as("first_doc"), sum($"occ").as("occ"))
+        .orderBy($"term")
     }))
 
   /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
@@ -993,6 +1058,49 @@ object TextOps {
       |  WHERE b IS NOT NULL GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Identical bit-length checkpoint buckets (printf('%b') mirrors
+    // bin()), identical combine-able counts, cumulative over the
+    // bounded bucket axis; ln-ratio rounded on both engines.
+    "q195_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |bt AS (
+        |  SELECT CAST(length(printf('%b', doc_id + 1)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY 1),
+        |fd AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+        |nt AS (
+        |  SELECT CAST(length(printf('%b', first_doc + 1)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_new_terms
+        |  FROM fd GROUP BY 1),
+        |cum AS (
+        |  SELECT bt.bucket, bt.n_tokens,
+        |    CAST(coalesce(nt.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+        |    CAST(sum(bt.n_tokens) OVER (ORDER BY bt.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(coalesce(nt.n_new_terms, 0)) OVER (ORDER BY bt.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_vocab
+        |  FROM bt LEFT JOIN nt ON nt.bucket = bt.bucket)
+        |SELECT bucket, n_tokens, n_new_terms, cum_tokens, cum_vocab,
+        |  CASE WHEN cum_tokens > 1 THEN
+        |    round(ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)), 6)
+        |  END AS heaps_beta
+        |FROM cum ORDER BY bucket""".stripMargin,
+
+    // FULL REBUILD census — hash equality with the engine's
+    // stored-plus-delta union proves the incremental maintenance
+    // lossless (min and sum are merge-closed).
+    "q201_incremental_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, min(doc_id) AS first_doc,
+        |  CAST(count(*) AS BIGINT) AS occ
+        |FROM toks GROUP BY term ORDER BY term""".stripMargin,
+
     "q148_bpe_train" -> (bpeOracleCtes +
       """
         |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym,

@@ -404,9 +404,343 @@ object TimeSeries {
             .otherwise(round($"ssb_micro".cast("double") /
               $"sst_micro".cast("double"), 6)).as("eta2"))
         .orderBy($"shard", $"weekday0")
+    }),
+
+    // Sweep-line peak concurrency: the maximum number of shipments
+    // simultaneously in flight per supplier shard (interval = shipdate
+    // → shipdate + a deterministic 1-14-day transit derived from the
+    // keys, so the oracle replays it). The sweep turns each interval
+    // into ±1 boundary DELTAS, aggregates deltas per (shard, day) —
+    // combine-able, one shuffle of |distinct days| rows — and takes a
+    // running sum down the per-shard day axis: the classic O(n log n)
+    // interval-overlap device, vs the quadratic count-per-candidate
+    // join. Day rows are unique per shard after the aggregate, so the
+    // running sum is total-ordered and the (open desc, day) argmax is
+    // bit-stable at any parallelism. At 100 TB the window partitions
+    // by shard (thousands of independent series) and each series is
+    // |days| rows, not |intervals| — never a global sort. Oracle: the
+    // quadratic formulation itself — count intervals covering each
+    // candidate day via a range join — whose agreement proves the
+    // sweep's running sum ≡ the direct overlap count at every
+    // boundary, including the argmax row.
+    "q192_peak_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val iv = T.lineitem(s, dir)
+        .filter($"l_returnflag" === "R" && year($"l_shipdate") === 1996)
+        .select(($"l_suppkey" % 8L).as("shard"),
+          to_date($"l_shipdate").as("start"),
+          expr("date_add(to_date(l_shipdate), CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT))")
+            .as("end"))
+      val deltas = iv.select($"shard", $"start".as("day"), lit(1L).as("delta"))
+        .unionByName(iv.select($"shard", $"end".as("day"), lit(-1L).as("delta")))
+        .groupBy($"shard", $"day").agg(sum($"delta").as("delta"))
+      val wRun = Window.partitionBy($"shard").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy($"shard").orderBy($"open".desc, $"day")
+      deltas.withColumn("open", sum($"delta").over(wRun))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"shard", $"open".as("peak_open"), $"day".as("peak_day"))
+        .orderBy($"shard")
+    }),
+
+    // Inter-arrival time profile: per event type, the distribution of
+    // gaps between a user's consecutive events of that type, bucketed
+    // at EXPONENTIAL (power-of-two second) boundaries — the q195
+    // bit-length device again, so the histogram is ≤ ~40 rows per
+    // type at ANY corpus size and every count is a combine-able
+    // integer. Inter-arrival spectra are the telemetry primitive
+    // behind rate limiting, bot detection, and retention modeling
+    // (human gaps pile up in the minutes-to-hours buckets; scripted
+    // traffic in the sub-second ones). One lag window per (user,
+    // type) series — partitioned by key, never global — then one
+    // bounded aggregate; the per-type mean gap is an exact integer
+    // sum with ONE final IEEE divide.
+    "q197_interarrival" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val gaps = T.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .filter($"prev_us".isNotNull)
+        .withColumn("gap_sec", expr("(us - prev_us) div 1000000"))
+        .withColumn("gap_bucket",
+          expr("CAST(length(bin(gap_sec + 1)) - 1 AS BIGINT)"))
+      gaps.groupBy($"event_type", $"gap_bucket")
+        .agg(count(lit(1)).as("n_gaps"), sum($"gap_sec").as("bucket_gap_sec"))
+        .withColumn("type_gaps",
+          sum($"n_gaps").over(Window.partitionBy($"event_type")))
+        .withColumn("mean_gap_sec", round(
+          sum($"bucket_gap_sec").over(Window.partitionBy($"event_type"))
+            .cast("double") / $"type_gaps".cast("double"), 6))
+        .orderBy($"event_type", $"gap_bucket")
+    }),
+
+    // Batch gap-based sessionization (the 30-minute-inactivity session
+    // definition every web-analytics stack shares; the batch twin of
+    // `Streams.sessionize`'s state machine): a session starts at the
+    // first event or after a > 30 min silence — the classic
+    // gaps-and-islands lag + running-flag-sum, both inside the
+    // per-user window, so a 100 TB run is embarrassingly parallel per
+    // user with ONE shuffle by user_id. Gap compares are integer
+    // MICROsecond arithmetic (unix_micros/epoch_us — both engines
+    // store µs), session revenue is the exact-cents sum, and the
+    // (ts, event_id) ordering is total under duplicate timestamps.
+    "q198_session_windows" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          Exact.scaled($"value", 100).as("cents"))
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_sess").over(wRun))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"), min($"ts").as("t_start"),
+          max($"ts").as("t_end"), sum($"cents").as("sum_cents"))
+        .withColumn("duration_sec",
+          expr("(unix_micros(t_end) - unix_micros(t_start)) div 1000000"))
+        .select($"user_id", $"session_idx", $"n_events", $"t_start",
+          $"t_end", $"duration_sec", $"sum_cents")
+        .orderBy($"user_id", $"session_idx")
+    }),
+
+    // Linear-interpolation gap fill — q94's dense hourly grid with the
+    // between-observations estimate a charting/feature layer actually
+    // wants (forward-fill holds a stale level; lerp follows the
+    // trend). Same per-user grid explode and windows; the
+    // interpolation numerator pv·(nh−h) + nv·(h−ph) is EXACT INTEGER
+    // cents × hour-index arithmetic, floored to micro-dollars by an
+    // INTEGER division (values are non-negative, so div ≡ // — no
+    // round() near a .5 boundary anywhere), so any partitioning and
+    // both engines produce identical bits; the display double is one
+    // exact int→double cast + one IEEE divide. Rows
+    // before the first / after the last observation stay null — a
+    // lerp has no data to anchor there, and surfacing the null is the
+    // correct contract.
+    "q199_linear_interp" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T.events(s, dir).filter($"user_id" < 10)
+      val hourly = ev
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+        .agg(sum(Exact.scaled($"value", 100)).as("v_cents"),
+          count(lit(1)).as("n_events"))
+      val grid = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("h0"),
+          date_trunc("hour", max($"ts")).as("h1"))
+        .select($"user_id",
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wb = Window.partitionBy($"user_id").orderBy($"hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy($"hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("hi", expr("unix_micros(h) div 3600000000"))
+        .withColumn("pv", last($"v_cents", ignoreNulls = true).over(wb))
+        .withColumn("ph",
+          last(when($"v_cents".isNotNull, $"hi"), ignoreNulls = true).over(wb))
+        .withColumn("nv", first($"v_cents", ignoreNulls = true).over(wf))
+        .withColumn("nh",
+          first(when($"v_cents".isNotNull, $"hi"), ignoreNulls = true).over(wf))
+        .withColumn("interp_micro",
+          when($"v_cents".isNotNull, $"v_cents" * 10000L)
+            .otherwise(when($"pv".isNotNull && $"nv".isNotNull, expr(
+              "((pv * (nh - hi) + nv * (hi - ph)) * 10000) div (nh - ph)"))))
+        .withColumn("interp_value",
+          $"interp_micro".cast("double") / lit(1000000.0))
+        .select($"user_id", $"h", coalesce($"n_events", lit(0L)).as("n_events"),
+          $"v_cents", $"interp_micro", $"interp_value")
+        .orderBy($"user_id", $"h")
+    }),
+
+    // Seasonal-naive forecast backtest: predict each day's revenue as
+    // the SAME WEEKDAY one week earlier (the baseline every serious
+    // forecaster must beat — q180 already established the weekday
+    // seasonality this exploits) and score MAE + sMAPE per shard over
+    // the shared daily spine. The forecast "join" is calendar
+    // arithmetic (d−7 equi-join on the spine — no windows, works
+    // across gaps), and both error metrics stay EXACT INTEGERS until
+    // one final divide each: per-day sMAPE is the integer floor-div
+    // (2·|c−f|·1e6) div (c+f) and MAE folds |c−f| cents; means are
+    // integer div to micro-units, display doubles are exact
+    // int→double casts + one divide (no round() anywhere). Scale
+    // shape: the spine is the memoized nightly view; the join and
+    // aggregate are per-shard combine-able.
+    "q203_seasonal_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val spine = dailySpine(s, dir)
+      val fc = spine.select($"shard", date_add($"d", 7).as("d"), $"c".as("f"))
+      spine.join(fc, Seq("shard", "d"))
+        .filter($"c" + $"f" > 0L) // sMAPE undefined at 0/0
+        .withColumn("abs_err", abs($"c" - $"f"))
+        .withColumn("smape_micro", expr("(2 * abs_err * 1000000) div (c + f)"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_eval"), sum($"abs_err").as("sum_abs_err"),
+          sum($"smape_micro").as("sum_smape_micro"))
+        .withColumn("mae_micro", expr("(sum_abs_err * 10000) div n_eval"))
+        .withColumn("smape_mean_micro", expr("sum_smape_micro div n_eval"))
+        .withColumn("mae", $"mae_micro".cast("double") / lit(1000000.0))
+        .withColumn("smape",
+          $"smape_mean_micro".cast("double") / lit(1000000.0))
+        .select($"shard", $"n_eval", $"sum_abs_err", $"mae_micro", $"mae",
+          $"smape_mean_micro", $"smape")
+        .orderBy($"shard")
     }))
 
   val oracle: Map[String, String] = Map(
+    // The quadratic cross-formulation: count intervals covering each
+    // boundary day directly (s <= d < e range join), then the same
+    // (open desc, day) argmax — agreement proves the sweep exact.
+    "q192_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(l_suppkey % 8 AS BIGINT) AS shard,
+        |    CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT) AS e
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996),
+        |days AS (
+        |  SELECT DISTINCT shard, s AS day FROM iv
+        |  UNION SELECT DISTINCT shard, e AS day FROM iv),
+        |cov AS (
+        |  SELECT d.shard, d.day, CAST(count(i.s) AS BIGINT) AS open
+        |  FROM days d LEFT JOIN iv i
+        |    ON i.shard = d.shard AND i.s <= d.day AND d.day < i.e
+        |  GROUP BY d.shard, d.day)
+        |SELECT shard, open AS peak_open, day AS peak_day FROM (
+        |  SELECT shard, day, open,
+        |    row_number() OVER (PARTITION BY shard ORDER BY open DESC, day) AS rn
+        |  FROM cov) t
+        |WHERE rn = 1 ORDER BY shard""".stripMargin,
+
+    // Identical per-(user, type) lag, integer µs → floor-second gaps,
+    // identical bit-length buckets (printf('%b') mirrors bin()).
+    "q197_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000 AS gap_sec
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(length(printf('%b', gap_sec + 1)) - 1 AS BIGINT) AS gap_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_sec) AS BIGINT) AS bucket_gap_sec
+        |  FROM g WHERE gap_sec IS NOT NULL
+        |  GROUP BY event_type, gap_bucket)
+        |SELECT event_type, gap_bucket, n_gaps, bucket_gap_sec,
+        |  CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS type_gaps,
+        |  round(CAST(sum(bucket_gap_sec) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |    AS mean_gap_sec
+        |FROM b ORDER BY event_type, gap_bucket""".stripMargin,
+
+    // Identical lag + running-flag-sum islands, integer µs compares,
+    // exact-cents session revenue.
+    "q198_session_windows" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(round((value)*100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |si AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_idx
+         |  FROM f)
+         |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ts) AS t_start, max(ts) AS t_end,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM si GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Identical grid, windows, and integer lerp numerator; one IEEE
+    // divide per filled row.
+    "q199_linear_interp" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, value FROM events WHERE user_id < 10),
+         |hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS h,
+         |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS v_cents,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(
+         |      date_trunc('hour', min(ts))::TIMESTAMP,
+         |      date_trunc('hour', max(ts))::TIMESTAMP,
+         |      INTERVAL 1 HOUR)) AS h
+         |  FROM ev GROUP BY user_id),
+         |j AS (
+         |  SELECT g.user_id, g.h, hr.v_cents, hr.n_events,
+         |    epoch_us(g.h) // 3600000000 AS hi
+         |  FROM grid g LEFT JOIN hourly hr
+         |    ON hr.user_id = g.user_id AND hr.h = g.h),
+         |w AS (
+         |  SELECT *,
+         |    last_value(v_cents IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN v_cents IS NOT NULL THEN hi END IGNORE NULLS)
+         |      OVER wb AS ph,
+         |    first_value(v_cents IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN v_cents IS NOT NULL THEN hi END IGNORE NULLS)
+         |      OVER wf AS nh
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY hi
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id ORDER BY hi
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, h, coalesce(n_events, 0) AS n_events, v_cents,
+         |  interp_micro,
+         |  CAST(interp_micro AS DOUBLE) / 1000000.0 AS interp_value
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN v_cents IS NOT NULL THEN v_cents * 10000
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |      THEN ((pv * (nh - hi) + nv * (hi - ph)) * 10000) // (nh - ph)
+         |    END AS interp_micro
+         |  FROM w) t
+         |ORDER BY user_id, h""".stripMargin,
+
+    // Identical daily spine, d−7 calendar join, integer error folds,
+    // integer-division means — no float accumulates anywhere.
+    "q203_seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT user_id % 8 AS shard, date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.shard, a.d, a.c, b.c AS f
+        |  FROM daily a JOIN daily b
+        |    ON b.shard = a.shard AND b.d + 7 = a.d
+        |  WHERE a.c + b.c > 0),
+        |e AS (
+        |  SELECT shard, abs(c - f) AS abs_err,
+        |    (2 * abs(c - f) * 1000000) // (c + f) AS smape_micro
+        |  FROM j),
+        |g AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+        |    CAST(sum(smape_micro) AS BIGINT) AS sum_smape_micro
+        |  FROM e GROUP BY shard)
+        |SELECT shard, n_eval, sum_abs_err,
+        |  (sum_abs_err * 10000) // n_eval AS mae_micro,
+        |  CAST((sum_abs_err * 10000) // n_eval AS DOUBLE) / 1000000.0 AS mae,
+        |  sum_smape_micro // n_eval AS smape_mean_micro,
+        |  CAST(sum_smape_micro // n_eval AS DOUBLE) / 1000000.0 AS smape
+        |FROM g ORDER BY shard""".stripMargin,
+
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, value FROM events WHERE user_id < 10),

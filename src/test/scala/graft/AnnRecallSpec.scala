@@ -95,4 +95,63 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh > 2.0 / 16, s"sign-LSH recall $lsh not above random baseline")
     assert(ivf > 2.0 / 16, s"IVF recall $ivf not above random baseline")
   }
+
+  test("JL distortion: one pair replays in the JVM and ratios concentrate near 1") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q193_jl_distortion")(spark, dir)
+      .select($"a", $"b", $"d2_orig", $"d2_proj_scaled", $"ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length === 190) // C(20,2) capped sample at sf0.01
+    // independent JVM replay of the first pair: same fixed sign matrix
+    // (re-derived here from the published formula), same fold order
+    def sign(j: Int, i: Int): Int = {
+      val x = (j * 64 + i + 1).toLong * 0x9E3779B97F4A7C15L
+      val z = x ^ (x >>> 31)
+      if (((z >>> 17) & 1L) == 1L) 1 else -1
+    }
+    val emb = T.embeddings(spark, dir)
+      .filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .toMap
+    val (a0, b0, d2o0, d2p0, _) = rows.minBy(r => (r._1, r._2))
+    val va = emb(a0).map(_.toDouble)
+    val vb = emb(b0).map(_.toDouble)
+    def proj(v: Array[Double], j: Int): Double = {
+      var acc = 0.0
+      for (i <- 0 until 64) acc += (if (sign(j, i) > 0) v(i) else -v(i))
+      acc
+    }
+    var d2o = 0.0
+    for (i <- 0 until 64) { val d = va(i) - vb(i); d2o += d * d }
+    var d2p = 0.0
+    for (j <- 0 until 8) { val d = proj(va, j) - proj(vb, j); d2p += d * d }
+    assert(math.abs(d2o0 - d2o) < 1e-6, "original distance replay")
+    assert(math.abs(d2p0 - d2p * 0.125) < 1e-6, "projected distance replay")
+    // JL concentration: the mean ratio is an unbiased norm estimate —
+    // with k=8 individual pairs scatter, but the average must sit
+    // near 1 and every ratio must be positive and finite
+    val ratios = rows.map(_._5)
+    assert(ratios.forall(r => r > 0.0 && r < 10.0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.5, s"mean distortion $mean far from 1")
+  }
+
+  test("silhouette: own distance minimal, scores in [0,1], cluster mean matches") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q196_silhouette")(spark, dir)
+      .select($"vec_id", $"cl", $"d2_own", $"d2_next", $"sil_micro",
+        $"cluster_mean_sil")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, _, own, next, sil, _) =>
+      assert(own <= next, s"vec $id: own centroid not the argmin")
+      assert(sil >= 0L && sil <= 1000000L, s"vec $id sil $sil out of [0,1]")
+    }
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val mean = members.map(_._5).sum.toDouble / (members.length * 1e6)
+      members.foreach { m =>
+        assert(math.abs(m._6 - mean) < 1e-6, s"cluster $cl mean mismatch")
+      }
+    }
+  }
 }

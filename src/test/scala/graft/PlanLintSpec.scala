@@ -80,7 +80,17 @@ class PlanLintSpec extends AnyFunSuite {
     // 16-row replicate frame (1×16); q189 crosses the 1-row corpus
     // token total into the piece-cost table — both the q76/q95
     // 1-row-stats shape.
-    "q185_poisson_bootstrap", "q189_unigram_viterbi")
+    "q185_poisson_bootstrap", "q189_unigram_viterbi",
+    // q193's distortion AUDIT joins two capped (≤80-row) sampled
+    // projections on a < b — the q60/q182 bounded-set shape; the
+    // projection itself is map-side over the corpus scan.
+    "q193_jl_distortion",
+    // q194 crosses its 1-row (n, agree) and 1-row chance-term
+    // aggregates against the ≤9-row cell table — the q151/q166 shape.
+    "q194_cohens_kappa",
+    // q196 routes vectors over the broadcast k=8 trained codebook —
+    // the q144/q145 bounded-codebook shape.
+    "q196_silhouette")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -734,4 +734,277 @@ class ProfilingSpec extends AnyFunSuite {
     }
     assert(semiFix, "semi-synchronous schedule must reach a fixpoint")
   }
+
+  test("pointer doubling: root is 1 and depth replays the JVM parent walk") {
+    import spark.implicits._
+    val pd = SparkEntry.queries("q191_pointer_doubling")(spark, dir)
+      .select($"id", $"root", $"depth").as[(Long, Long, Long)].collect()
+    assert(pd.length === 1500)
+    pd.foreach { case (id, root, d) =>
+      // node 0 is its own isolated root (⌊0/2⌋ = 0); every other
+      // chain terminates at node 1
+      assert(root === (if (id == 0L) 0L else 1L), s"node $id root $root")
+      var cur = id; var steps = 0L
+      while (cur > 1) { cur = cur / 2; steps += 1 }
+      assert(d === steps, s"node $id depth $d != walk $steps")
+    }
+  }
+
+  test("peak concurrency: sweep equals brute-force overlap count at the peak") {
+    import spark.implicits._
+    val res = SparkEntry.queries("q192_peak_concurrency")(spark, dir)
+      .select($"shard", $"peak_open", $"peak_day".cast("string"))
+      .as[(Long, Long, String)].collect()
+    assert(res.nonEmpty)
+    val iv = graft.engine.Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R" && year($"l_shipdate") === 1996)
+      .select(($"l_suppkey" % 8L).as("sh"),
+        to_date($"l_shipdate").cast("string").as("s"),
+        expr("date_add(to_date(l_shipdate), CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT))")
+          .cast("string").as("e"))
+      .as[(Long, String, String)].collect()
+    val byShard = iv.groupBy(_._1)
+    res.foreach { case (shard, peak, peakDay) =>
+      val ivs = byShard(shard)
+      val days = (ivs.map(_._2) ++ ivs.map(_._3)).distinct
+      // ISO date strings compare lexicographically
+      val best = days.map(d => (ivs.count(i => i._2 <= d && d < i._3), d))
+        .sortBy { case (c, d) => (-c, d) }.head
+      assert(peak === best._1.toLong, s"shard $shard")
+      assert(peakDay === best._2, s"shard $shard argmax day")
+    }
+  }
+
+  test("Cohen's kappa replays from a raw JVM contingency and sits in [-1, 1]") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q194_cohens_kappa")(spark, dir)
+      .select($"ra", $"rb", $"obs", $"n", $"agree", $"pe_num", $"kappa")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select($"text").as[String].collect()
+    def hits(padded: String, w: String): Long =
+      ((padded.length - padded.replace(s" $w ", " ").length) / (w.length + 1)).toLong
+    val pairs = docs.map { text =>
+      val padded = s" $text "
+      val nc = text.length.toLong
+      val nt = text.trim.split("\\s+").length.toLong
+      val sh = hits(padded, "the") + hits(padded, "a") + hits(padded, "of")
+      val ra = if (nc < 220) 0L else if (nc < 380) 1L else 2L
+      val rb = if (sh * 1000 < nt * 45) 0L else if (sh * 1000 < nt * 70) 1L else 2L
+      (ra, rb)
+    }
+    val cells = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (ra, rb, obs, _, _, _, _) =>
+      assert(cells((ra, rb)) === obs, s"cell ($ra,$rb)")
+    }
+    val n = pairs.length.toLong
+    val agree = pairs.count { case (a, b) => a == b }.toLong
+    val rm = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cm = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val peNum = rm.keys.toSeq.intersect(cm.keys.toSeq)
+      .map(i => rm(i) * cm(i)).sum
+    val kappa = (n * agree - peNum).toDouble / (n * n - peNum).toDouble
+    rows.foreach { case (_, _, _, rn, rAgree, rPe, rKappa) =>
+      assert(rn === n && rAgree === agree && rPe === peNum)
+      assert(math.abs(rKappa - kappa) < 1e-6)
+      assert(rKappa >= -1.0 && rKappa <= 1.0)
+    }
+  }
+
+  test("vocabulary growth: cumulative counts replay and the curve is sane") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q195_vocab_growth")(spark, dir)
+      .select($"bucket", $"n_tokens", $"n_new_terms", $"cum_tokens", $"cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cumulative columns really accumulate the per-bucket columns
+    var ct = 0L; var cv = 0L
+    rows.foreach { case (_, nt, nn, cumT, cumV) =>
+      ct += nt; cv += nn
+      assert(cumT === ct && cumV === cv)
+      assert(cumV <= cumT, "vocabulary cannot exceed token mass")
+    }
+    // JVM replay of the first-occurrence census
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def bucket(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      text.trim.split("\\s+").foreach { t =>
+        if (!firstDoc.contains(t) || firstDoc(t) > id) firstDoc(t) = id
+      }
+    }
+    val newPerBucket = firstDoc.values.groupBy(id => bucket(id + 1))
+      .map { case (b, v) => b -> v.size.toLong }
+    rows.foreach { case (b, _, nn, _, _) =>
+      assert(newPerBucket.getOrElse(b, 0L) === nn, s"bucket $b")
+    }
+  }
+
+  test("sessionization replays the JVM gap split and sessions are >30min apart") {
+    import spark.implicits._
+    val sess = SparkEntry.queries("q198_session_windows")(spark, dir)
+      .select($"user_id", $"session_idx", $"n_events", $"duration_sec")
+      .as[(Long, Long, Long, Long)].collect()
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val perUser = sess.groupBy(_._1)
+    perUser.foreach { case (u, ss) =>
+      val times = byUser(u).sortBy(e => (e._2, e._3)).map(_._2)
+      // JVM replay: split at > 30 min gaps
+      var nSess = 1
+      for (i <- 1 until times.length)
+        if (times(i) - times(i - 1) > 1800000000L) nSess += 1
+      assert(ss.length === nSess, s"user $u session count")
+      assert(ss.map(_._3).sum === times.length.toLong, s"user $u event mass")
+      assert(ss.map(_._2).sorted.toSeq === (1L to nSess.toLong), s"user $u idx")
+      ss.foreach(s => assert(s._4 >= 0L))
+    }
+  }
+
+  test("inter-arrival profile: gap mass equals events minus series count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q197_interarrival")(spark, dir)
+      .select($"event_type", $"gap_bucket", $"n_gaps", $"type_gaps")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._3).sum === rs.head._4, s"type $t bucket mass")
+    }
+    // each (user, type) series of n events contributes n-1 gaps
+    val ev = graft.engine.Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .select($"event_type", $"n").as[(String, Long)].collect()
+    val expect = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2 - 1).sum
+    }
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.head._4 === expect(t), s"type $t total gaps")
+    }
+  }
+
+  test("linear interpolation: observed rows exact, filled rows between anchors") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q199_linear_interp")(spark, dir)
+      .select($"user_id", $"n_events", $"v_cents", $"interp_micro")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    var filled = 0
+    rows.foreach { case (u, n, vc, im) =>
+      if (vc.isDefined) {
+        assert(n > 0L)
+        assert(im.contains(vc.get * 10000L), s"user $u observed row")
+      } else assert(n === 0L)
+      if (vc.isEmpty && im.isDefined) filled += 1
+    }
+    assert(filled > 100, "the grid must actually contain filled gaps")
+  }
+
+  test("Welch t-test replays from raw JVM moments; parity split is near-null") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q200_welch_ttest")(spark, dir)
+      .select($"n1", $"n2", $"mean1", $"mean2", $"t_stat", $"df")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val cents = graft.engine.Tables.orders(spark, dir)
+      .select($"o_orderkey", round($"o_totalprice" * 100.0).cast("long"))
+      .as[(Long, Long)].collect()
+    val g0 = cents.filter(_._1 % 2 == 0).map(_._2)
+    val g1 = cents.filter(_._1 % 2 == 1).map(_._2)
+    assert(row._1 === g0.length.toLong && row._2 === g1.length.toLong)
+    def moments(xs: Array[Long]): (Double, Double) = {
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble
+      val q = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val m = s / n
+      (m, (q - s * s / n) / (n - 1.0))
+    }
+    val (m1, v1) = moments(g0); val (m2, v2) = moments(g1)
+    val a1 = v1 / g0.length; val a2 = v2 / g1.length
+    val t = (m1 - m2) / math.sqrt(a1 + a2)
+    val df = (a1 + a2) * (a1 + a2) /
+      (a1 * a1 / (g0.length - 1) + a2 * a2 / (g1.length - 1))
+    assert(math.abs(row._3 - m1 / 100.0) < 1e-4)
+    assert(math.abs(row._4 - m2 / 100.0) < 1e-4)
+    assert(math.abs(row._5 - t) < 1e-4)
+    assert(math.abs(row._6 - df) < 1.0)
+    // random parity split ⇒ no real effect: |t| far below any threshold
+    assert(math.abs(row._5) < 4.0, s"parity split t ${row._5} implausibly large")
+  }
+
+  test("incremental vocab census: both slices contribute and merge is lossless") {
+    import spark.implicits._
+    val merged = SparkEntry.queries("q201_incremental_vocab")(spark, dir)
+      .select($"term", $"first_doc", $"occ")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(merged.nonEmpty)
+    // one-shot census straight off the corpus — the merge must equal it
+    val direct = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"term")
+      .agg(min($"doc_id").as("fd"), count(lit(1)).as("occ"))
+      .select($"term", $"fd", $"occ")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(merged === direct)
+    // the delta slice genuinely carries occurrences (≥ 400 docs exist)
+    assert(graft.engine.Tables.documents(spark, dir)
+      .filter($"doc_id" >= 400).count() > 0L)
+  }
+
+  test("PSI drift replays from raw JVM bin counts and is non-negative") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q202_psi_drift")(spark, dir)
+      .select($"bin", $"n_ref", $"n_cur", $"term_micro", $"psi")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val psi = rows.head._5
+    rows.foreach(r => assert(r._5 === psi, "psi must repeat identically"))
+    assert(math.abs(psi - rows.map(_._4).sum / 1e6) < 1e-9)
+    // JVM replay of the smoothed PSI total
+    val raw = graft.engine.Tables.orders(spark, dir)
+      .select(year($"o_orderdate") < 1998,
+        expr("CAST(length(bin(CAST(round(o_totalprice * 100.0) AS BIGINT) + 1)) - 1 AS BIGINT)"))
+      .as[(Boolean, Long)].collect()
+    val bins = raw.map(_._2).distinct
+    val b = bins.length.toLong
+    val tr = raw.count(_._1).toLong + b
+    val tc = raw.count(!_._1).toLong + b
+    val replay = bins.map { bin =>
+      val sr = raw.count(r => r._1 && r._2 == bin).toLong + 1
+      val sc = raw.count(r => !r._1 && r._2 == bin).toLong + 1
+      val lnMicro = math.round(math.log((sr * tc).toDouble / (sc * tr).toDouble) * 1e6)
+      math.floor((sr.toDouble / tr - sc.toDouble / tc) * (lnMicro / 1e6) * 1e6).toLong
+    }.sum / 1e6
+    assert(math.abs(psi - replay) < 1e-9)
+    assert(psi >= 0.0, "PSI is a sum of same-sign products")
+  }
+
+  test("seasonal backtest replays from the JVM daily series") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q203_seasonal_backtest")(spark, dir)
+      .select($"shard", $"n_eval", $"sum_abs_err", $"smape_mean_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    val daily = graft.engine.Tables.events(spark, dir)
+      .groupBy(($"user_id" % 8L).as("sh"), to_date($"ts").as("d"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("c"))
+      .select($"sh", $"d".cast("string"), $"c")
+      .as[(Long, String, Long)].collect()
+    val byShard = daily.groupBy(_._1)
+    rows.foreach { case (sh, n, sumErr, smapeMean) =>
+      val m = byShard(sh).map(x => x._2 -> x._3).toMap
+      val pairs = m.toSeq.flatMap { case (d, c) =>
+        val prev = java.time.LocalDate.parse(d).minusDays(7).toString
+        m.get(prev).map(f => (c, f))
+      }.filter { case (c, f) => c + f > 0 }
+      assert(n === pairs.length.toLong, s"shard $sh eval count")
+      assert(sumErr === pairs.map { case (c, f) => math.abs(c - f) }.sum)
+      val smapeSum = pairs.map { case (c, f) =>
+        (2 * math.abs(c - f) * 1000000L) / (c + f)
+      }.sum
+      assert(smapeMean === smapeSum / n, s"shard $sh sMAPE")
+    }
+  }
 }
