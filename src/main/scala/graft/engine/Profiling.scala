@@ -658,6 +658,122 @@ object Profiling {
         .select($"bin", $"n_ref", $"n_cur", $"ln_ratio_micro", $"term_micro",
           $"psi")
         .orderBy($"bin")
+    }),
+
+    // Leave-one-out target encoding — the categorical-feature
+    // transform of gradient-boosting pipelines (encode a category by
+    // the target mean of its OTHER members, so a row never leaks its
+    // own label). Per-category (Σ cents, n) is one combine-able
+    // aggregate broadcast back (25 nations), and each row's encoding
+    // (S − x)/(n − 1) is exact integer arithmetic floored to
+    // micro-dollars by integer division — map-side, no round(), no
+    // float accumulation. Output capped to every 100th order; the
+    // encoding itself costs one broadcast join at any corpus size.
+    "q204_target_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val oc = T.orders(s, dir)
+        .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_nationkey".cast("long").as("nation"),
+          round($"o_totalprice" * 100.0).cast("long").as("cents"))
+      val stats = oc.groupBy($"nation")
+        .agg(sum($"cents").as("s"), count(lit(1)).as("n"))
+      oc.filter($"o_orderkey" % 100 === 0)
+        .join(broadcast(stats.filter($"n" > 1L)), "nation")
+        .withColumn("loo_micro", expr("((s - cents) * 10000) div (n - 1)"))
+        .withColumn("loo_mean", $"loo_micro".cast("double") / lit(1000000.0))
+        .select($"o_orderkey", $"nation", $"cents", $"n".as("n_nation"),
+          $"loo_micro", $"loo_mean")
+        .orderBy($"o_orderkey")
+    }),
+
+    // k-anonymity audit — the data-governance gate before a table
+    // leaves the lake: count members per quasi-identifier cell
+    // (nation × market segment × account-balance band) and flag cells
+    // below k = 5 whose rows a release would have to suppress or
+    // generalize. The balance band is an integer floor-division on
+    // SHIFTED cents ((cents + 100000) div 100000 — the shift keeps
+    // the numerator positive, where Spark's truncating div and
+    // DuckDB's flooring // agree). One combine-able aggregate; the
+    // at-risk row mass rides along as a bounded window fold.
+    "q205_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val cells = T.customer(s, dir)
+        .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment",
+          expr("(CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000) div 100000")
+            .as("bal_band"))
+        .groupBy($"nation", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("at_risk", $"n" < 5L)
+        .withColumn("rows_at_risk",
+          sum(when($"n" < 5L, $"n").otherwise(0L)).over(wAll))
+        .withColumn("cells_at_risk",
+          sum(when($"n" < 5L, 1L).otherwise(0L)).over(wAll))
+        .select($"nation", $"c_mktsegment", $"bal_band", $"n", $"at_risk",
+          $"rows_at_risk", $"cells_at_risk")
+        .orderBy($"nation", $"c_mktsegment", $"bal_band")
+    }),
+
+    // Exact latency-style percentiles (P50/P90/P99 of event value per
+    // event type) via the deduped-value rank walk — the q152/q161
+    // two-level device: cumulative counts over DISTINCT cents values
+    // (the bounded money domain), pick the smallest value whose
+    // cumulative count reaches the ceil-div rank. No raw-row sort
+    // anywhere — the window walks |distinct values| rows; for a
+    // continuous 100 TB column the q121 mergeable sketch is the
+    // documented replacement. Display dollars are exact int→double
+    // casts + one divide.
+    "q206_latency_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T.events(s, dir).select($"event_type",
+        Exact.scaled($"value", 100).as("c"))
+      val dv = ev.groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"event_type").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dv.withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          min(when($"cum" >= expr("(n * 50 + 99) div 100"), $"c")).as("p50c"),
+          min(when($"cum" >= expr("(n * 90 + 99) div 100"), $"c")).as("p90c"),
+          min(when($"cum" >= expr("(n * 99 + 99) div 100"), $"c")).as("p99c"))
+        .select($"event_type", $"n", $"p50c", $"p90c", $"p99c",
+          ($"p50c".cast("double") / 100.0).as("p50"),
+          ($"p90c".cast("double") / 100.0).as("p90"),
+          ($"p99c".cast("double") / 100.0).as("p99"))
+        .orderBy($"event_type")
+    }),
+
+    // Wilson score confidence interval for a conversion rate — the
+    // interval an experimentation dashboard should show instead of
+    // the normal approximation (it behaves at small n and extreme p).
+    // Conversion = "user ever purchased", per user-shard: one
+    // distinct-user aggregate (max-flag per user, then count/sum —
+    // both combine-able), then a FIXED IEEE chain per shard (z =
+    // 1.96, z² = 3.8416 as shared literals) FLOORED to micro-units —
+    // no round() near .5, displays derived from the integers.
+    "q207_wilson_ci" -> ((s, dir) => {
+      import s.implicits._
+      val u = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"), $"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val g = u.groupBy($"shard").agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+      val nd = $"n".cast("double"); val kd = $"k".cast("double")
+      val p = kd / nd
+      val denom = lit(1.0) + lit(3.8416) / nd
+      val center = (p + lit(3.8416) / (nd * lit(2.0))) / denom
+      val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nd +
+        lit(3.8416) / (nd * nd * lit(4.0))) / denom
+      g.select($"shard", $"n", $"k",
+        floor(p * lit(1000000.0)).cast("long").as("p_micro"),
+        floor((center - half) * lit(1000000.0)).cast("long").as("lo_micro"),
+        floor((center + half) * lit(1000000.0)).cast("long").as("hi_micro"))
+        .withColumn("p_hat", $"p_micro".cast("double") / lit(1000000.0))
+        .withColumn("ci_lo", $"lo_micro".cast("double") / lit(1000000.0))
+        .withColumn("ci_hi", $"hi_micro".cast("double") / lit(1000000.0))
+        .orderBy($"shard")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -789,6 +905,103 @@ object Profiling {
         |SELECT bin, n_ref, n_cur, ln_ratio_micro, term_micro,
         |  CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000.0 AS psi
         |FROM tm ORDER BY bin""".stripMargin,
+
+    // Identical per-category moments and the identical (S − x)/(n − 1)
+    // integer floor division to micro-dollars.
+    "q204_target_encoding" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |stats AS (
+        |  SELECT nation, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM oc GROUP BY nation)
+        |SELECT o_orderkey, oc.nation, cents, n AS n_nation,
+        |  ((s - cents) * 10000) // (n - 1) AS loo_micro,
+        |  CAST(((s - cents) * 10000) // (n - 1) AS DOUBLE) / 1000000.0
+        |    AS loo_mean
+        |FROM oc JOIN stats ON stats.nation = oc.nation
+        |WHERE o_orderkey % 100 = 0 AND n > 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Identical quasi-identifier cells (shifted positive cents keep
+    // div ≡ //), identical k = 5 gate and bounded window folds.
+    "q205_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000) // 100000
+        |      AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, c_mktsegment, bal_band, n, n < 5 AS at_risk,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER () AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) OVER () AS BIGINT)
+        |    AS cells_at_risk
+        |FROM cells ORDER BY nation, c_mktsegment, bal_band""".stripMargin,
+
+    // Identical deduped-value cumulative walk and ceil-div rank picks.
+    "q206_latency_percentiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round((value)*100) AS BIGINT) AS c
+        |  FROM events),
+        |dv AS (
+        |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY event_type, c),
+        |cum AS (
+        |  SELECT event_type, c, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM dv)
+        |SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN c END) AS p50c,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN c END) AS p90c,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN c END) AS p99c,
+        |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN c END) AS DOUBLE)
+        |    / 100.0 AS p50,
+        |  CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN c END) AS DOUBLE)
+        |    / 100.0 AS p90,
+        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN c END) AS DOUBLE)
+        |    / 100.0 AS p99
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Identical distinct-user conversion flags and the identical
+    // Wilson IEEE chain floored to micro-units.
+    "q207_wilson_ci" ->
+      """WITH u AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS k
+        |  FROM u GROUP BY shard),
+        |d AS (
+        |  SELECT shard, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    1.0 + 3.8416 / CAST(n AS DOUBLE) AS denom
+        |  FROM g),
+        |c AS (
+        |  SELECT shard, n, k, p,
+        |    (p + 3.8416 / (CAST(n AS DOUBLE) * 2.0)) / denom AS center,
+        |    1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |      + 3.8416 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) / denom
+        |      AS half
+        |  FROM d)
+        |SELECT shard, n, k,
+        |  CAST(floor(p * 1000000.0) AS BIGINT) AS p_micro,
+        |  CAST(floor((center - half) * 1000000.0) AS BIGINT) AS lo_micro,
+        |  CAST(floor((center + half) * 1000000.0) AS BIGINT) AS hi_micro,
+        |  CAST(CAST(floor(p * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS p_hat,
+        |  CAST(CAST(floor((center - half) * 1000000.0) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS ci_lo,
+        |  CAST(CAST(floor((center + half) * 1000000.0) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS ci_hi
+        |FROM c ORDER BY shard""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

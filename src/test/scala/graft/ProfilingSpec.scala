@@ -1007,4 +1007,81 @@ class ProfilingSpec extends AnyFunSuite {
       assert(smapeMean === smapeSum / n, s"shard $sh sMAPE")
     }
   }
+
+  test("target encoding: LOO mean replays and excludes the row itself") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q204_target_encoding")(spark, dir)
+      .select($"o_orderkey", $"nation", $"cents", $"n_nation", $"loo_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val oc = graft.engine.Tables.orders(spark, dir)
+      .join(graft.engine.Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long"),
+        round($"o_totalprice" * 100.0).cast("long"))
+      .as[(Long, Long)].collect()
+    val byNation = oc.groupBy(_._1)
+    rows.foreach { case (ok, nat, cents, n, loo) =>
+      val xs = byNation(nat).map(_._2)
+      assert(n === xs.length.toLong, s"order $ok nation size")
+      val expect = ((xs.sum - cents) * 10000L) / (n - 1)
+      assert(loo === expect, s"order $ok LOO")
+    }
+  }
+
+  test("k-anonymity: cell mass covers the table and risk flags replay") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q205_k_anonymity")(spark, dir)
+      .select($"n", $"at_risk", $"rows_at_risk", $"cells_at_risk")
+      .as[(Long, Boolean, Long, Long)].collect()
+    assert(rows.map(_._1).sum ===
+      graft.engine.Tables.customer(spark, dir).count())
+    rows.foreach { case (n, risk, _, _) => assert(risk === (n < 5L)) }
+    val expectedRows = rows.filter(_._1 < 5L).map(_._1).sum
+    val expectedCells = rows.count(_._1 < 5L).toLong
+    rows.foreach { case (_, _, rar, car) =>
+      assert(rar === expectedRows && car === expectedCells)
+    }
+    assert(expectedCells > 0L, "the QI grid must expose some small cells")
+  }
+
+  test("latency percentiles are ordered and replay a JVM sorted pick") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q206_latency_percentiles")(spark, dir)
+      .select($"event_type", $"n", $"p50c", $"p90c", $"p99c")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length === 5)
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 100.0).cast("long"))
+      .as[(String, Long)].collect()
+    val byType = ev.groupBy(_._1)
+    rows.foreach { case (t, n, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"type $t ordering")
+      val xs = byType(t).map(_._2).sorted
+      assert(n === xs.length.toLong)
+      def pick(p: Int): Long = xs(((n * p + 99) / 100 - 1).toInt)
+      assert(p50 === pick(50) && p90 === pick(90) && p99 === pick(99),
+        s"type $t rank picks")
+    }
+  }
+
+  test("Wilson interval brackets the point estimate and replays in the JVM") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q207_wilson_ci")(spark, dir)
+      .select($"shard", $"n", $"k", $"p_micro", $"lo_micro", $"hi_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    rows.foreach { case (sh, n, k, pm, lo, hi) =>
+      assert(k >= 0L && k <= n)
+      assert(lo <= pm && pm <= hi, s"shard $sh bracket")
+      assert(lo >= -1L && hi <= 1000000L, s"shard $sh bounds")
+      val p = k.toDouble / n
+      val denom = 1.0 + 3.8416 / n
+      val center = (p + 3.8416 / (n * 2.0)) / denom
+      val half = 1.96 * math.sqrt(p * (1.0 - p) / n +
+        3.8416 / (n.toDouble * n * 4.0)) / denom
+      assert(math.abs(lo - math.floor((center - half) * 1e6)) <= 1.0)
+      assert(math.abs(hi - math.floor((center + half) * 1e6)) <= 1.0)
+    }
+  }
 }
