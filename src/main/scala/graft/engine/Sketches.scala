@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import graft.engine.{Tables => T}
 
 /** Sketch-based approximate analytics: KMV distinct-count, count-min
@@ -734,9 +734,87 @@ object Sketches {
           round($"mn" + ($"bucket" + 1L).cast("double") * (($"mx" - $"mn") / 20.0), 6).as("hi"),
           $"cnt")
         .orderBy($"bucket")
+    }),
+
+    // Rolling-window distinct users (trailing 7 days, per day) via
+    // MERGED HLL register arrays — THE sliding-cardinality shape at
+    // 100 TB: an exact rolling distinct needs the raw user set per
+    // window (a 7-day self-join per day), while the sketch needs one
+    // 64-int register row per day and a pointwise-max fold over ≤7
+    // stored rows per output — the q128 sketch-store rollup bent
+    // around a time axis. The register build is one combine-able pass
+    // (day_distinct rides along as the exactness anchor); the window
+    // merge is a bounded higher-order fold over the collected
+    // day-arrays. The day axis is ~365 rows/year at ANY corpus size,
+    // so the global day window is bounded by calendar, not data.
+    // Oracle: per-day registers replayed from md5 nibbles in SQL (the
+    // q125 device), the 7-day merge as a BETWEEN-join max — bit
+    // equality proves merge-of-maxima ≡ max-over-union.
+    "q208_rolling_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val regs = udaf(new HllRegs)
+      val perDay = T.events(s, dir)
+        .groupBy(to_date($"ts").as("d"))
+        .agg(regs(md5($"user_id".cast("string"))).as("regs"),
+          countDistinct($"user_id").as("day_distinct"))
+      // CALENDAR window, not row window: a RANGE frame over the
+      // integer day index keeps the trailing-7-days semantics even
+      // when the day axis has gaps (a 7-ROW frame would silently
+      // stretch across them — and disagree with the oracle's BETWEEN)
+      val w = Window.orderBy($"di").rangeBetween(-6, Window.currentRow)
+      perDay
+        .withColumn("di", datediff($"d", lit("1970-01-01").cast("date")))
+        .withColumn("win_regs", collect_list($"regs").over(w))
+        .withColumn("merged", expr(
+          """aggregate(win_regs,
+            |  transform(sequence(1, 64), x -> 0),
+            |  (acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))"""
+            .stripMargin))
+        .withColumn("zero_regs",
+          expr("CAST(size(filter(merged, x -> x = 0)) AS BIGINT)"))
+        .withColumn("sum_scaled", expr(
+          "aggregate(merged, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - x))"))
+        .withColumn("est_users",
+          lit(HllEstNumerator) / $"sum_scaled".cast("double"))
+        .select($"d", $"day_distinct", $"zero_regs", $"sum_scaled",
+          $"est_users")
+        .orderBy($"d")
     }))
 
   val oracle: Map[String, String] = Map(
+    // Per-day registers from the same md5 nibbles, 7-day merge as a
+    // BETWEEN-join max — merge-of-maxima ≡ max-over-union, bit-equal.
+    "q208_rolling_distinct" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT date_trunc('day', ts)::DATE AS d,
+         |    CAST(user_id AS VARCHAR) AS us
+         |  FROM events),
+         |b AS (
+         |  SELECT d, CAST(('0x' || substr(md5(us), 1, 2)) AS BIGINT) % 64 AS j,
+         |    CAST(('0x' || substr(md5(us), 3, 13)) AS BIGINT) AS v
+         |  FROM u),
+         |reg AS (
+         |  SELECT d, j,
+         |    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS r
+         |  FROM b GROUP BY d, j),
+         |days AS (SELECT DISTINCT d FROM u),
+         |win AS (
+         |  SELECT dy.d, r.j, max(r.r) AS r
+         |  FROM days dy JOIN reg r ON r.d BETWEEN dy.d - 6 AND dy.d
+         |  GROUP BY dy.d, r.j),
+         |st AS (
+         |  SELECT d, CAST(64 - count(*) AS BIGINT) AS zero_regs,
+         |    CAST(sum(1::BIGINT << (53 - r))
+         |         + (64 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS sum_scaled
+         |  FROM win GROUP BY d),
+         |td AS (
+         |  SELECT date_trunc('day', ts)::DATE AS d,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS day_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT td.d, td.day_distinct, st.zero_regs, st.sum_scaled,
+         |  ${HllEstNumerator} / CAST(st.sum_scaled AS DOUBLE) AS est_users
+         |FROM td JOIN st USING (d) ORDER BY d""".stripMargin,
+
     "q166_join_size_cms" ->
       """WITH ls AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)

@@ -960,6 +960,41 @@ object TextOps {
         .groupBy($"term")
         .agg(min($"first_doc").as("first_doc"), sum($"occ").as("occ"))
         .orderBy($"term")
+    }),
+
+    // Zipf rank-frequency slope: fit ln(freq) ~ ln(rank) by OLS over
+    // the vocabulary — the q172 integer-moment device applied to the
+    // q195/q201 census. A healthy natural-language corpus slopes near
+    // −1; boilerplate floods and dedup failures flatten it, tokenizer
+    // drift steepens it — this is the one-number corpus-shape alarm
+    // beside q195's growth curve. Determinism: ln(rank) and ln(freq)
+    // are micro-nat INTEGERS (ln of exact integers, the q175 device);
+    // the five OLS moments are exact integer sums (Σxy/Σx² as
+    // DECIMAL(38)/HUGEINT — vocab-sized, converts to double once);
+    // slope/intercept are a fixed IEEE tail. The rank window walks
+    // |vocab| rows — dictionary-sized, never the corpus.
+    "q210_zipf_slope" -> ((s, dir) => {
+      import s.implicits._
+      val tf = T.spread(T.documents(s, dir))
+        .select(explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy($"freq".desc, $"term")
+      val xy = tf.withColumn("rank", row_number().over(w).cast("long"))
+        .select(
+          round(log($"rank".cast("double")) * 1e6).cast("long").as("x"),
+          round(log($"freq".cast("double")) * 1e6).cast("long").as("y"))
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"))
+      val nd = $"n".cast("double")
+      val sxd = $"sx".cast("double"); val syd = $"sy".cast("double")
+      val slope = (nd * $"sxy".cast("double") - sxd * syd) /
+        (nd * $"sxx".cast("double") - sxd * sxd)
+      val intercept = (syd - slope * sxd) / nd
+      m.select($"n".as("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round(intercept / lit(1000000.0), 6).as("ln_c"))
     }))
 
   /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
@@ -1100,6 +1135,40 @@ object TextOps {
         |SELECT term, min(doc_id) AS first_doc,
         |  CAST(count(*) AS BIGINT) AS occ
         |FROM toks GROUP BY term ORDER BY term""".stripMargin,
+
+    // Identical micro-nat coordinates, exact integer moments (HUGEINT
+    // sums → one double conversion), identical OLS tail.
+    "q210_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) t
+        |  GROUP BY term),
+        |xy AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM (
+        |    SELECT freq,
+        |      CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |        AS rank
+        |    FROM tf) r),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM xy),
+        |s AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS slope,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT n AS n_terms, round(slope, 6) AS zipf_slope,
+        |  round((syd - slope * sxd) / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_c
+        |FROM s""".stripMargin,
 
     "q148_bpe_train" -> (bpeOracleCtes +
       """

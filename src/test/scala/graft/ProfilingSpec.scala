@@ -1084,4 +1084,26 @@ class ProfilingSpec extends AnyFunSuite {
       assert(math.abs(hi - math.floor((center + half) * 1e6)) <= 1.0)
     }
   }
+
+  test("Zipf slope replays from a JVM frequency census and is negative") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q210_zipf_slope")(spark, dir)
+      .select($"n_terms", $"zipf_slope", $"ln_c")
+      .as[(Long, Double, Double)].head()
+    val freqs = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+    assert(row._1 === freqs.length.toLong)
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+    val xs = ranked.map { case (_, i) => math.round(math.log(i + 1.0) * 1e6) }
+    val ys = ranked.map { case ((_, f), _) => math.round(math.log(f.toDouble) * 1e6) }
+    val n = xs.length.toDouble
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+    val sxx = xs.map(a => BigInt(a) * BigInt(a)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row._2 - slope) < 1e-4)
+    assert(row._2 < 0.0, "rank-frequency slope must be negative")
+  }
 }

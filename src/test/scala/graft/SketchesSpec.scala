@@ -275,4 +275,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(g.filter($"n_events" === 0L && $"v_ffill".isNull).count() == 0L)
     g.unpersist()
   }
+
+  test("rolling distinct: calendar window, HLL estimate tracks exact rolling truth") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q208_rolling_distinct")(spark, dir)
+      .select($"d".cast("string"), $"day_distinct", $"est_users")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // exact trailing-7-day distinct from raw (day, user) pairs
+    val du = graft.engine.Tables.events(spark, dir)
+      .select(to_date($"ts").cast("string"), $"user_id")
+      .distinct().as[(String, Long)].collect()
+    val byDay = du.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    rows.foreach { case (d, dayDistinct, est) =>
+      assert(byDay(d).size.toLong === dayDistinct, s"day $d exact anchor")
+      val day = java.time.LocalDate.parse(d)
+      val rolling = (0 to 6).flatMap(k =>
+        byDay.getOrElse(day.minusDays(k).toString, Set.empty[Long])).toSet.size
+      // m = 64 registers => ~13% standard error; allow 4 sigma
+      assert(est > rolling * 0.48 && est < rolling * 1.9,
+        s"day $d est $est vs exact rolling $rolling")
+      assert(est >= dayDistinct * 0.48, s"window est below its own day")
+    }
+  }
 }

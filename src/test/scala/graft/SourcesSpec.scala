@@ -88,4 +88,23 @@ class SourcesSpec extends AnyFunSuite {
     val total = df.agg(sum($"val")).collect().head.getLong(0)
     assert(total == (0L until 1000L).map(SeqSource.valOf).sum)
   }
+
+  test("JSON roundtrip preserves the documents table bit-for-bit") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val rt = SparkEntry.queries("q209_json_roundtrip")(spark, dir)
+      .select($"bucket", $"n_rows", $"checksum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // checksum the ORIGINAL rows with the same machinery — equality
+    // proves the write→read loop lossless
+    val orig = graft.engine.Maintenance.tableChecksum(
+      graft.engine.Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"text"),
+      buckets = 64)
+      .select($"bucket", $"n_rows", $"checksum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rt === orig)
+    assert(rt.map(_._2).sum ===
+      graft.engine.Tables.documents(spark, dir).count())
+  }
 }
