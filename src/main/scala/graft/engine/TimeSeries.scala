@@ -591,6 +591,91 @@ object TimeSeries {
         .select($"shard", $"n_eval", $"sum_abs_err", $"mae_micro", $"mae",
           $"smape_mean_micro", $"smape")
         .orderBy($"shard")
+    }),
+
+    // Session-scoped ordered funnel — q69's conditional-min device
+    // grouped by (user, session): within each 30-min-gap session
+    // (q198's islands), the first view/click/purchase micro-times,
+    // then strict-order stage counts per user shard. This is the
+    // question product analytics actually asks ("does the journey
+    // complete WITHIN a visit") — the all-time funnel (q69) can't
+    // distinguish a same-session conversion from one weeks later. No
+    // self-joins anywhere: one per-user window pass, two combine-able
+    // aggregates.
+    "q211_session_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_sess").over(wRun))
+        .groupBy(($"user_id" % 8L).as("shard"), $"user_id", $"session_idx")
+        .agg(min(when($"event_type" === "view", $"us")).as("t_view"),
+          min(when($"event_type" === "click", $"us")).as("t_click"),
+          min(when($"event_type" === "purchase", $"us")).as("t_buy"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_sessions"),
+          count($"t_view").as("n_view"),
+          count(when($"t_click" > $"t_view", true)).as("n_view_click"),
+          count(when($"t_buy" > $"t_click" && $"t_click" > $"t_view", true))
+            .as("n_full"))
+        .orderBy($"shard")
+    }),
+
+    // Top-10 three-step user journeys (event-type path n-grams) — the
+    // "what do users actually do" analytics staple behind Sankey
+    // charts and Markov attribution. Two lead() taps inside the
+    // per-user window build the path strings map-side after ONE
+    // shuffle by user; the census is a combine-able count and the
+    // top-10 a TakeOrderedAndProject (per-partition heads → single
+    // merge), never a full path-space sort — |event types|³ is
+    // bounded, the corpus is not.
+    "q212_event_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path").limit(10)
+    }),
+
+    // Calendar-correct lag/rolling features — the per-series feature
+    // frame a forecasting model trains on: yesterday's value, the
+    // same weekday last week, and the trailing-7-day mean, ALL as
+    // RANGE frames over the integer day index (a row-based lag()
+    // silently reads across gaps in the day axis; q208 established
+    // the device). Missing calendar anchors surface as nulls — the
+    // honest contract. The rolling mean is an exact integer floor-div
+    // to micro-dollars; nothing accumulates in floats.
+    "q213_lag_features" -> ((s, dir) => {
+      import s.implicits._
+      val spine = dailySpine(s, dir)
+      def at(off: Int) = Window.partitionBy($"shard").orderBy($"di")
+        .rangeBetween(off, off)
+      val w7 = Window.partitionBy($"shard").orderBy($"di")
+        .rangeBetween(-6, Window.currentRow)
+      spine
+        .withColumn("di", datediff($"d", lit("1970-01-01").cast("date")))
+        .withColumn("lag1", max($"c").over(at(-1)))
+        .withColumn("lag7", max($"c").over(at(-7)))
+        .withColumn("roll7_sum", sum($"c").over(w7))
+        .withColumn("roll7_n", count($"c").over(w7))
+        .withColumn("roll7_mean_micro",
+          expr("(roll7_sum * 10000) div roll7_n"))
+        .select($"shard", $"d", $"c", $"lag1", $"lag7", $"roll7_n",
+          $"roll7_mean_micro",
+          ($"roll7_mean_micro".cast("double") / lit(1000000.0))
+            .as("roll7_mean"))
+        .orderBy($"shard", $"d")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -740,6 +825,77 @@ object TimeSeries {
         |  sum_smape_micro // n_eval AS smape_mean_micro,
         |  CAST(sum_smape_micro // n_eval AS DOUBLE) / 1000000.0 AS smape
         |FROM g ORDER BY shard""".stripMargin,
+
+    // Identical session islands (q198's lag + flag-sum), q69's
+    // conditional mins per session, strict-order stage counts.
+    "q211_session_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |si AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |sess AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard, user_id, session_idx,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) AS t_buy
+        |  FROM si GROUP BY 1, 2, 3)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(t_view) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+        |    AS BIGINT) AS n_full
+        |FROM sess GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Identical per-user lead taps and count census; top-10 by
+    // (n desc, path).
+    "q212_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // Identical daily spine and integer-keyed RANGE frames.
+    "q213_lag_features" ->
+      """WITH daily AS (
+        |  SELECT user_id % 8 AS shard, date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard, d, c,
+        |    d - DATE '1970-01-01' AS di
+        |  FROM daily),
+        |w AS (
+        |  SELECT shard, d, c,
+        |    max(c) OVER (PARTITION BY shard ORDER BY di
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1,
+        |    max(c) OVER (PARTITION BY shard ORDER BY di
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+        |    CAST(sum(c) OVER (PARTITION BY shard ORDER BY di
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS roll7_sum,
+        |    CAST(count(c) OVER (PARTITION BY shard ORDER BY di
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n
+        |  FROM dd)
+        |SELECT shard, d, c, lag1, lag7, roll7_n,
+        |  (roll7_sum * 10000) // roll7_n AS roll7_mean_micro,
+        |  CAST((roll7_sum * 10000) // roll7_n AS DOUBLE) / 1000000.0
+        |    AS roll7_mean
+        |FROM w ORDER BY shard, d""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

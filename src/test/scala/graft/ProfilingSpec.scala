@@ -1106,4 +1106,60 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(row._2 - slope) < 1e-4)
     assert(row._2 < 0.0, "rank-frequency slope must be negative")
   }
+
+  test("session funnel stages are monotone and bounded by session count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q211_session_funnel")(spark, dir)
+      .select($"shard", $"n_sessions", $"n_view", $"n_view_click", $"n_full")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    rows.foreach { case (sh, ns, nv, nvc, nf) =>
+      assert(nv <= ns && nvc <= nv && nf <= nvc, s"shard $sh monotone")
+      assert(nv > 0L, s"shard $sh has view sessions")
+    }
+    // total session count agrees with q198's sessionization
+    val q198 = SparkEntry.queries("q198_session_windows")(spark, dir).count()
+    assert(rows.map(_._2).sum === q198)
+  }
+
+  test("event paths: 3-gram mass replays and top-10 counts are descending") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q212_event_paths")(spark, dir)
+      .select($"path", $"n").as[(String, Long)].collect()
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    // JVM replay of the full 3-gram census; top-10 must match
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val census = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_._1).values.foreach { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).foreach { g =>
+        val p = g.mkString(">")
+        census(p) = census.getOrElse(p, 0L) + 1
+      }
+    }
+    val expect = census.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.toSeq === expect)
+  }
+
+  test("lag features: calendar anchors replay against the daily map") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q213_lag_features")(spark, dir)
+      .select($"shard", $"d".cast("string"), $"c", $"lag1", $"lag7",
+        $"roll7_n", $"roll7_mean_micro")
+      .as[(Long, String, Long, Option[Long], Option[Long], Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (sh, d, _, lag1, lag7, n7, mean7) =>
+      val day = java.time.LocalDate.parse(d)
+      assert(lag1 === daily.get((sh, day.minusDays(1).toString)), s"$sh $d lag1")
+      assert(lag7 === daily.get((sh, day.minusDays(7).toString)), s"$sh $d lag7")
+      val win = (0 to 6).flatMap(k => daily.get((sh, day.minusDays(k).toString)))
+      assert(n7 === win.length.toLong)
+      assert(mean7 === (win.sum * 10000L) / win.length, s"$sh $d roll7")
+    }
+  }
 }
