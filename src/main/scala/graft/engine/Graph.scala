@@ -848,6 +848,46 @@ object Graph {
         }
         st.select($"id", $"anc".as("root"), $"d".as("depth")).orderBy($"id")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }),
+
+    // Degree assortativity (Newman's r): the Pearson correlation of
+    // endpoint degrees across edges — do hubs attach to hubs (r > 0,
+    // social networks) or to leaves (r < 0, hierarchies)? One number
+    // that separates graph SHAPES q97's ranks and q143's triangles
+    // can't. Standard construction: every undirected edge contributes
+    // BOTH orientations, correlating the degree pairs. Determinism:
+    // degrees are exact integer counts, the six correlation moments
+    // are exact integer sums (products via DECIMAL(38)/HUGEINT), and
+    // r is q172's fixed IEEE tail with the √a·√b split. Scale shape:
+    // one combine-able degree count, two broadcast-able equi-joins of
+    // edges to degrees, one map-side moment aggregation — no windows,
+    // no iteration.
+    "q214_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+      val rawE = cust.select($"u", expr("CAST(floor(u/2) AS BIGINT)").as("p"))
+        .union(cust.select($"u", expr("CAST(floor(u/3) AS BIGINT)").as("p")))
+        .filter($"p" >= 1L && $"p" =!= $"u")
+      val edges = rawE.select(least($"u", $"p").as("lo"),
+        greatest($"u", $"p").as("hi")).distinct()
+      val deg = edges.select($"lo".as("id")).union(edges.select($"hi".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+      val dd = edges
+        .join(deg.select($"id".as("lo"), $"deg".as("dlo")), "lo")
+        .join(deg.select($"id".as("hi"), $"deg".as("dhi")), "hi")
+      val pairs = dd.select($"dlo".as("x"), $"dhi".as("y"))
+        .unionByName(dd.select($"dhi".as("x"), $"dlo".as("y")))
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+      val nd = $"n".cast("double")
+      val sxd = $"sx".cast("double"); val syd = $"sy".cast("double")
+      val r = (nd * $"sxy".cast("double") - sxd * syd) /
+        (sqrt(nd * $"sxx".cast("double") - sxd * sxd) *
+          sqrt(nd * $"syy".cast("double") - syd * syd))
+      m.select($"n".as("n_pairs"), round(r, 6).as("assortativity"))
     }))
 
   /** The oracle replays the identical integer iteration as a recursive
@@ -869,6 +909,45 @@ object Graph {
         |SELECT id, cur AS root, d AS depth FROM walk
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d DESC) = 1
         |ORDER BY id""".stripMargin,
+
+    // Identical edge set, degree counts, both-orientation pairs, and
+    // the identical √a·√b Pearson tail (HUGEINT moments → one double
+    // conversion each).
+    "q214_assortativity" ->
+      """WITH cust AS (SELECT c_custkey AS u FROM customer),
+        |raw_e AS (
+        |  SELECT u, CAST(floor(u/2) AS BIGINT) AS p FROM cust
+        |  UNION ALL
+        |  SELECT u, CAST(floor(u/3) AS BIGINT) AS p FROM cust),
+        |edges AS (
+        |  SELECT DISTINCT least(u, p) AS lo, greatest(u, p) AS hi
+        |  FROM raw_e WHERE p >= 1 AND p <> u),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT lo AS id FROM edges
+        |    UNION ALL SELECT hi AS id FROM edges) t
+        |  GROUP BY id),
+        |dd AS (
+        |  SELECT dl.deg AS dlo, dh.deg AS dhi
+        |  FROM edges e
+        |  JOIN deg dl ON dl.id = e.lo
+        |  JOIN deg dh ON dh.id = e.hi),
+        |pairs AS (
+        |  SELECT dlo AS x, dhi AS y FROM dd
+        |  UNION ALL SELECT dhi AS x, dlo AS y FROM dd),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM pairs)
+        |SELECT n AS n_pairs,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
 
     // All ≤10-hop walks from node 1 with recursive-UNION dedup;
     // min(dist) per node = BFS layer. Different formulation from the

@@ -364,11 +364,68 @@ object Multimodal {
           $"width".cast("long").as("width"),
           $"height".cast("long").as("height"))
         .orderBy($"file_name")
+    }),
+
+    // dHash-style structural fingerprint + pairwise Hamming over the
+    // binary artifact store: sample 64 evenly-spaced bytes of each
+    // blob (position arithmetic on the content length — scale-
+    // invariant, so a re-encoded/padded copy keeps most gradient
+    // bits), build a 63-bit gradient fingerprint (bit k = sampled
+    // byte k+1 > byte k — the difference-hash device image dedup uses
+    // on luma grids, applied here to raw bytes since the corpus is
+    // opaque), and compare all pairs by bit_count(xor). Byte probes
+    // go through hex() substrings — the one byte-extraction primitive
+    // both engines share bit-for-bit (uppercase hex). The pair join
+    // is bounded by the artifact store (an uploads dir, not a
+    // scale-factor table); at corpus scale the q68 pigeonhole banding
+    // replaces the all-pairs tail, same as SimHash.
+    "q215_blob_fingerprint" -> ((s, _) => {
+      import s.implicits._
+      val f = readBinary(s, binaryCorpusDir(s), "*.parquet")
+        .select(element_at(split($"path", "/"), -1).as("file_name"),
+          $"length", hex($"content").as("hx"))
+        .withColumn("fp", expr(blobFpSparkExpr))
+        .select($"file_name", $"fp")
+      val a = f.select($"file_name".as("file_a"), $"fp".as("fp_a"))
+      val b = f.select($"file_name".as("file_b"), $"fp".as("fp_b"))
+      a.join(broadcast(b), $"file_a" < $"file_b")
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        .select($"file_a", $"file_b", $"fp_a", $"fp_b", $"hamming")
+        .orderBy($"file_a", $"file_b")
     }))
+
+  /** Sampled-byte value at grid position k (0..64): evenly spaced over
+    * the blob via integer position arithmetic, read through the hex
+    * rendering (2 chars per byte — the byte primitive both engines
+    * share). Spark and DuckDB variants must mirror token-for-token. */
+  private def blobByteSpark(k: Int): String =
+    s"CAST(conv(substring(hx, CAST(2 * (1 + ($k * (length - 1)) div 64) - 1 AS INT), 2), 16, 10) AS BIGINT)"
+  private def blobByteDuck(k: Int): String =
+    s"CAST(('0x' || substr(hx, CAST(2 * (1 + (($k * (length - 1)) // 64)) - 1 AS INT), 2)) AS BIGINT)"
+  private def blobFpExpr(v: Int => String): String =
+    (0 until 63).map(k =>
+      s"(CASE WHEN ${v(k + 1)} > ${v(k)} THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+  private val blobFpSparkExpr: String = blobFpExpr(blobByteSpark)
+  private val blobFpDuckExpr: String = blobFpExpr(blobByteDuck)
 
   /** The driver verifies at sf0.01; read_blob needs a literal path (the
     * table-name view substitution only covers the 10 parquet tables). */
   val oracle: Map[String, String] = Map(
+    // Identical hex-substring byte probes and gradient-bit chain;
+    // xor + bit_count Hamming over the bounded pair set.
+    "q215_blob_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    size AS length, hex(content) AS hx
+         |  FROM read_blob('/root/testdata/sf0.01/*.parquet')),
+         |fp AS (SELECT file_name, $blobFpDuckExpr AS fp FROM f)
+         |SELECT a.file_name AS file_a, b.file_name AS file_b,
+         |  a.fp AS fp_a, b.fp AS fp_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.file_name < b.file_name
+         |ORDER BY file_a, file_b""".stripMargin,
+
     "q70_binary_ingest" ->
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
         |  regexp_extract(filename, '\.([^./]+)$', 1) AS ext,

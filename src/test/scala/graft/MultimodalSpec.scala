@@ -184,4 +184,33 @@ class MultimodalSpec extends AnyFunSuite {
     // and zero-length / tiny buffers are safe too
     assert(graft.engine.Multimodal.mp4Probe("e.mp4", Array.emptyByteArray).isEmpty)
   }
+
+  test("blob fingerprint replays from raw bytes; identical blobs distance 0") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q215_blob_fingerprint")(spark, "unused")
+      .select($"file_a", $"file_b", $"fp_a", $"fp_b", $"hamming")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // JVM replay of one file's fingerprint from its raw bytes
+    val corpus = new java.io.File("/root/testdata/sf0.01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def fpOf(f: java.io.File): Long = {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val len = bytes.length.toLong
+      def v(k: Long): Long = bytes(((k * (len - 1)) / 64).toInt) & 0xffL
+      (0 until 63).map(k => if (v(k + 1) > v(k)) 1L << k else 0L).sum
+    }
+    val first = corpus.head
+    val expectFp = fpOf(first)
+    val seen = rows.collectFirst {
+      case r if r._1 == first.getName => r._3
+      case r if r._2 == first.getName => r._4
+    }
+    assert(seen.contains(expectFp), s"fingerprint of ${first.getName}")
+    // Hamming replay + self-similarity: fp vs itself is distance 0
+    rows.foreach { r =>
+      assert(r._5 === java.lang.Long.bitCount(r._3 ^ r._4).toLong)
+      assert(r._5 >= 0L && r._5 <= 63L)
+    }
+  }
 }

@@ -90,7 +90,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q194_cohens_kappa",
     // q196 routes vectors over the broadcast k=8 trained codebook —
     // the q144/q145 bounded-codebook shape.
-    "q196_silhouette")
+    "q196_silhouette",
+    // q215 pairs the bounded binary artifact store against itself
+    // (an uploads dir, not a scale-factor table); at corpus scale the
+    // q68 pigeonhole banding replaces the all-pairs tail.
+    "q215_blob_fingerprint")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1162,4 +1162,30 @@ class ProfilingSpec extends AnyFunSuite {
       assert(mean7 === (win.sum * 10000L) / win.length, s"$sh $d roll7")
     }
   }
+
+  test("assortativity replays from a JVM degree census and is in [-1, 1]") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q214_assortativity")(spark, dir)
+      .select($"n_pairs", $"assortativity").as[(Long, Double)].head()
+    val custs = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey").as[Long].collect()
+    val edges = custs.flatMap(u => Seq(u / 2, u / 3)
+      .filter(p => p >= 1 && p != u)
+      .map(p => (math.min(u, p), math.max(u, p)))).distinct
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pairs = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    assert(row._1 === pairs.length.toLong)
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sy = pairs.map(_._2).sum.toDouble
+    val sxy = pairs.map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+    val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+    val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(row._2 - r) < 1e-4)
+    assert(row._2 >= -1.0 && row._2 <= 1.0)
+  }
 }
