@@ -774,6 +774,36 @@ object Profiling {
         .withColumn("ci_lo", $"lo_micro".cast("double") / lit(1000000.0))
         .withColumn("ci_hi", $"hi_micro".cast("double") / lit(1000000.0))
         .orderBy($"shard")
+    }),
+
+    // WEIGHTED median / p90 (price weighted by quantity) — the
+    // importance-weighted percentile a reweighted corpus needs (a
+    // DSIR-weighted quality threshold is exactly this shape): the
+    // q206 deduped-value rank walk with integer WEIGHT mass instead
+    // of row counts. Cumulative weight over distinct values, pick the
+    // smallest value whose cumulative weight reaches the ceil-div of
+    // total weight — all integer, no raw sort, window over the
+    // bounded value domain.
+    "q216_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val li = T.lineitem(s, dir).select($"l_returnflag",
+        round($"l_extendedprice" * 100.0).cast("long").as("c"),
+        $"l_quantity".cast("long").as("qty"))
+      val dv = li.groupBy($"l_returnflag", $"c").agg(sum($"qty").as("w"))
+      val wcum = Window.partitionBy($"l_returnflag").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dv.withColumn("cumw", sum($"w").over(wcum))
+        .withColumn("tw", sum($"w").over(Window.partitionBy($"l_returnflag")))
+        .groupBy($"l_returnflag")
+        .agg(max($"tw").as("total_weight"),
+          min(when($"cumw" >= expr("(tw * 50 + 99) div 100"), $"c"))
+            .as("wp50c"),
+          min(when($"cumw" >= expr("(tw * 90 + 99) div 100"), $"c"))
+            .as("wp90c"))
+        .select($"l_returnflag", $"total_weight", $"wp50c", $"wp90c",
+          ($"wp50c".cast("double") / 100.0).as("wp50"),
+          ($"wp90c".cast("double") / 100.0).as("wp90"))
+        .orderBy($"l_returnflag")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1002,6 +1032,32 @@ object Profiling {
         |  CAST(CAST(floor((center + half) * 1000000.0) AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS ci_hi
         |FROM c ORDER BY shard""".stripMargin,
+
+    // Identical weighted cumulative walk and ceil-div weight ranks.
+    "q216_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS c,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |dv AS (
+        |  SELECT l_returnflag, c, CAST(sum(qty) AS BIGINT) AS w
+        |  FROM li GROUP BY l_returnflag, c),
+        |cum AS (
+        |  SELECT l_returnflag, c, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM dv)
+        |SELECT l_returnflag, max(tw) AS total_weight,
+        |  min(CASE WHEN cumw >= (tw * 50 + 99) // 100 THEN c END) AS wp50c,
+        |  min(CASE WHEN cumw >= (tw * 90 + 99) // 100 THEN c END) AS wp90c,
+        |  CAST(min(CASE WHEN cumw >= (tw * 50 + 99) // 100 THEN c END)
+        |    AS DOUBLE) / 100.0 AS wp50,
+        |  CAST(min(CASE WHEN cumw >= (tw * 90 + 99) // 100 THEN c END)
+        |    AS DOUBLE) / 100.0 AS wp90
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

@@ -475,6 +475,58 @@ object Similarity {
         .select($"vec_id", $"cl", $"d2_own", $"d2_next", $"sil_micro",
           $"cluster_mean_sil")
         .orderBy($"vec_id")
+    }),
+
+    // Per-class precision/recall/F1 + macro-F1 over the kNN
+    // classifier's predictions — the evaluation table accuracy alone
+    // hides (a classifier can score 90% accuracy while one minority
+    // class gets F1 = 0). Exactness device: F1 collapses to the pure
+    // integer ratio 2·TP/(2·TP+FP+FN) — no P and R floats ever
+    // materialize — floored to micro-units; macro-F1 is then an
+    // integer mean over the bounded label set. The prediction pass is
+    // q154's broadcast-kernel shape; the confusion tail aggregates
+    // |labels| rows.
+    "q217_macro_f1" -> ((s, dir) => {
+      import s.implicits._
+      val cos = CosineSimilarity.cosineSim(s) _
+      val emb = T.spread(T.embeddings(s, dir))
+      val q = T.embeddings(s, dir).filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".cast("long").as("true_label"))
+      val wTop = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+      val top = emb.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"true_label", $"vec_id".as("cid"),
+          $"label".cast("long").as("nb_label"),
+          round(cos($"qe", $"embedding"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= 5)
+      val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"nb_label")
+      val preds = top.groupBy($"qid", $"true_label", $"nb_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(wVote))
+        .filter($"rn" === 1)
+        .select($"qid", $"true_label", $"nb_label".as("pred_label"))
+      val labels = preds.select($"true_label".as("label"))
+        .unionByName(preds.select($"pred_label".as("label"))).distinct()
+      val tp = preds.filter($"true_label" === $"pred_label")
+        .groupBy($"true_label".as("label")).agg(count(lit(1)).as("tp"))
+      val fp = preds.filter($"true_label" =!= $"pred_label")
+        .groupBy($"pred_label".as("label")).agg(count(lit(1)).as("fp"))
+      val fn = preds.filter($"true_label" =!= $"pred_label")
+        .groupBy($"true_label".as("label")).agg(count(lit(1)).as("fn"))
+      labels
+        .join(tp, Seq("label"), "left").join(fp, Seq("label"), "left")
+        .join(fn, Seq("label"), "left")
+        .select($"label", coalesce($"tp", lit(0L)).as("tp"),
+          coalesce($"fp", lit(0L)).as("fp"), coalesce($"fn", lit(0L)).as("fn"))
+        .withColumn("f1_micro",
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"))
+        .withColumn("macro_f1_micro", expr(
+          "CAST(sum(f1_micro) OVER () div count(*) OVER () AS BIGINT)"))
+        .select($"label", $"tp", $"fp", $"fn", $"f1_micro",
+          $"macro_f1_micro",
+          ($"macro_f1_micro".cast("double") / lit(1000000.0)).as("macro_f1"))
+        .orderBy($"label")
     }))
 
   /** Fixed Rademacher JL sign matrix cell (k=8 rows × d=64 cols): a
@@ -843,6 +895,58 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY votes DESC, nb_label) AS rn FROM votes) v
         |WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // q154's prediction chain, then the integer confusion tail:
+    // F1 = 2TP/(2TP+FP+FN) in micro-units, macro = integer mean.
+    "q217_macro_f1" ->
+      """WITH top AS (
+        |  SELECT qid, true_label, nb_label FROM (
+        |    SELECT qid, true_label, nb_label, cos_sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid)
+        |        AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS true_label,
+        |        c.vec_id AS cid, CAST(c.label AS BIGINT) AS nb_label,
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])), 6)
+        |          AS cos_sim
+        |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 25 = 0) s) r
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT qid, true_label, nb_label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM top GROUP BY qid, true_label, nb_label),
+        |preds AS (
+        |  SELECT qid, true_label, nb_label AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, nb_label) AS rn FROM votes) v
+        |  WHERE rn = 1),
+        |labels AS (
+        |  SELECT DISTINCT true_label AS label FROM preds
+        |  UNION SELECT DISTINCT pred_label AS label FROM preds),
+        |tp AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS tp
+        |       FROM preds WHERE true_label = pred_label GROUP BY 1),
+        |fp AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS fp
+        |       FROM preds WHERE true_label <> pred_label GROUP BY 1),
+        |fn AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS fn
+        |       FROM preds WHERE true_label <> pred_label GROUP BY 1),
+        |conf AS (
+        |  SELECT l.label, coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+        |    coalesce(fn.fn, 0) AS fn
+        |  FROM labels l
+        |  LEFT JOIN tp ON tp.label = l.label
+        |  LEFT JOIN fp ON fp.label = l.label
+        |  LEFT JOIN fn ON fn.label = l.label),
+        |f1 AS (
+        |  SELECT label, tp, fp, fn,
+        |    (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_micro
+        |  FROM conf)
+        |SELECT label, tp, fp, fn, f1_micro,
+        |  CAST(sum(f1_micro) OVER () // count(*) OVER () AS BIGINT)
+        |    AS macro_f1_micro,
+        |  CAST(CAST(sum(f1_micro) OVER () // count(*) OVER () AS BIGINT)
+        |    AS DOUBLE) / 1000000.0 AS macro_f1
+        |FROM f1 ORDER BY label""".stripMargin,
 
     "q60_cosine_topk" ->
       """SELECT qid, cid, cos_sim, rank FROM (

@@ -676,6 +676,40 @@ object TimeSeries {
           ($"roll7_mean_micro".cast("double") / lit(1000000.0))
             .as("roll7_mean"))
         .orderBy($"shard", $"d")
+    }),
+
+    // SLO error-budget burn-rate alerting (the Google SRE multiwindow
+    // multi-burn-rate recipe): per (shard, hour), the error fraction
+    // against a 1% budget as an integer micro burn rate
+    // (errors·100·10⁶ div events = rate/budget in micro-units), the
+    // trailing-6-hour burn the same way over a CALENDAR RANGE frame
+    // (hour index — the q208/q213 device), and the page-worthy alert
+    // = fast burn > 14.4 AND slow burn > 6 — both pure integer
+    // compares against folded micro literals. Everything is
+    // combine-able counts + per-shard bounded windows; this is the
+    // telemetry query an ops plane runs every minute at any scale.
+    "q218_slo_burn" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"),
+          date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+      val w6 = Window.partitionBy($"shard").orderBy($"hi")
+        .rangeBetween(-5, Window.currentRow)
+      hourly
+        .withColumn("hi", expr("unix_micros(h) div 3600000000"))
+        .withColumn("burn1h_micro",
+          expr("(n_errors * 100 * 1000000) div n_events"))
+        .withColumn("n6", sum($"n_events").over(w6))
+        .withColumn("e6", sum($"n_errors").over(w6))
+        .withColumn("burn6h_micro", expr("(e6 * 100 * 1000000) div n6"))
+        .withColumn("alert",
+          $"burn1h_micro" > 14400000L && $"burn6h_micro" > 6000000L)
+        .select($"shard", $"h", $"n_events", $"n_errors", $"burn1h_micro",
+          $"n6", $"e6", $"burn6h_micro", $"alert")
+        .orderBy($"shard", $"h")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -896,6 +930,32 @@ object TimeSeries {
         |  CAST((roll7_sum * 10000) // roll7_n AS DOUBLE) / 1000000.0
         |    AS roll7_mean
         |FROM w ORDER BY shard, d""".stripMargin,
+
+    // Identical hourly counts, hour-index RANGE frame, integer micro
+    // burn rates, literal threshold compares.
+    "q218_slo_burn" ->
+      """WITH hourly AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+        |    date_trunc('hour', ts)::TIMESTAMP AS h,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1, 2),
+        |hi AS (
+        |  SELECT *, epoch_us(h) // 3600000000 AS hix FROM hourly),
+        |w AS (
+        |  SELECT shard, h, n_events, n_errors,
+        |    (n_errors * 100 * 1000000) // n_events AS burn1h_micro,
+        |    CAST(sum(n_events) OVER (PARTITION BY shard ORDER BY hix
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+        |    CAST(sum(n_errors) OVER (PARTITION BY shard ORDER BY hix
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6
+        |  FROM hi)
+        |SELECT shard, h, n_events, n_errors, burn1h_micro, n6, e6,
+        |  (e6 * 100 * 1000000) // n6 AS burn6h_micro,
+        |  burn1h_micro > 14400000 AND (e6 * 100 * 1000000) // n6 > 6000000
+        |    AS alert
+        |FROM w ORDER BY shard, h""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

@@ -154,4 +154,25 @@ class AnnRecallSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("macro-F1 confusion cells reconcile with the kNN prediction table") {
+    import spark.implicits._
+    val conf = SparkEntry.queries("q217_macro_f1")(spark, dir)
+      .select($"label", $"tp", $"fp", $"fn", $"f1_micro", $"macro_f1_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(conf.nonEmpty)
+    val preds = SparkEntry.queries("q154_knn_classify")(spark, dir)
+      .select($"true_label", $"pred_label").as[(Long, Long)].collect()
+    conf.foreach { case (l, tp, fp, fn, f1, _) =>
+      assert(tp === preds.count(p => p._1 == l && p._2 == l).toLong)
+      assert(fp === preds.count(p => p._1 != l && p._2 == l).toLong)
+      assert(fn === preds.count(p => p._1 == l && p._2 != l).toLong)
+      assert(f1 === (2 * tp * 1000000L) / (2 * tp + fp + fn))
+      assert(f1 >= 0L && f1 <= 1000000L)
+    }
+    val expectMacro = conf.map(_._5).sum / conf.length
+    conf.foreach(c => assert(c._6 === expectMacro))
+    // total errors balance: sum of FP == sum of FN
+    assert(conf.map(_._3).sum === conf.map(_._4).sum)
+  }
 }

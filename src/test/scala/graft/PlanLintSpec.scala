@@ -94,7 +94,9 @@ class PlanLintSpec extends AnyFunSuite {
     // q215 pairs the bounded binary artifact store against itself
     // (an uploads dir, not a scale-factor table); at corpus scale the
     // q68 pigeonhole banding replaces the all-pairs tail.
-    "q215_blob_fingerprint")
+    "q215_blob_fingerprint",
+    // q217 reuses q154's broadcast bounded-query-set kNN shape.
+    "q217_macro_f1")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1188,4 +1188,44 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(row._2 - r) < 1e-4)
     assert(row._2 >= -1.0 && row._2 <= 1.0)
   }
+
+  test("weighted median replays a JVM weighted rank pick per group") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q216_weighted_median")(spark, dir)
+      .select($"l_returnflag", $"total_weight", $"wp50c", $"wp90c")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 3)
+    val li = graft.engine.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", round($"l_extendedprice" * 100.0).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(String, Long, Long)].collect()
+    val byFlag = li.groupBy(_._1)
+    rows.foreach { case (fl, tw, p50, p90) =>
+      val xs = byFlag(fl).map(x => (x._2, x._3)).sortBy(_._1)
+      assert(tw === xs.map(_._2).sum)
+      def pick(p: Int): Long = {
+        val target = (tw * p + 99) / 100
+        var cum = 0L
+        xs.find { case (_, w) => cum += w; cum >= target }.get._1
+      }
+      assert(p50 === pick(50) && p90 === pick(90), s"flag $fl")
+    }
+  }
+
+  test("SLO burn alerts replay the multiwindow thresholds") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q218_slo_burn")(spark, dir)
+      .select($"shard", $"n_events", $"n_errors", $"burn1h_micro",
+        $"n6", $"e6", $"burn6h_micro", $"alert")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, e, b1, n6, e6, b6, alert) =>
+      assert(e <= n && e6 <= n6 && n6 >= n)
+      assert(b1 === (e * 100L * 1000000L) / n)
+      assert(b6 === (e6 * 100L * 1000000L) / n6)
+      assert(alert === (b1 > 14400000L && b6 > 6000000L))
+    }
+    // the error fixture genuinely produces burn, and alerts are rare
+    assert(rows.exists(_._4 > 0L))
+  }
 }
