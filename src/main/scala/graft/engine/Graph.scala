@@ -888,6 +888,50 @@ object Graph {
         (sqrt(nd * $"sxx".cast("double") - sxd * sxd) *
           sqrt(nd * $"syy".cast("double") - syd * syd))
       m.select($"n".as("n_pairs"), round(r, 6).as("assortativity"))
+    }),
+
+    // TEMPORAL reachability (earliest-arrival paths): edges carry
+    // activation times (day 1 + child % 28, derived so the oracle
+    // replays them) and a path is valid only if edge times are
+    // NON-DECREASING — the contact-network/money-flow semantics where
+    // static reachability overclaims (an edge that activated before
+    // you arrived is useless). Greedy invariant: propagating the
+    // MINIMAL arrival time per node dominates every other schedule,
+    // so a frontier of improved-arrival nodes converges exactly like
+    // Bellman-Ford (≤ 6 hops here, the bounded-radius contract).
+    // All-integer state ⇒ bit-stable at any parallelism; per round
+    // one equi-join frontier⋈edges + a min-combine — the q157 shape
+    // with a time guard. Oracle: recursive CTE over all ≤6-hop
+    // time-respecting walks, min arrival — cross-formulation.
+    "q219_temporal_reach" -> ((s, dir) => {
+      import s.implicits._
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val cust = T.customer(s, dir).select($"c_custkey".as("u"))
+        val edges = cust.filter($"u" >= 2L)
+          .select(expr("CAST(u div 2 AS BIGINT)").as("src"), $"u".as("dst"),
+            (lit(1L) + $"u" % 28L).as("t"))
+          .persist()
+        var best = s.createDataFrame(Seq((1L, 0L)))
+          .toDF("id", "arr").localCheckpoint()
+        var frontier = best
+        for (_ <- 1 to 6) {
+          val cand = frontier.join(edges, $"id" === $"src")
+            .filter($"t" >= $"arr")
+            .select($"dst".as("id"), $"t".as("na"))
+            .groupBy($"id").agg(min($"na").as("na"))
+          val improved = cand.join(best, Seq("id"), "left")
+            .filter($"arr".isNull || $"na" < $"arr")
+            .select($"id", $"na".as("arr"))
+            .localCheckpoint()
+          best = best.join(improved, Seq("id"), "left_anti")
+            .unionByName(improved).localCheckpoint()
+          frontier = improved
+        }
+        edges.unpersist(blocking = false)
+        best.orderBy($"id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }))
 
   /** The oracle replays the identical integer iteration as a recursive
@@ -909,6 +953,24 @@ object Graph {
         |SELECT id, cur AS root, d AS depth FROM walk
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d DESC) = 1
         |ORDER BY id""".stripMargin,
+
+    // All ≤6-hop TIME-RESPECTING walks (each edge no earlier than the
+    // arrival before it) with recursive-UNION dedup; min arrival per
+    // node — the cross-formulation proof of the frontier relaxation.
+    "q219_temporal_reach" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS u FROM customer),
+        |edges AS (
+        |  SELECT CAST(floor(u/2) AS BIGINT) AS src, u AS dst,
+        |    1 + u % 28 AS t
+        |  FROM cust WHERE u >= 2),
+        |walk AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS arr, 0 AS depth
+        |  UNION
+        |  SELECT e.dst, CAST(e.t AS BIGINT), walk.depth + 1
+        |  FROM walk JOIN edges e ON e.src = walk.id
+        |  WHERE walk.depth < 6 AND e.t >= walk.arr)
+        |SELECT id, min(arr) AS arr FROM walk GROUP BY id ORDER BY id"""
+        .stripMargin,
 
     // Identical edge set, degree counts, both-orientation pairs, and
     // the identical √a·√b Pearson tail (HUGEINT moments → one double

@@ -779,9 +779,72 @@ object Sketches {
         .select($"d", $"day_distinct", $"zero_regs", $"sum_scaled",
           $"est_users")
         .orderBy($"d")
+    }),
+
+    // Bitmap-index set algebra: the viewer and purchaser user sets as
+    // 64-bit WORD bitmaps (word = user_id div 64, bit = user_id mod
+    // 64), built by a combine-able bit_or aggregate — OR is
+    // merge-closed, so the index builds map-side and shuffles one
+    // BIGINT per populated word (the roaring-bitmap layout with fixed
+    // words; membership, intersection, union, and difference all
+    // become bitwise ops + bit_count, never a distinct or a join on
+    // user ids). The audience-overlap question (viewers ∩ purchasers,
+    // Jaccard) folds to Σ bit_count(v & p) over the word-aligned full
+    // outer join — at 100 TB that is |user space|/64 words, and the
+    // same stored words answer ANY boolean audience combination.
+    // Pure integer end-to-end (two's-complement bit patterns agree
+    // across engines, including the sign bit).
+    "q221_bitmap_index" -> ((s, dir) => {
+      import s.implicits._
+      def words(t: String) = T.events(s, dir)
+        .filter($"event_type" === t)
+        .select(expr("user_id div 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+            .as("b"))
+        .groupBy($"w").agg(expr("bit_or(b)").as("bits"))
+      val v = words("view").withColumnRenamed("bits", "vb")
+      val p = words("purchase").withColumnRenamed("bits", "pb")
+      v.join(p, Seq("w"), "full_outer")
+        .select(coalesce($"vb", lit(0L)).as("vb"),
+          coalesce($"pb", lit(0L)).as("pb"))
+        .agg(sum(expr("bit_count(vb)")).cast("long").as("n_view"),
+          sum(expr("bit_count(pb)")).cast("long").as("n_purchase"),
+          sum(expr("bit_count(vb & pb)")).cast("long").as("n_both"),
+          sum(expr("bit_count(vb | pb)")).cast("long").as("n_either"))
+        .withColumn("jaccard_micro",
+          expr("(n_both * 1000000) div n_either"))
+        .withColumn("jaccard",
+          $"jaccard_micro".cast("double") / lit(1000000.0))
     }))
 
   val oracle: Map[String, String] = Map(
+    // Identical word/bit layout, bit_or build, bitwise set algebra.
+    "q221_bitmap_index" ->
+      """WITH vw AS (
+        |  SELECT user_id // 64 AS w,
+        |    bit_or(CASE WHEN user_id % 64 = 63 THEN -9223372036854775808
+        |      ELSE 1::BIGINT << CAST(user_id % 64 AS INT) END) AS vb
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |pw AS (
+        |  SELECT user_id // 64 AS w,
+        |    bit_or(CASE WHEN user_id % 64 = 63 THEN -9223372036854775808
+        |      ELSE 1::BIGINT << CAST(user_id % 64 AS INT) END) AS pb
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(vw.vb, 0) AS vb, coalesce(pw.pb, 0) AS pb
+        |  FROM vw FULL OUTER JOIN pw ON pw.w = vw.w),
+        |agg AS (
+        |  SELECT CAST(sum(bit_count(vb)) AS BIGINT) AS n_view,
+        |    CAST(sum(bit_count(pb)) AS BIGINT) AS n_purchase,
+        |    CAST(sum(bit_count(vb & pb)) AS BIGINT) AS n_both,
+        |    CAST(sum(bit_count(vb | pb)) AS BIGINT) AS n_either
+        |  FROM j)
+        |SELECT n_view, n_purchase, n_both, n_either,
+        |  (n_both * 1000000) // n_either AS jaccard_micro,
+        |  CAST((n_both * 1000000) // n_either AS DOUBLE) / 1000000.0
+        |    AS jaccard
+        |FROM agg""".stripMargin,
+
     // Per-day registers from the same md5 nibbles, 7-day merge as a
     // BETWEEN-join max — merge-of-maxima ≡ max-over-union, bit-equal.
     "q208_rolling_distinct" ->

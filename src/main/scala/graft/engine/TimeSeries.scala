@@ -710,6 +710,44 @@ object TimeSeries {
         .select($"shard", $"h", $"n_events", $"n_errors", $"burn1h_micro",
           $"n6", $"e6", $"burn6h_micro", $"alert")
         .orderBy($"shard", $"h")
+    }),
+
+    // Capacity-capped running stock (clamped cumulative sum): daily
+    // inflow = revenue cents, constant demand = the shard's mean day,
+    // warehouse capacity = 2 demands; stock_t = clamp(stock_{t−1} +
+    // c_t − D, 0, CAP). The clamp makes this NON-AFFINE — unlike
+    // EWMA/Holt there is no mergeable run state, and no window frame
+    // expresses it — so it takes the per-key bounded ordered fold
+    // (q188's device): one sorted day array per shard, one
+    // higher-order fold emitting the whole trajectory, explode back
+    // to rows. The day axis is calendar-bounded (the q208 argument),
+    // and at unbounded-series scale this state machine is exactly
+    // `mapGroupsWithState` (the streaming EWMA/Holt shape with a
+    // clamped transition). All-integer arithmetic — bit-stable
+    // everywhere.
+    "q220_capped_runsum" -> ((s, dir) => {
+      import s.implicits._
+      val spine = dailySpine(s, dir)
+      spine.groupBy($"shard")
+        .agg(expr("sort_array(collect_list(struct(d, c)))").as("days"),
+          sum($"c").as("tot"), count(lit(1)).as("nd"))
+        .withColumn("dem", expr("tot div nd"))
+        .withColumn("cap", expr("2 * (tot div nd)"))
+        .withColumn("out", expr(
+          """aggregate(days,
+            |  named_struct('acc', CAST(0 AS BIGINT),
+            |    'res', CAST(array() AS ARRAY<BIGINT>)),
+            |  (st, x) -> named_struct(
+            |    'acc', least(cap, greatest(CAST(0 AS BIGINT),
+            |      st.acc + x.c - dem)),
+            |    'res', array_append(st.res,
+            |      least(cap, greatest(CAST(0 AS BIGINT), st.acc + x.c - dem)))),
+            |  st -> st.res)""".stripMargin))
+        .select($"shard", $"dem", $"cap",
+          posexplode(expr("zip_with(days, out, (a, b) -> struct(a.d AS d, a.c AS c, b AS stock))")))
+        .select($"shard", $"dem", $"cap", $"col.d".as("d"),
+          $"col.c".as("c"), $"col.stock".as("stock"))
+        .orderBy($"shard", $"d")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -956,6 +994,34 @@ object TimeSeries {
         |  burn1h_micro > 14400000 AND (e6 * 100 * 1000000) // n6 > 6000000
         |    AS alert
         |FROM w ORDER BY shard, h""".stripMargin,
+
+    // Identical daily spine and clamp fold — LIST state (growing
+    // [acc, s1, s2, …], the struct_pack-pitfall-safe form), identical
+    // integer clamp, positional unnest back to rows.
+    "q220_capped_runsum" ->
+      """WITH daily AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+        |    date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT shard, list(d ORDER BY d) AS dl, list(c ORDER BY d) AS cl,
+        |    CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY shard),
+        |f AS (
+        |  SELECT shard, tot // nd AS dem, 2 * (tot // nd) AS cap, dl, cl,
+        |    list_reduce(
+        |      [[CAST(0 AS BIGINT)]] || list_transform(cl, x -> [x]),
+        |      (acc, e) ->
+        |        [least(2 * (tot // nd), greatest(CAST(0 AS BIGINT),
+        |           acc[1] + e[1] - (tot // nd)))]
+        |        || acc[2:]
+        |        || [least(2 * (tot // nd), greatest(CAST(0 AS BIGINT),
+        |             acc[1] + e[1] - (tot // nd)))]) AS r
+        |  FROM g)
+        |SELECT shard, dem, cap, unnest(dl) AS d, unnest(cl) AS c,
+        |  unnest(r[2:]) AS stock
+        |FROM f ORDER BY shard, d""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

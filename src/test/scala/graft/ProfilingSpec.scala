@@ -1228,4 +1228,66 @@ class ProfilingSpec extends AnyFunSuite {
     // the error fixture genuinely produces burn, and alerts are rare
     assert(rows.exists(_._4 > 0L))
   }
+
+  test("temporal reachability replays a JVM earliest-arrival search") {
+    import spark.implicits._
+    val res = SparkEntry.queries("q219_temporal_reach")(spark, dir)
+      .select($"id", $"arr").as[(Long, Long)].collect().toMap
+    assert(res(1L) === 0L && res.size > 1)
+    val custs = graft.engine.Tables.customer(spark, dir)
+      .select($"c_custkey").as[Long].collect()
+    val kids = custs.filter(_ >= 2).groupBy(_ / 2)
+    // bounded-hop earliest arrival, exhaustive over improving states
+    val best = scala.collection.mutable.Map(1L -> 0L)
+    var frontier = Map(1L -> 0L)
+    for (_ <- 1 to 6) {
+      val next = scala.collection.mutable.Map[Long, Long]()
+      frontier.foreach { case (u, arr) =>
+        kids.getOrElse(u, Array.empty[Long]).foreach { c =>
+          val t = 1 + c % 28
+          if (t >= arr && best.get(c).forall(_ > t) &&
+            next.get(c).forall(_ > t)) next(c) = t
+        }
+      }
+      frontier = next.toMap.filter { case (n, t) => best.get(n).forall(_ > t) }
+      frontier.foreach { case (n, t) => best(n) = t }
+    }
+    assert(res === best.toMap)
+  }
+
+  test("capped running stock replays the JVM clamp fold and stays in range") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q220_capped_runsum")(spark, dir)
+      .select($"shard", $"d".cast("string"), $"c", $"dem", $"cap", $"stock")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (sh, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val dem = sorted.head._4; val cap = sorted.head._5
+      assert(dem === sorted.map(_._3).sum / sorted.length)
+      var acc = 0L
+      sorted.foreach { r =>
+        acc = math.min(cap, math.max(0L, acc + r._3 - dem))
+        assert(r._6 === acc, s"shard $sh day ${r._2}")
+        assert(acc >= 0L && acc <= cap)
+      }
+    }
+  }
+
+  test("bitmap index counts equal exact distinct-set algebra") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q221_bitmap_index")(spark, dir)
+      .select($"n_view", $"n_purchase", $"n_both", $"n_either",
+        $"jaccard_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+    val viewers = ev.filter(_._1 == "view").map(_._2).toSet
+    val buyers = ev.filter(_._1 == "purchase").map(_._2).toSet
+    assert(row._1 === viewers.size.toLong)
+    assert(row._2 === buyers.size.toLong)
+    assert(row._3 === (viewers intersect buyers).size.toLong)
+    assert(row._4 === (viewers union buyers).size.toLong)
+    assert(row._5 === row._3 * 1000000L / row._4)
+  }
 }
