@@ -804,6 +804,34 @@ object Profiling {
           ($"wp50c".cast("double") / 100.0).as("wp50"),
           ($"wp90c".cast("double") / 100.0).as("wp90"))
         .orderBy($"l_returnflag")
+    }),
+
+    // l-diversity audit — k-anonymity's (q205) necessary complement:
+    // a cell can hold k > 5 members and STILL leak if they all share
+    // one sensitive value (the homogeneity attack). Per coarser QI
+    // cell (nation × balance band), the sensitive attribute's
+    // distinct count l = |segments|, flagged when l < 2; the exposed
+    // row mass rides as a bounded window fold. One aggregate with an
+    // exact distinct — at 100 TB the HLL register path (q125) is the
+    // documented estimate when exact per-cell distincts stop paying.
+    "q223_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val cells = T.customer(s, dir)
+        .select($"c_nationkey".cast("long").as("nation"),
+          expr("(CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000) div 100000")
+            .as("bal_band"),
+          $"c_mktsegment")
+        .groupBy($"nation", $"bal_band")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"c_mktsegment").as("l"))
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("homogeneous", $"l" < 2L)
+        .withColumn("rows_exposed",
+          sum(when($"l" < 2L, $"n").otherwise(0L)).over(wAll))
+        .select($"nation", $"bal_band", $"n", $"l", $"homogeneous",
+          $"rows_exposed")
+        .orderBy($"nation", $"bal_band")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1058,6 +1086,21 @@ object Profiling {
         |  CAST(min(CASE WHEN cumw >= (tw * 90 + 99) // 100 THEN c END)
         |    AS DOUBLE) / 100.0 AS wp90
         |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Identical coarser QI cells, exact distinct sensitive counts,
+    // l < 2 homogeneity gate, bounded exposure fold.
+    "q223_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    (CAST(round(c_acctbal * 100.0) AS BIGINT) + 100000) // 100000
+        |      AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT nation, bal_band, n, l, l < 2 AS homogeneous,
+        |  CAST(sum(CASE WHEN l < 2 THEN n ELSE 0 END) OVER () AS BIGINT)
+        |    AS rows_exposed
+        |FROM cells ORDER BY nation, bal_band""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

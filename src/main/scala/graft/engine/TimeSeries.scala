@@ -748,6 +748,39 @@ object TimeSeries {
         .select($"shard", $"dem", $"cap", $"col.d".as("d"),
           $"col.c".as("c"), $"col.stock".as("stock"))
         .orderBy($"shard", $"d")
+    }),
+
+    // Interval coalescing (merge overlapping validity intervals):
+    // q192's shipment intervals merged into maximal covered spans per
+    // shard — the timeline-consolidation op behind SCD repair,
+    // contract-coverage questions, and downtime accounting. Classic
+    // gaps-and-islands: order intervals by (start, end), a new island
+    // starts where start > the running max of PRIOR ends (strictly
+    // after ⇒ abutting intervals merge), island id = running flag
+    // sum. Both windows sit inside the per-shard partition — one
+    // shuffle, no self-joins, and the quadratic "overlaps" join never
+    // appears. Integer date arithmetic throughout.
+    "q222_interval_merge" -> ((s, dir) => {
+      import s.implicits._
+      val iv = T.lineitem(s, dir)
+        .filter($"l_returnflag" === "R" && year($"l_shipdate") === 1996)
+        .select(($"l_suppkey" % 8L).as("shard"),
+          to_date($"l_shipdate").as("s"),
+          expr("date_add(to_date(l_shipdate), CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT))")
+            .as("e"))
+      val w = Window.partitionBy($"shard").orderBy($"s", $"e")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("max_prev_e", max($"e").over(wPrev))
+        .withColumn("new_island",
+          when($"max_prev_e".isNull || $"s" > $"max_prev_e", 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"new_island").over(wRun))
+        .groupBy($"shard", $"island")
+        .agg(min($"s").as("island_start"), max($"e").as("island_end"),
+          count(lit(1)).as("n_intervals"))
+        .withColumn("span_days", datediff($"island_end", $"island_start"))
+        .orderBy($"shard", $"island")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1022,6 +1055,37 @@ object TimeSeries {
         |SELECT shard, dem, cap, unnest(dl) AS d, unnest(cl) AS c,
         |  unnest(r[2:]) AS stock
         |FROM f ORDER BY shard, d""".stripMargin,
+
+    // Identical islands construction (running max of prior ends,
+    // strict-gap island starts, flag-sum ids).
+    "q222_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT CAST(l_suppkey % 8 AS BIGINT) AS shard,
+        |    CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT) AS e
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996),
+        |m AS (
+        |  SELECT shard, s, e,
+        |    max(e) OVER (PARTITION BY shard ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_e
+        |  FROM iv),
+        |fl AS (
+        |  SELECT shard, s, e,
+        |    CASE WHEN max_prev_e IS NULL OR s > max_prev_e THEN 1 ELSE 0 END
+        |      AS new_island
+        |  FROM m),
+        |isl AS (
+        |  SELECT shard, s, e,
+        |    CAST(sum(new_island) OVER (PARTITION BY shard ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM fl)
+        |SELECT shard, island, min(s) AS island_start, max(e) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(max(e) - min(s) AS INT) AS span_days
+        |FROM isl GROUP BY shard, island
+        |ORDER BY shard, island""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

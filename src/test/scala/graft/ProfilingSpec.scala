@@ -1290,4 +1290,57 @@ class ProfilingSpec extends AnyFunSuite {
     assert(row._4 === (viewers union buyers).size.toLong)
     assert(row._5 === row._3 * 1000000L / row._4)
   }
+
+  test("interval merge: islands replay the JVM sweep, disjoint and complete") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q222_interval_merge")(spark, dir)
+      .select($"shard", $"island", $"island_start".cast("string"),
+        $"island_end".cast("string"), $"n_intervals", $"span_days")
+      .as[(Long, Long, String, String, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val iv = graft.engine.Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R" && year($"l_shipdate") === 1996)
+      .select(($"l_suppkey" % 8L),
+        to_date($"l_shipdate").cast("string"),
+        expr("date_add(to_date(l_shipdate), CAST(1 + (l_suppkey + l_orderkey) % 14 AS INT))")
+          .cast("string"))
+      .as[(Long, String, String)].collect()
+    assert(rows.map(_._5).sum === iv.length.toLong)
+    rows.groupBy(_._1).foreach { case (sh, isles) =>
+      val sorted = isles.sortBy(_._2)
+      // strictly separated, ordered islands
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3, s"shard $sh islands overlap")
+        case _ =>
+      }
+      // JVM merge replay
+      val sIv = iv.filter(_._1 == sh).map(x => (x._2, x._3)).sortBy(identity)
+      val merged = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+      sIv.foreach { case (s0, e0) =>
+        if (merged.nonEmpty && s0 <= merged.last._2) {
+          val (ms, me, n) = merged.last
+          merged(merged.length - 1) =
+            (ms, if (e0 > me) e0 else me, n + 1)
+        } else merged += ((s0, e0, 1L))
+      }
+      assert(sorted.map(x => (x._3, x._4, x._5)).toSeq === merged.toSeq,
+        s"shard $sh merge replay")
+    }
+  }
+
+  test("l-diversity cells cover the table and homogeneity flags replay") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q223_l_diversity")(spark, dir)
+      .select($"nation", $"bal_band", $"n", $"l", $"homogeneous",
+        $"rows_exposed")
+      .as[(Long, Long, Long, Long, Boolean, Long)].collect()
+    assert(rows.map(_._3).sum ===
+      graft.engine.Tables.customer(spark, dir).count())
+    rows.foreach { case (_, _, n, l, hom, _) =>
+      assert(l >= 1L && l <= math.min(n, 5L))
+      assert(hom === (l < 2L))
+    }
+    val exposed = rows.filter(_._4 < 2L).map(_._3).sum
+    rows.foreach(r => assert(r._6 === exposed))
+  }
 }
