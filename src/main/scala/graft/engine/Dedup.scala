@@ -509,6 +509,43 @@ object Dedup {
         .orderBy($"doc1", $"doc2")
     }),
 
+    // Dedup-quality MEASUREMENT: precision/recall of the MinHash-LSH
+    // candidate generator (q51's 4×2 banding) against exact-Jaccard
+    // ≥ 0.5 ground truth — "we dedup with LSH" is an empty claim
+    // until its miss rate is a number a pipeline owner can read.
+    // Truth rides the memoized shared-shingle spine (pairs sharing no
+    // shingle have J = 0, so the spine is complete for any positive
+    // threshold); the Jaccard gate is the integer micro ratio — no
+    // float compare. Candidates are the identical banding the dedup
+    // pipeline runs. Both are |pairs|-sized frames; the verdict is
+    // three 1-row aggregates crossed (the q151/q166 shape) with
+    // integer micro P/R and a zero-denominator guard mirrored on both
+    // engines.
+    "q225_dedup_pr" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val truth = sharedShinglePairs(s, dir)
+        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
+        .withColumn("j_micro",
+          expr("(n_common * 1000000) div (sz1 + sz2 - n_common)"))
+        .filter($"j_micro" >= 500000L)
+        .select($"doc1", $"doc2")
+      val cand = lshPairs(s, dir)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = cand.join(truth, Seq("doc1", "doc2"))
+        .agg(count(lit(1)).as("n_hit"))
+      nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+        .withColumn("precision_micro",
+          when($"n_cand" > 0L, expr("(n_hit * 1000000) div n_cand")))
+        .withColumn("recall_micro",
+          when($"n_truth" > 0L, expr("(n_hit * 1000000) div n_truth")))
+        .select($"n_truth", $"n_cand", $"n_hit", $"precision_micro",
+          $"recall_micro")
+    }),
+
     // Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
     // al., "Deduplicating Training Data Makes Language Models Better",
     // ACL 2022 — PAPERS.md): instead of a per-document near-dup
@@ -1289,6 +1326,47 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc2
          |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
          |ORDER BY doc1, doc2""".stripMargin,
+
+    // Identical truth gate (integer micro Jaccard over the brute
+    // shingle join), identical minhash banding, identical 1-row P/R
+    // tail with the zero-denominator guard.
+    "q225_dedup_pr" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS (
+         |  SELECT doc1, doc2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc1
+         |  JOIN sizes sb ON sb.doc_id = doc2
+         |  WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= 500000),
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed/2) AS BIGINT) AS band,
+         |    max(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    max(CASE WHEN seed % 2 = 1 THEN mh END) AS bandkey
+         |  FROM sigs GROUP BY doc_id, CAST(floor(seed/2) AS BIGINT)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+         |agg AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand
+         |     JOIN truth USING (doc1, doc2)) AS n_hit)
+         |SELECT n_truth, n_cand, n_hit,
+         |  CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand END
+         |    AS precision_micro,
+         |  CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth END
+         |    AS recall_micro
+         |FROM agg""".stripMargin,
 
     // Deliberately the BRUTE-FORCE form (no prefix logic): matching it
     // hash-exactly proves the Spark side's prefix filter is lossless.

@@ -832,6 +832,39 @@ object Profiling {
         .select($"nation", $"bal_band", $"n", $"l", $"homogeneous",
           $"rows_exposed")
         .orderBy($"nation", $"bal_band")
+    }),
+
+    // INFERRED data contracts: derive the expectation suite from a
+    // reference slice (orders < 1998 — value bounds, the allowed
+    // priority set, non-null keys) and validate the current slice
+    // against it — the auto-profiling mode of Deequ/Great
+    // Expectations, vs q151's hand-written constraints. The inferred
+    // parameters are 1-row/|domain|-row frames broadcast against the
+    // current slice (bounds as a 1-row cross — the q95 shape; the
+    // allowed set as a LEFT ANTI join); each check is one
+    // combine-able count. All integer compares on exact cents.
+    "q224_inferred_contracts" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).select($"o_custkey",
+        round($"o_totalprice" * 100.0).cast("long").as("cents"),
+        $"o_orderpriority", (year($"o_orderdate") < 1998).as("is_ref"))
+      val ref = o.filter($"is_ref")
+      val cur = o.filter(!$"is_ref")
+      val bounds = ref.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+      val allowed = ref.select($"o_orderpriority").distinct()
+      val rangeViol = cur.crossJoin(broadcast(bounds))
+        .filter($"cents" < $"lo" || $"cents" > $"hi")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("range_totalprice").as("check"), $"n_violations")
+      val setViol = cur
+        .join(broadcast(allowed), Seq("o_orderpriority"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("priority_in_ref_set").as("check"), $"n_violations")
+      val nullViol = cur.filter($"o_custkey".isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("custkey_not_null").as("check"), $"n_violations")
+      rangeViol.unionByName(setViol).unionByName(nullViol)
+        .orderBy($"check")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1101,6 +1134,32 @@ object Profiling {
         |  CAST(sum(CASE WHEN l < 2 THEN n ELSE 0 END) OVER () AS BIGINT)
         |    AS rows_exposed
         |FROM cells ORDER BY nation, bal_band""".stripMargin,
+
+    // Identical inferred bounds/set from the reference slice and the
+    // identical three validation counts.
+    "q224_inferred_contracts" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    o_orderpriority, year(o_orderdate) < 1998 AS is_ref
+        |  FROM orders),
+        |bounds AS (
+        |  SELECT min(cents) AS lo, max(cents) AS hi FROM o WHERE is_ref),
+        |checks AS (
+        |  SELECT 'range_totalprice' AS check_name, CAST(count(*) AS BIGINT)
+        |      AS n_violations
+        |  FROM o CROSS JOIN bounds
+        |  WHERE NOT is_ref AND (cents < lo OR cents > hi)
+        |  UNION ALL
+        |  SELECT 'priority_in_ref_set', CAST(count(*) AS BIGINT)
+        |  FROM o
+        |  WHERE NOT is_ref AND o_orderpriority NOT IN
+        |    (SELECT DISTINCT o_orderpriority FROM o WHERE is_ref)
+        |  UNION ALL
+        |  SELECT 'custkey_not_null', CAST(count(*) AS BIGINT)
+        |  FROM o WHERE NOT is_ref AND o_custkey IS NULL)
+        |SELECT check_name AS "check", n_violations
+        |FROM checks ORDER BY check_name""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

@@ -96,7 +96,10 @@ class PlanLintSpec extends AnyFunSuite {
     // q68 pigeonhole banding replaces the all-pairs tail.
     "q215_blob_fingerprint",
     // q217 reuses q154's broadcast bounded-query-set kNN shape.
-    "q217_macro_f1")
+    "q217_macro_f1",
+    // q224 crosses the 1-row inferred bounds (q95 shape); q225
+    // crosses its three 1-row P/R aggregates (q151/q166 shape).
+    "q224_inferred_contracts", "q225_dedup_pr")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

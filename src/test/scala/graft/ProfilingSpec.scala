@@ -1343,4 +1343,37 @@ class ProfilingSpec extends AnyFunSuite {
     val exposed = rows.filter(_._4 < 2L).map(_._3).sum
     rows.foreach(r => assert(r._6 === exposed))
   }
+
+  test("inferred contracts: violations replay from the raw JVM slices") {
+    import spark.implicits._
+    val checks = SparkEntry.queries("q224_inferred_contracts")(spark, dir)
+      .select($"check", $"n_violations").as[(String, Long)].collect().toMap
+    val o = graft.engine.Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100.0).cast("long"),
+        $"o_orderpriority", year($"o_orderdate") < 1998)
+      .as[(Long, String, Boolean)].collect()
+    val ref = o.filter(_._3); val cur = o.filterNot(_._3)
+    val lo = ref.map(_._1).min; val hi = ref.map(_._1).max
+    assert(checks("range_totalprice") ===
+      cur.count(r => r._1 < lo || r._1 > hi).toLong)
+    val allowed = ref.map(_._2).toSet
+    assert(checks("priority_in_ref_set") ===
+      cur.count(r => !allowed(r._2)).toLong)
+    assert(checks("custkey_not_null") === 0L)
+  }
+
+  test("dedup P/R: hits bounded by both sides, high recall on the fixture") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q225_dedup_pr")(spark, dir)
+      .select($"n_truth", $"n_cand", $"n_hit", $"precision_micro",
+        $"recall_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nt, nc, nh, p, r) = row
+    assert(nt > 0L && nc > 0L, "fixture must contain near-dup pairs")
+    assert(nh <= math.min(nt, nc))
+    assert(p === nh * 1000000L / nc && r === nh * 1000000L / nt)
+    // the fixture's near-dups are close to identical, so 4×2 banding
+    // must catch nearly all of them
+    assert(r >= 700000L, s"LSH recall $r collapsed")
+  }
 }
