@@ -865,6 +865,39 @@ object Profiling {
         .select(lit("custkey_not_null").as("check"), $"n_violations")
       rangeViol.unionByName(setViol).unionByName(nullViol)
         .orderBy($"check")
+    }),
+
+    // Share-of-parent hierarchical contribution (nation within
+    // region, region within total) — the BI rollup every revenue
+    // dashboard leads with. Star join broadcasts the dims; shares are
+    // integer micro ratios over window sums at each hierarchy level
+    // (|nations| and 1-row folds — bounded), display doubles derived
+    // from the integers. One corpus-sized aggregate, nothing else.
+    "q226_share_of_parent" -> ((s, dir) => {
+      import s.implicits._
+      val rev = T.orders(s, dir)
+        .join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(T.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .join(T.region(s, dir), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(round($"o_totalprice" * 100.0).cast("long")).as("cents"),
+          count(lit(1)).as("n_orders"))
+      rev
+        .withColumn("region_cents",
+          sum($"cents").over(Window.partitionBy($"r_name")))
+        .withColumn("total_cents",
+          sum($"cents").over(Window.partitionBy(lit(1))))
+        .withColumn("share_of_region_micro",
+          expr("(cents * 1000000) div region_cents"))
+        .withColumn("share_of_total_micro",
+          expr("(cents * 1000000) div total_cents"))
+        .select($"r_name", $"n_name", $"n_orders", $"cents",
+          $"share_of_region_micro", $"share_of_total_micro",
+          ($"share_of_region_micro".cast("double") / lit(1000000.0))
+            .as("share_of_region"),
+          ($"share_of_total_micro".cast("double") / lit(1000000.0))
+            .as("share_of_total"))
+        .orderBy($"r_name", $"n_name")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1160,6 +1193,33 @@ object Profiling {
         |  FROM o WHERE NOT is_ref AND o_custkey IS NULL)
         |SELECT check_name AS "check", n_violations
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // Identical star rollup and integer micro shares.
+    "q226_share_of_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY r_name, n_name),
+        |w AS (
+        |  SELECT *,
+        |    CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |      AS region_cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT r_name, n_name, n_orders, cents,
+        |  (cents * 1000000) // region_cents AS share_of_region_micro,
+        |  (cents * 1000000) // total_cents AS share_of_total_micro,
+        |  CAST((cents * 1000000) // region_cents AS DOUBLE) / 1000000.0
+        |    AS share_of_region,
+        |  CAST((cents * 1000000) // total_cents AS DOUBLE) / 1000000.0
+        |    AS share_of_total
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

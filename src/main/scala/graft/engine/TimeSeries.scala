@@ -781,6 +781,47 @@ object TimeSeries {
           count(lit(1)).as("n_intervals"))
         .withColumn("span_days", datediff($"island_end", $"island_start"))
         .orderBy($"shard", $"island")
+    }),
+
+    // Bounce rate + exit-type distribution — the session-quality
+    // report beside q211's funnel: per user shard, how many sessions
+    // end after ONE event (bounce) and what the LAST event of each
+    // session was (exit page analysis). Rides q198's islands; the
+    // exit pick is a per-session rank-1 window (total (us, event_id)
+    // order), bounce a per-session count — both inside the per-user
+    // shuffle; micro rates are integer floor-divs over bounded shard
+    // folds.
+    "q227_bounce_exit" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_sess").over(wRun))
+      val wLast = Window.partitionBy($"user_id", $"session_idx")
+        .orderBy($"us".desc, $"event_id".desc)
+      val wSess = Window.partitionBy($"user_id", $"session_idx")
+      val perSess = sess
+        .withColumn("rn", row_number().over(wLast))
+        .withColumn("n_events", count(lit(1)).over(wSess))
+        .filter($"rn" === 1)
+        .select(($"user_id" % 8L).as("shard"),
+          $"event_type".as("exit_type"), $"n_events")
+      perSess.groupBy($"shard", $"exit_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n_events" === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("shard_sessions",
+          sum($"n_sessions").over(Window.partitionBy($"shard")))
+        .withColumn("shard_bounce_micro", expr(
+          "(sum(n_bounce) OVER (PARTITION BY shard) * 1000000) div shard_sessions"))
+        .select($"shard", $"exit_type", $"n_sessions", $"n_bounce",
+          $"shard_sessions", $"shard_bounce_micro")
+        .orderBy($"shard", $"exit_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1086,6 +1127,43 @@ object TimeSeries {
         |  CAST(max(e) - min(s) AS INT) AS span_days
         |FROM isl GROUP BY shard, island
         |ORDER BY shard, island""".stripMargin,
+
+    // Identical islands, per-session rank-1 exit pick, integer micro
+    // bounce rates.
+    "q227_bounce_exit" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |si AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |ps AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+        |    event_type AS exit_type, n_events
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY us DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, session_idx) AS n_events
+        |    FROM si) t
+        |  WHERE rn = 1),
+        |g AS (
+        |  SELECT shard, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounce
+        |  FROM ps GROUP BY shard, exit_type)
+        |SELECT shard, exit_type, n_sessions, n_bounce,
+        |  CAST(sum(n_sessions) OVER (PARTITION BY shard) AS BIGINT)
+        |    AS shard_sessions,
+        |  CAST((sum(n_bounce) OVER (PARTITION BY shard) * 1000000)
+        |    // sum(n_sessions) OVER (PARTITION BY shard) AS BIGINT)
+        |    AS shard_bounce_micro
+        |FROM g ORDER BY shard, exit_type""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

@@ -1376,4 +1376,40 @@ class ProfilingSpec extends AnyFunSuite {
     // must catch nearly all of them
     assert(r >= 700000L, s"LSH recall $r collapsed")
   }
+
+  test("share-of-parent: shares sum to ~1 within region and overall") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q226_share_of_parent")(spark, dir)
+      .select($"r_name", $"cents", $"share_of_region_micro",
+        $"share_of_total_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // floor-div shares under-count by at most |children| micro units
+    rows.groupBy(_._1).foreach { case (r, ns) =>
+      val sum = ns.map(_._3).sum
+      assert(sum <= 1000000L && sum > 1000000L - ns.length,
+        s"region $r share mass $sum")
+    }
+    val total = rows.map(_._4).sum
+    assert(total <= 1000000L && total > 1000000L - rows.length)
+  }
+
+  test("bounce/exit masses reconcile with the sessionization") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q227_bounce_exit")(spark, dir)
+      .select($"shard", $"n_sessions", $"n_bounce", $"shard_sessions",
+        $"shard_bounce_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val sess = SparkEntry.queries("q198_session_windows")(spark, dir)
+      .select(($"user_id" % 8L).as("sh"), $"n_events")
+      .as[(Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (sh, cells) =>
+      val all = sess.filter(_._1 == sh)
+      assert(cells.map(_._2).sum === all.length.toLong, s"shard $sh sessions")
+      assert(cells.map(_._3).sum === all.count(_._2 == 1L).toLong,
+        s"shard $sh bounces")
+      val expect = all.count(_._2 == 1L).toLong * 1000000L / all.length
+      cells.foreach(c => assert(c._5 === expect))
+    }
+  }
 }

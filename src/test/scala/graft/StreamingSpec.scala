@@ -631,4 +631,39 @@ class StreamingSpec extends AnyFunSuite {
         s"user $u: stream $s != batch ($nv,$nc,$nvc,$np,$nm)")
     }
   }
+
+  test("stateful streaming sessionization equals q198's batch islands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.events(spark, dir)
+      .select($"event_id", unix_micros($"ts").as("tsUs"), $"user_id",
+        $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.tsUs, e.event_id))
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStateful(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_parity_test").start()
+    ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sess_parity_test").as[Streams.SessionOut]
+      .collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sorted.toSeq
+    // batch side: q198 minus each user's LAST session (still open in
+    // the stream's state — append mode only emits CLOSED sessions)
+    val batch = SparkEntry.queries("q198_session_windows")(spark, dir)
+      .select($"user_id", $"session_idx", unix_micros($"t_start"),
+        unix_micros($"t_end"), $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val closed = batch.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+      ss.sortBy(_._2).dropRight(1)
+    }.map(s => (s._1, s._3, s._4, s._5)).sorted
+    assert(streamed === closed,
+      "stream-emitted sessions must equal the batch islands minus the open tail")
+    assert(streamed.nonEmpty)
+  }
 }
