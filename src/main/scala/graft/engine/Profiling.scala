@@ -898,6 +898,104 @@ object Profiling {
           ($"share_of_total_micro".cast("double") / lit(1000000.0))
             .as("share_of_total"))
         .orderBy($"r_name", $"n_name")
+    }),
+
+    // Quantile (rank-uniform) feature transform: map each order value
+    // to its empirical CDF position in integer micro-units — the
+    // monotone normalization tree models and calibration layers want,
+    // robust to any marginal distribution. Built on the two-level
+    // layout (q174's device): cumulative counts over the DEDUPED
+    // value domain — one combine-able count + a bounded-domain window
+    // — then a broadcast-able equi-join back to the sampled rows;
+    // never a global row sort.
+    "q228_quantile_transform" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).select($"o_orderkey",
+        round($"o_totalprice" * 100.0).cast("long").as("cents"))
+      val dv = o.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = dv.withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
+        .select($"cents", expr("(cum * 1000000) div n").as("cdf_micro"))
+      o.filter($"o_orderkey" % 100 === 0)
+        .join(cdf, "cents")
+        .select($"o_orderkey", $"cents", $"cdf_micro",
+          ($"cdf_micro".cast("double") / lit(1000000.0)).as("cdf"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ARPU decomposition — revenue-per-user split into its two levers
+    // (conversion × spend-per-buyer), the first question any growth
+    // review asks of a revenue delta. Users from the customer dim,
+    // buyers/revenue from one combine-able orders pass; every rate is
+    // an integer micro floor-div. The near-identity arpu ≈ conv ×
+    // spend_per_user is pinned in the spec (exact in rationals,
+    // floors differ by < 1µ each).
+    "q229_arpu_decomposition" -> ((s, dir) => {
+      import s.implicits._
+      val users = T.customer(s, dir)
+        .groupBy(($"c_custkey" % 8L).as("shard"))
+        .agg(count(lit(1)).as("n_users"))
+      val buy = T.orders(s, dir)
+        .groupBy(($"o_custkey" % 8L).as("shard"))
+        .agg(countDistinct($"o_custkey").as("n_buyers"),
+          count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100.0).cast("long")).as("cents"))
+      users.join(buy, Seq("shard"), "left")
+        .select($"shard", $"n_users",
+          coalesce($"n_buyers", lit(0L)).as("n_buyers"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"cents", lit(0L)).as("cents"))
+        .withColumn("conv_micro", expr("(n_buyers * 1000000) div n_users"))
+        .withColumn("aov_micro",
+          when($"n_orders" > 0L, expr("(cents * 10000) div n_orders")))
+        .withColumn("arpu_micro", expr("(cents * 10000) div n_users"))
+        .orderBy($"shard")
+    }),
+
+    // Drift ATTRIBUTION — q202's PSI computed per DIMENSION (numeric
+    // value bins and the categorical priority domain side by side),
+    // so a drift alarm comes with "which column moved". Same
+    // Laplace-smoothed micro-nat machinery, with every fold
+    // partitioned by dimension (bounded bins per dimension at any
+    // scale); bin labels are strings so both binnings share one
+    // schema.
+    "q230_drift_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).select(
+        (year($"o_orderdate") < 1998).as("is_ref"),
+        expr("CAST(length(bin(CAST(round(o_totalprice * 100.0) AS BIGINT) + 1)) - 1 AS STRING)")
+          .as("tp_bin"),
+        $"o_orderpriority")
+      val dims = o.select($"is_ref", lit("totalprice_log2").as("dimension"),
+        $"tp_bin".as("bin_label"))
+        .unionByName(o.select($"is_ref",
+          lit("orderpriority").as("dimension"),
+          $"o_orderpriority".as("bin_label")))
+      val cnt = dims.groupBy($"dimension", $"bin_label").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+      val wD = Window.partitionBy($"dimension")
+      cnt
+        .withColumn("b_count", count(lit(1)).over(wD))
+        .withColumn("sr", $"n_ref" + 1L)
+        .withColumn("sc", $"n_cur" + 1L)
+        .withColumn("tr", sum($"n_ref").over(wD) + $"b_count")
+        .withColumn("tc", sum($"n_cur").over(wD) + $"b_count")
+        .withColumn("ln_ratio_micro",
+          round(log(($"sr" * $"tc").cast("double") /
+            ($"sc" * $"tr").cast("double")) * 1e6).cast("long"))
+        .withColumn("term_micro", floor(
+          (($"sr".cast("double") / $"tr".cast("double") -
+            $"sc".cast("double") / $"tc".cast("double")) *
+            ($"ln_ratio_micro".cast("double") / lit(1000000.0))) *
+            lit(1000000.0)).cast("long"))
+        .withColumn("dim_psi",
+          sum($"term_micro").over(wD).cast("double") / lit(1000000.0))
+        .select($"dimension", $"bin_label", $"n_ref", $"n_cur",
+          $"term_micro", $"dim_psi")
+        .orderBy($"dimension", $"bin_label")
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1220,6 +1318,96 @@ object Profiling {
         |  CAST((cents * 1000000) // total_cents AS DOUBLE) / 1000000.0
         |    AS share_of_total
         |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+    // Identical deduped-value CDF walk and join-back.
+    "q228_quantile_transform" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |dv AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM o GROUP BY cents),
+        |cdf AS (
+        |  SELECT cents,
+        |    (CAST(sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      * 1000000) // CAST(sum(cnt) OVER () AS BIGINT) AS cdf_micro
+        |  FROM dv)
+        |SELECT o.o_orderkey, o.cents, cdf.cdf_micro,
+        |  CAST(cdf.cdf_micro AS DOUBLE) / 1000000.0 AS cdf
+        |FROM o JOIN cdf ON cdf.cents = o.cents
+        |WHERE o.o_orderkey % 100 = 0
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Identical user/buyer folds and integer micro rates.
+    "q229_arpu_decomposition" ->
+      """WITH users AS (
+        |  SELECT CAST(c_custkey % 8 AS BIGINT) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM customer GROUP BY 1),
+        |buy AS (
+        |  SELECT CAST(o_custkey % 8 AS BIGINT) AS shard,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT u.shard, u.n_users,
+        |  coalesce(b.n_buyers, 0) AS n_buyers,
+        |  coalesce(b.n_orders, 0) AS n_orders,
+        |  coalesce(b.cents, 0) AS cents,
+        |  (coalesce(b.n_buyers, 0) * 1000000) // u.n_users AS conv_micro,
+        |  CASE WHEN coalesce(b.n_orders, 0) > 0
+        |    THEN (b.cents * 10000) // b.n_orders END AS aov_micro,
+        |  (coalesce(b.cents, 0) * 10000) // u.n_users AS arpu_micro
+        |FROM users u LEFT JOIN buy b ON b.shard = u.shard
+        |ORDER BY u.shard""".stripMargin,
+
+    // Identical per-dimension Laplace-smoothed PSI machinery.
+    "q230_drift_attribution" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) < 1998 AS is_ref,
+        |    CAST(length(printf('%b',
+        |      CAST(round(o_totalprice * 100.0) AS BIGINT) + 1)) - 1
+        |      AS VARCHAR) AS tp_bin,
+        |    o_orderpriority
+        |  FROM orders),
+        |dims AS (
+        |  SELECT is_ref, 'totalprice_log2' AS dimension, tp_bin AS bin_label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT is_ref, 'orderpriority', o_orderpriority FROM o),
+        |cnt AS (
+        |  SELECT dimension, bin_label,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM dims GROUP BY dimension, bin_label),
+        |sm AS (
+        |  SELECT dimension, bin_label, n_ref, n_cur,
+        |    n_ref + 1 AS sr, n_cur + 1 AS sc,
+        |    CAST(sum(n_ref) OVER (PARTITION BY dimension)
+        |      + count(*) OVER (PARTITION BY dimension) AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) OVER (PARTITION BY dimension)
+        |      + count(*) OVER (PARTITION BY dimension) AS BIGINT) AS tc
+        |  FROM cnt),
+        |terms AS (
+        |  SELECT dimension, bin_label, n_ref, n_cur, sr, sc, tr, tc,
+        |    CAST(round(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS ln_ratio_micro
+        |  FROM sm),
+        |tm AS (
+        |  SELECT dimension, bin_label, n_ref, n_cur,
+        |    CAST(floor(
+        |      (CAST(sr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |       - CAST(sc AS DOUBLE) / CAST(tc AS DOUBLE))
+        |      * (CAST(ln_ratio_micro AS DOUBLE) / 1000000.0)
+        |      * 1000000.0) AS BIGINT) AS term_micro
+        |  FROM terms)
+        |SELECT dimension, bin_label, n_ref, n_cur, term_micro,
+        |  CAST(sum(term_micro) OVER (PARTITION BY dimension) AS DOUBLE)
+        |    / 1000000.0 AS dim_psi
+        |FROM tm ORDER BY dimension, bin_label""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

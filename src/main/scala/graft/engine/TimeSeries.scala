@@ -822,6 +822,52 @@ object TimeSeries {
         .select($"shard", $"exit_type", $"n_sessions", $"n_bounce",
           $"shard_sessions", $"shard_bounce_micro")
         .orderBy($"shard", $"exit_type")
+    }),
+
+    // First-touch vs last-touch attribution, side by side: purchase
+    // sessions credit their revenue to (a) the session's FIRST event
+    // type and (b) the LAST event type strictly before the first
+    // purchase ('direct' if the purchase opened the session) — the
+    // two models every marketing-mix debate compares. Rides q198's
+    // islands; the picks are min/max over (us, event_id, type)
+    // structs inside one per-session aggregate (total order ⇒
+    // deterministic), revenue is the exact-cents purchase sum. Output
+    // = bounded (model × event type) cells.
+    "q231_attribution_compare" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSess = Window.partitionBy($"user_id", $"session_idx")
+      val sess = T.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          Exact.scaled($"value", 100).as("cents"))
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"new_sess").over(wRun))
+        .withColumn("fb_us",
+          min(when($"event_type" === "purchase", $"us")).over(wSess))
+        .filter($"fb_us".isNotNull)
+      val perSess = sess
+        .groupBy($"user_id", $"session_idx")
+        .agg(
+          sum(when($"event_type" === "purchase", $"cents").otherwise(0L))
+            .as("rev"),
+          min(struct($"us", $"event_id", $"event_type")).as("ft"),
+          max(when($"us" < $"fb_us",
+            struct($"us", $"event_id", $"event_type"))).as("lb"))
+        .select($"ft.event_type".as("ft_type"),
+          coalesce($"lb.event_type", lit("direct")).as("lb_type"), $"rev")
+      perSess
+        .select(lit("first_touch").as("model"), $"ft_type".as("credited"),
+          $"rev")
+        .unionByName(perSess.select(lit("last_touch").as("model"),
+          $"lb_type".as("credited"), $"rev"))
+        .groupBy($"model", $"credited")
+        .agg(count(lit(1)).as("n_sessions"), sum($"rev").as("revenue_cents"))
+        .orderBy($"model", $"credited")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1164,6 +1210,57 @@ object TimeSeries {
         |    // sum(n_sessions) OVER (PARTITION BY shard) AS BIGINT)
         |    AS shard_bounce_micro
         |FROM g ORDER BY shard, exit_type""".stripMargin,
+
+    // Identical islands; first/last picks replayed as rank-1 windows
+    // (cross-formulation of the struct min/max), identical cents.
+    "q231_attribution_compare" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(round((value)*100) AS BIGINT) AS cents, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |si AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |sb AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+        |    OVER (PARTITION BY user_id, session_idx) AS fb_us
+        |  FROM si),
+        |ps AS (SELECT * FROM sb WHERE fb_us IS NOT NULL),
+        |rev AS (
+        |  SELECT user_id, session_idx,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |      AS BIGINT) AS rev
+        |  FROM ps GROUP BY user_id, session_idx),
+        |ft AS (
+        |  SELECT user_id, session_idx, event_type AS ft_type FROM ps
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY us, event_id) = 1),
+        |lb AS (
+        |  SELECT user_id, session_idx, event_type AS lb_type FROM ps
+        |  WHERE us < fb_us
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY us DESC, event_id DESC) = 1),
+        |sess AS (
+        |  SELECT r.user_id, r.session_idx, r.rev, ft.ft_type,
+        |    coalesce(lb.lb_type, 'direct') AS lb_type
+        |  FROM rev r
+        |  JOIN ft ON ft.user_id = r.user_id AND ft.session_idx = r.session_idx
+        |  LEFT JOIN lb ON lb.user_id = r.user_id
+        |    AND lb.session_idx = r.session_idx),
+        |credited AS (
+        |  SELECT 'first_touch' AS model, ft_type AS credited, rev FROM sess
+        |  UNION ALL
+        |  SELECT 'last_touch', lb_type, rev FROM sess)
+        |SELECT model, credited, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_cents
+        |FROM credited GROUP BY model, credited
+        |ORDER BY model, credited""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

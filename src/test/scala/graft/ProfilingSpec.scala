@@ -1412,4 +1412,76 @@ class ProfilingSpec extends AnyFunSuite {
       cells.foreach(c => assert(c._5 === expect))
     }
   }
+
+  test("quantile transform is monotone and replays JVM CDF positions") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q228_quantile_transform")(spark, dir)
+      .select($"o_orderkey", $"cents", $"cdf_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val all = graft.engine.Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100.0).cast("long"))
+      .as[Long].collect().sorted
+    val n = all.length.toLong
+    rows.foreach { case (ok, c, cdf) =>
+      val cumLe = all.count(_ <= c).toLong
+      assert(cdf === cumLe * 1000000L / n, s"order $ok")
+    }
+    // monotone in the value
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3)
+      case _ =>
+    }
+  }
+
+  test("ARPU decomposition: identity conv × spend holds within floor error") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q229_arpu_decomposition")(spark, dir)
+      .select($"shard", $"n_users", $"n_buyers", $"n_orders", $"cents",
+        $"conv_micro", $"arpu_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    rows.foreach { case (sh, nu, nb, no, c, conv, arpu) =>
+      assert(nb <= nu && nb <= no)
+      assert(conv === nb * 1000000L / nu)
+      assert(arpu === c * 10000L / nu, s"shard $sh")
+      // identity: arpu = conv × (spend per buyer), exact in rationals
+      if (nb > 0) {
+        val spendPerBuyer = c.toDouble / nb
+        val viaDecomp = (nb.toDouble / nu) * spendPerBuyer * 10000
+        assert(math.abs(arpu - viaDecomp) < 2.0, s"shard $sh identity")
+      }
+    }
+  }
+
+  test("drift attribution: per-dimension PSI replays q202's machinery") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q230_drift_attribution")(spark, dir)
+      .select($"dimension", $"term_micro", $"dim_psi")
+      .as[(String, Long, Double)].collect()
+    val dims = rows.map(_._1).distinct.sorted
+    assert(dims.toSeq === Seq("orderpriority", "totalprice_log2"))
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      val psi = rs.map(_._2).sum / 1e6
+      rs.foreach(r => assert(math.abs(r._3 - psi) < 1e-9, s"dim $d"))
+      assert(psi >= 0.0)
+    }
+  }
+
+  test("attribution models conserve total purchase-session revenue") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q231_attribution_compare")(spark, dir)
+      .select($"model", $"credited", $"n_sessions", $"revenue_cents")
+      .as[(String, String, Long, Long)].collect()
+    val byModel = rows.groupBy(_._1)
+    assert(byModel.keySet === Set("first_touch", "last_touch"))
+    val ftRev = byModel("first_touch").map(_._4).sum
+    val ltRev = byModel("last_touch").map(_._4).sum
+    assert(ftRev === ltRev, "both models must credit the same total revenue")
+    assert(byModel("first_touch").map(_._3).sum ===
+      byModel("last_touch").map(_._3).sum)
+    // 'direct' can only appear under last_touch
+    assert(!byModel("first_touch").exists(_._2 == "direct"))
+  }
 }
