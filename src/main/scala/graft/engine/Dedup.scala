@@ -546,6 +546,28 @@ object Dedup {
           $"recall_micro")
     }),
 
+    // CONTAINMENT similarity (|A∩B|/|A|, asymmetric) — the direction
+    // Jaccard is blind to: a short document quoted whole inside a
+    // long one has tiny Jaccard but containment ≈ 1, and quote/clone
+    // detection in a training corpus needs exactly that signal (the
+    // same reason ExactSubstr exists beside near-dup). Rides the
+    // memoized shared-shingle spine; both directed containments are
+    // integer micro ratios, pairs kept when EITHER direction ≥ 0.9.
+    "q233_containment" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      sharedShinglePairs(s, dir)
+        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
+        .withColumn("cont12_micro", expr("(n_common * 1000000) div sz1"))
+        .withColumn("cont21_micro", expr("(n_common * 1000000) div sz2"))
+        .filter($"cont12_micro" >= 900000L || $"cont21_micro" >= 900000L)
+        .select($"doc1", $"doc2", $"n_common", $"sz1", $"sz2",
+          $"cont12_micro", $"cont21_micro")
+        .orderBy($"doc1", $"doc2")
+    }),
+
     // Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
     // al., "Deduplicating Training Data Makes Language Models Better",
     // ACL 2022 — PAPERS.md): instead of a per-document near-dup
@@ -1325,6 +1347,26 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc1
          |JOIN sizes sb ON sb.doc_id = doc2
          |WHERE CAST(n_common AS DOUBLE)/CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.1
+         |ORDER BY doc1, doc2""".stripMargin,
+
+    // Brute shingle join, both directed integer containments, the
+    // identical either-direction gate.
+    "q233_containment" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc1, doc2, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(sa.sz AS BIGINT) AS sz1, CAST(sb.sz AS BIGINT) AS sz2,
+         |  (n_common * 1000000) // sa.sz AS cont12_micro,
+         |  (n_common * 1000000) // sb.sz AS cont21_micro
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc1
+         |JOIN sizes sb ON sb.doc_id = doc2
+         |WHERE (n_common * 1000000) // sa.sz >= 900000
+         |   OR (n_common * 1000000) // sb.sz >= 900000
          |ORDER BY doc1, doc2""".stripMargin,
 
     // Identical truth gate (integer micro Jaccard over the brute

@@ -996,6 +996,40 @@ object Profiling {
         .select($"dimension", $"bin_label", $"n_ref", $"n_cur",
           $"term_micro", $"dim_psi")
         .orderBy($"dimension", $"bin_label")
+    }),
+
+    // Kolmogorov–Smirnov two-sample statistic — PSI's (q202)
+    // nonparametric sibling: D = max |CDF_ref − CDF_cur|, sensitive
+    // to WHERE the distributions diverge rather than how much mass
+    // moved per bin, and bin-free. Exact construction: cumulative
+    // counts over the DEDUPED value domain, the CDF difference as the
+    // cross-multiplied INTEGER |cumr·n_cur − cumc·n_ref| (no float
+    // CDFs), total-order (d desc, value) argmax, ONE final IEEE
+    // divide. Windows walk |distinct cents| rows — the bounded money
+    // domain; the q121 sketch is the continuous-domain path.
+    "q234_ks_test" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).select(
+        (year($"o_orderdate") < 1998).as("is_ref"),
+        round($"o_totalprice" * 100.0).cast("long").as("c"))
+      val cnt = o.groupBy($"c").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("nc"))
+      val w = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      cnt.withColumn("cumr", sum($"nr").over(w))
+        .withColumn("cumc", sum($"nc").over(w))
+        .withColumn("tr", sum($"nr").over(wAll))
+        .withColumn("tc", sum($"nc").over(wAll))
+        .withColumn("d_num", abs($"cumr" * $"tc" - $"cumc" * $"tr"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"d_num".desc, $"c")))
+        .filter($"rn" === 1)
+        .select($"tr".as("n_ref"), $"tc".as("n_cur"), $"c".as("at_cents"),
+          $"d_num",
+          ($"d_num".cast("double") /
+            ($"tr".cast("double") * $"tc".cast("double"))).as("ks"))
     }))
 
   /** Cumulative Poisson(1) CDF scaled to the 13-hex-digit hash domain
@@ -1408,6 +1442,37 @@ object Profiling {
         |  CAST(sum(term_micro) OVER (PARTITION BY dimension) AS DOUBLE)
         |    / 1000000.0 AS dim_psi
         |FROM tm ORDER BY dimension, bin_label""".stripMargin,
+
+    // Identical deduped-value cumulative walk, integer cross-
+    // multiplied CDF gap, total-order argmax, one divide.
+    "q234_ks_test" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) < 1998 AS is_ref,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+        |  FROM orders),
+        |cnt AS (
+        |  SELECT c,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM o GROUP BY c),
+        |cum AS (
+        |  SELECT c,
+        |    CAST(sum(nr) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumr,
+        |    CAST(sum(nc) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumc,
+        |    CAST(sum(nr) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(nc) OVER () AS BIGINT) AS tc
+        |  FROM cnt)
+        |SELECT tr AS n_ref, tc AS n_cur, c AS at_cents,
+        |  abs(cumr * tc - cumc * tr) AS d_num,
+        |  CAST(abs(cumr * tc - cumc * tr) AS DOUBLE)
+        |    / (CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE)) AS ks
+        |FROM cum
+        |QUALIFY row_number() OVER (ORDER BY abs(cumr * tc - cumc * tr) DESC, c)
+        |  = 1""".stripMargin,
 
     // Same two-level rank layout: deduped-score cumulative offsets +
     // within-score row_number; `//` is DuckDB's integer division

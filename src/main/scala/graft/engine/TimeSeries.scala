@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables => T}
@@ -868,6 +868,49 @@ object TimeSeries {
         .groupBy($"model", $"credited")
         .agg(count(lit(1)).as("n_sessions"), sum($"rev").as("revenue_cents"))
         .orderBy($"model", $"credited")
+    }),
+
+    // Cross-correlation (lead-lag discovery) between the revenue and
+    // event-volume daily series per shard — ACF's (q169) two-series
+    // sibling: a peak at lag k > 0 means volume LEADS revenue by k
+    // days, the causal-ordering hint every ops/finance dashboard
+    // wants. Same integer-residual device (e_t = x_t·n − S, the n
+    // denominator cancels in the ratio); lagged alignments are
+    // window taps, cross-products sum as DECIMAL(38) (Σe² overflows
+    // i64 at sf10), and each CCF is q172's √a·√b one-divide tail.
+    "q232_ccf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = T.events(s, dir)
+        .groupBy(($"user_id" % 8L).as("shard"), to_date($"ts").as("d"))
+        .agg(sum(Exact.scaled($"value", 100)).as("x"),
+          count(lit(1)).as("y"))
+      val st = daily.groupBy($"shard").agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"))
+      val w = Window.partitionBy($"shard").orderBy($"d")
+      val e = daily.join(st, "shard")
+        .withColumn("ex", $"x" * $"n" - $"sx")
+        .withColumn("ey", $"y" * $"n" - $"sy")
+        .withColumn("ey_m2", lag($"ey", 2).over(w))
+        .withColumn("ey_m1", lag($"ey", 1).over(w))
+        .withColumn("ey_p1", lead($"ey", 1).over(w))
+        .withColumn("ey_p2", lead($"ey", 2).over(w))
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val g = e.groupBy($"shard")
+        .agg(max($"n").as("n_days"),
+          dsum($"ex" * $"ex").as("sxx"), dsum($"ey" * $"ey").as("syy"),
+          dsum($"ex" * $"ey_m2").as("n_m2"),
+          dsum($"ex" * $"ey_m1").as("n_m1"),
+          dsum($"ex" * $"ey").as("n_0"),
+          dsum($"ex" * $"ey_p1").as("n_p1"),
+          dsum($"ex" * $"ey_p2").as("n_p2"))
+      val den = sqrt($"sxx") * sqrt($"syy")
+      g.select($"shard", $"n_days",
+        round($"n_m2" / den, 6).as("ccf_m2"),
+        round($"n_m1" / den, 6).as("ccf_m1"),
+        round($"n_0" / den, 6).as("ccf_0"),
+        round($"n_p1" / den, 6).as("ccf_p1"),
+        round($"n_p2" / den, 6).as("ccf_p2"))
+        .orderBy($"shard")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1261,6 +1304,45 @@ object TimeSeries {
         |  CAST(sum(rev) AS BIGINT) AS revenue_cents
         |FROM credited GROUP BY model, credited
         |ORDER BY model, credited""".stripMargin,
+
+    // Identical residuals, window taps, HUGEINT cross-products →
+    // one double conversion each, identical √·√ tails.
+    "q232_ccf" ->
+      """WITH daily AS (
+        |  SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+        |    date_trunc('day', ts)::DATE AS d,
+        |    CAST(sum(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM daily GROUP BY shard),
+        |e AS (
+        |  SELECT daily.shard, n, x*n - sx AS ex, y*n - sy AS ey,
+        |    lag(y*n - sy, 2) OVER w AS ey_m2,
+        |    lag(y*n - sy, 1) OVER w AS ey_m1,
+        |    lead(y*n - sy, 1) OVER w AS ey_p1,
+        |    lead(y*n - sy, 2) OVER w AS ey_p2
+        |  FROM daily JOIN st USING (shard)
+        |  WINDOW w AS (PARTITION BY daily.shard ORDER BY d)),
+        |g AS (
+        |  SELECT shard, max(n) AS n_days,
+        |    CAST(sum(ex * ex) AS DOUBLE) AS sxx,
+        |    CAST(sum(ey * ey) AS DOUBLE) AS syy,
+        |    CAST(sum(ex * ey_m2) AS DOUBLE) AS n_m2,
+        |    CAST(sum(ex * ey_m1) AS DOUBLE) AS n_m1,
+        |    CAST(sum(ex * ey) AS DOUBLE) AS n_0,
+        |    CAST(sum(ex * ey_p1) AS DOUBLE) AS n_p1,
+        |    CAST(sum(ex * ey_p2) AS DOUBLE) AS n_p2
+        |  FROM e GROUP BY shard)
+        |SELECT shard, n_days,
+        |  round(n_m2 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_m2,
+        |  round(n_m1 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_m1,
+        |  round(n_0 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_0,
+        |  round(n_p1 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_p1,
+        |  round(n_p2 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_p2
+        |FROM g ORDER BY shard""".stripMargin,
 
     "q94_gapfill_ffill" ->
       s"""WITH ev AS (

@@ -1484,4 +1484,68 @@ class ProfilingSpec extends AnyFunSuite {
     // 'direct' can only appear under last_touch
     assert(!byModel("first_touch").exists(_._2 == "direct"))
   }
+
+  test("CCF values are bounded and lag-0 replays the JVM correlation") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q232_ccf")(spark, dir)
+      .select($"shard", $"ccf_m2", $"ccf_m1", $"ccf_0", $"ccf_p1", $"ccf_p2")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.length === 8)
+    val daily = graft.engine.Tables.events(spark, dir)
+      .groupBy(($"user_id" % 8L).as("sh"), to_date($"ts").as("d"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+      .select($"sh", $"d".cast("string"), $"x", $"y")
+      .as[(Long, String, Long, Long)].collect()
+    val byShard = daily.groupBy(_._1)
+    rows.foreach { case (sh, m2, m1, c0, p1, p2) =>
+      Seq(m2, m1, c0, p1, p2).foreach(v =>
+        assert(v >= -1.000001 && v <= 1.000001, s"shard $sh bound"))
+      val xs = byShard(sh).sortBy(_._2)
+      val n = xs.length.toLong
+      val sx = xs.map(_._3).sum; val sy = xs.map(_._4).sum
+      val ex = xs.map(r => BigInt(r._3) * n - sx)
+      val ey = xs.map(r => BigInt(r._4) * n - sy)
+      val num = ex.zip(ey).map { case (a, b) => a * b }.sum.toDouble
+      val den = math.sqrt(ex.map(a => a * a).sum.toDouble) *
+        math.sqrt(ey.map(a => a * a).sum.toDouble)
+      assert(math.abs(c0 - num / den) < 1e-4, s"shard $sh lag0")
+    }
+  }
+
+  test("containment pairs are supersets the Jaccard gate would miss") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q233_containment")(spark, dir)
+      .select($"n_common", $"sz1", $"sz2", $"cont12_micro", $"cont21_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nc, s1, s2, c12, c21) =>
+      assert(nc <= s1 && nc <= s2)
+      assert(c12 === nc * 1000000L / s1 && c21 === nc * 1000000L / s2)
+      assert(c12 >= 900000L || c21 >= 900000L)
+    }
+  }
+
+  test("KS statistic replays a JVM CDF sweep") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q234_ks_test")(spark, dir)
+      .select($"n_ref", $"n_cur", $"at_cents", $"d_num", $"ks")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val o = graft.engine.Tables.orders(spark, dir)
+      .select(year($"o_orderdate") < 1998,
+        round($"o_totalprice" * 100.0).cast("long"))
+      .as[(Boolean, Long)].collect()
+    val ref = o.filter(_._1).map(_._2).sorted
+    val cur = o.filterNot(_._1).map(_._2).sorted
+    assert(row._1 === ref.length.toLong && row._2 === cur.length.toLong)
+    val values = (ref ++ cur).distinct.sorted
+    val best = values.map { v =>
+      val d = math.abs(ref.count(_ <= v).toLong * cur.length -
+        cur.count(_ <= v).toLong * ref.length)
+      (d, v)
+    }.maxBy { case (d, v) => (d, -v) }
+    assert(row._4 === best._1 && row._3 === best._2)
+    assert(math.abs(row._5 -
+      best._1.toDouble / (ref.length.toDouble * cur.length)) < 1e-12)
+  }
 }
