@@ -59,7 +59,13 @@ object PlanAudit {
     "q192_peak_concurrency", // combine-able deltas + per-shard window
     "q193_jl_distortion",   // map-side ±chains, capped audit broadcast
     "q198_session_windows", // per-user lag + islands, one shuffle
-    "q200_welch_ttest")     // one conditional-moment pass, 1-row tail
+    "q200_welch_ttest",     // one conditional-moment pass, 1-row tail
+    "q208_rolling_distinct", // per-day HLL rows + calendar RANGE merge
+    "q219_temporal_reach",  // time-guarded frontier relaxation
+    "q221_bitmap_index",    // combine-able bit_or words, bitwise tail
+    "q225_dedup_pr",        // memoized spine + banding, 1-row P/R tail
+    "q232_ccf",             // residual taps, decimal moments, map-side
+    "q234_ks_test")         // deduped-domain CDF walk, 1-row argmax
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
