@@ -107,4 +107,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(rt.map(_._2).sum ===
       graft.engine.Tables.documents(spark, dir).count())
   }
+
+  test("CSV roundtrip preserves the lineitem slice; ORC ≡ JSON bucket-for-bucket") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val viaCsv = SparkEntry.queries("q235_csv_roundtrip")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val direct = graft.engine.Maintenance.tableChecksum(
+      graft.engine.Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_quantity".cast("long").as("l_quantity"),
+          $"l_returnflag", $"l_linestatus"),
+      buckets = 64)
+      .select($"bucket", $"n_rows", $"checksum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaCsv === direct)
+    // ORC and JSON roundtrip the SAME documents projection through the
+    // SAME canonicalization — their bucket rows must be identical.
+    val viaOrc = SparkEntry.queries("q237_orc_roundtrip")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val viaJson = SparkEntry.queries("q209_json_roundtrip")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaOrc === viaJson)
+  }
+
+  test("mergeSchema null-fills the evolved column for old-generation files") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q236_schema_evolution")(spark, dir).collect()
+    val docs = graft.engine.Tables.documents(spark, dir)
+    // counts see every generation; the evolved column aggregates over
+    // only the v2 (odd doc_id) files that physically carry it
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    assert(out.map(_.getLong(2)).sum ===
+      docs.filter($"doc_id" % 2 === 1).count())
+  }
 }
