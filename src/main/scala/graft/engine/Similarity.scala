@@ -182,7 +182,13 @@ object Similarity {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
       val emb = T.spread(T.embeddings(s, dir))
-      val q = T.embeddings(s, dir).filter($"vec_id" % 25 === 0)
+      // the eval probe set is CAPPED like q177/q178's (vec_id % 25 = 0
+      // AND < 2000 ⇒ ≤80 vectors at any sf — an eval benchmark is
+      // fixed-size by nature, it does not grow with the corpus): the
+      // brute-force scoring pass stays |corpus|×80, linear in data.
+      // The cap is vacuous at the oracle sfs (vec_id < 2000 always).
+      val q = T.embeddings(s, dir)
+        .filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           $"label".cast("long").as("true_label"))
       val wTop = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
@@ -490,7 +496,13 @@ object Similarity {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
       val emb = T.spread(T.embeddings(s, dir))
-      val q = T.embeddings(s, dir).filter($"vec_id" % 25 === 0)
+      // the eval probe set is CAPPED like q177/q178's (vec_id % 25 = 0
+      // AND < 2000 ⇒ ≤80 vectors at any sf — an eval benchmark is
+      // fixed-size by nature, it does not grow with the corpus): the
+      // brute-force scoring pass stays |corpus|×80, linear in data.
+      // The cap is vacuous at the oracle sfs (vec_id < 2000 always).
+      val q = T.embeddings(s, dir)
+        .filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           $"label".cast("long").as("true_label"))
       val wTop = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
@@ -883,7 +895,7 @@ object Similarity {
         |                                     CAST(c.embedding AS DOUBLE[])), 6)
         |          AS cos_sim
         |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |      WHERE q.vec_id % 25 = 0) s) r
+        |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 2000) s) r
         |  WHERE rank <= 5),
         |votes AS (
         |  SELECT qid, true_label, nb_label,
@@ -911,7 +923,7 @@ object Similarity {
         |                                     CAST(c.embedding AS DOUBLE[])), 6)
         |          AS cos_sim
         |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |      WHERE q.vec_id % 25 = 0) s) r
+        |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 2000) s) r
         |  WHERE rank <= 5),
         |votes AS (
         |  SELECT qid, true_label, nb_label, CAST(count(*) AS BIGINT) AS votes
