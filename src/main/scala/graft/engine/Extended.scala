@@ -200,9 +200,8 @@ object Extended {
         $"l_orderkey", $"l_partkey", $"l_suppkey",
         $"l_linenumber".cast("long").as("l_linenumber"),
         $"l_quantity".cast("long").as("l_quantity"))
-      val tag = math.abs(dir.hashCode).toString
-      val in = s"/tmp/graft_compact_in_$tag"
-      val out = s"/tmp/graft_compact_out_$tag"
+      val in = Scratch.dir(s, "compact_in", dir)
+      val out = Scratch.dir(s, "compact_out", dir)
       li.repartition(64).write.mode("overwrite").parquet(in)
       Maintenance.compact(s, in, out, targetBytes = 1L << 20)
       Maintenance.tableChecksum(s.read.parquet(out), buckets = 64)
@@ -228,7 +227,7 @@ object Extended {
         $"l_orderkey", $"l_partkey", $"l_suppkey",
         $"l_linenumber".cast("long").as("l_linenumber"),
         $"l_quantity".cast("long").as("l_quantity"))
-      val out = "/tmp/graft_zorder_" + math.abs(dir.hashCode).toString
+      val out = Scratch.dir(s, "zorder", dir)
       Maintenance.zorderWrite(li, "l_orderkey", "l_partkey", out, nFiles = 8)
       Maintenance.tableChecksum(s.read.parquet(out), buckets = 64)
         .orderBy($"bucket")

@@ -887,10 +887,15 @@ object Profiling {
           sum($"cents").over(Window.partitionBy($"r_name")))
         .withColumn("total_cents",
           sum($"cents").over(Window.partitionBy(lit(1))))
+        // The micro numerator is widened to decimal BEFORE the ×1e6:
+        // cents is a nation's full revenue (~9e12 at sf10), so a Long
+        // product sits at the i64 edge and wraps silently beyond —
+        // decimal div keeps the device exact at any sf (result ≤ 1e6
+        // fits Long). Oracle mirrors with HUGEINT.
         .withColumn("share_of_region_micro",
-          expr("(cents * 1000000) div region_cents"))
+          expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div region_cents"))
         .withColumn("share_of_total_micro",
-          expr("(cents * 1000000) div total_cents"))
+          expr("(CAST(cents AS DECIMAL(38,0)) * 1000000) div total_cents"))
         .select($"r_name", $"n_name", $"n_orders", $"cents",
           $"share_of_region_micro", $"share_of_total_micro",
           ($"share_of_region_micro".cast("double") / lit(1000000.0))
@@ -917,7 +922,11 @@ object Profiling {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cdf = dv.withColumn("cum", sum($"cnt").over(w))
         .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
-        .select($"cents", expr("(cum * 1000000) div n").as("cdf_micro"))
+        // cum is a row count — ×1e6 would overflow Long only past
+        // ~9e12 rows, but the decimal widening is free, so apply the
+        // same q226 discipline.
+        .select($"cents",
+          expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div n").as("cdf_micro"))
       o.filter($"o_orderkey" % 100 === 0)
         .join(cdf, "cents")
         .select($"o_orderkey", $"cents", $"cdf_micro",
@@ -1345,12 +1354,14 @@ object Profiling {
         |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents
         |  FROM rev)
         |SELECT r_name, n_name, n_orders, cents,
-        |  (cents * 1000000) // region_cents AS share_of_region_micro,
-        |  (cents * 1000000) // total_cents AS share_of_total_micro,
-        |  CAST((cents * 1000000) // region_cents AS DOUBLE) / 1000000.0
-        |    AS share_of_region,
-        |  CAST((cents * 1000000) // total_cents AS DOUBLE) / 1000000.0
-        |    AS share_of_total
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // region_cents AS BIGINT)
+        |    AS share_of_region_micro,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // total_cents AS BIGINT)
+        |    AS share_of_total_micro,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // region_cents AS DOUBLE)
+        |    / 1000000.0 AS share_of_region,
+        |  CAST((CAST(cents AS HUGEINT) * 1000000) // total_cents AS DOUBLE)
+        |    / 1000000.0 AS share_of_total
         |FROM w ORDER BY r_name, n_name""".stripMargin,
 
     // Identical deduped-value CDF walk and join-back.
@@ -1363,9 +1374,10 @@ object Profiling {
         |       FROM o GROUP BY cents),
         |cdf AS (
         |  SELECT cents,
-        |    (CAST(sum(cnt) OVER (ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      * 1000000) // CAST(sum(cnt) OVER () AS BIGINT) AS cdf_micro
+        |    CAST((CAST(sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      * 1000000) // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT)
+        |      AS cdf_micro
         |  FROM dv)
         |SELECT o.o_orderkey, o.cents, cdf.cdf_micro,
         |  CAST(cdf.cdf_micro AS DOUBLE) / 1000000.0 AS cdf

@@ -427,10 +427,14 @@ object Similarity {
         val d = col(s"pa${j + 1}") - col(s"pb${j + 1}")
         d * d
       }.reduce(_ + _)
+      // Coincident probe vectors (d2o = 0) would hit x/0 — Spark
+      // yields Inf/NaN while DuckDB's behavior is version-dependent,
+      // so both sides emit NULL for that edge instead of dividing.
       pa.join(broadcast(pb), $"a" < $"b")
         .select($"a", $"b", round(d2o, 6).as("d2_orig"),
           round(d2p * lit(0.125), 6).as("d2_proj_scaled"),
-          round(d2p * lit(0.125) / d2o, 6).as("ratio"))
+          when(d2o > lit(0.0), round(d2p * lit(0.125) / d2o, 6))
+            .as("ratio"))
         .orderBy($"a", $"b")
     }),
 
@@ -474,12 +478,17 @@ object Similarity {
           floor(($"d2_next" - $"d2_own").cast("double") /
             greatest($"d2_own", $"d2_next").cast("double") * lit(1000000.0))
             .cast("long"))
-        .withColumn("cluster_mean_sil", round(
-          sum($"sil_micro").over(Window.partitionBy($"cl")).cast("double") /
-            (count(lit(1)).over(Window.partitionBy($"cl")).cast("double") *
-              lit(1000000.0)), 6))
+        // Per-cluster mean stays in integer micro-units: floor(Σ/n) of
+        // non-negative exact integers (sil_micro ≥ 0 since a is the
+        // argmin), the same device as the centroid update — the r6
+        // driver's one hash fail lived in the former round(mean, 6)
+        // float boundary, so the boundary is removed, not nudged.
+        .withColumn("cluster_mean_sil_micro",
+          floor(sum($"sil_micro").over(Window.partitionBy($"cl")).cast("double") /
+            count(lit(1)).over(Window.partitionBy($"cl")).cast("double"))
+            .cast("long"))
         .select($"vec_id", $"cl", $"d2_own", $"d2_next", $"sil_micro",
-          $"cluster_mean_sil")
+          $"cluster_mean_sil_micro")
         .orderBy($"vec_id")
     }),
 
@@ -712,7 +721,8 @@ object Similarity {
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |  round($d2o, 6) AS d2_orig,
          |  round(($d2p) * 0.125, 6) AS d2_proj_scaled,
-         |  round(($d2p) * 0.125 / ($d2o), 6) AS ratio
+         |  CASE WHEN ($d2o) > 0
+         |    THEN round(($d2p) * 0.125 / ($d2o), 6) END AS ratio
          |FROM base a JOIN base b ON a.vec_id < b.vec_id
          |ORDER BY a, b""".stripMargin
     },
@@ -765,15 +775,16 @@ object Similarity {
         |  SELECT vec_id, dist FROM d3
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 2),
         |sil AS (
-        |  SELECT o.vec_id, o.cl, o.dist AS d2_own, x.dist AS d2_next,
+        |  SELECT o.vec_id, o.cl,
+        |    CAST(o.dist AS BIGINT) AS d2_own, CAST(x.dist AS BIGINT) AS d2_next,
         |    CAST(floor(CAST(x.dist - o.dist AS DOUBLE) /
         |      CAST(greatest(o.dist, x.dist) AS DOUBLE) * 1000000.0) AS BIGINT)
         |      AS sil_micro
         |  FROM own o JOIN nxt x USING (vec_id))
         |SELECT vec_id, cl, d2_own, d2_next, sil_micro,
-        |  round(CAST(sum(sil_micro) OVER (PARTITION BY cl) AS DOUBLE) /
-        |    (CAST(count(*) OVER (PARTITION BY cl) AS DOUBLE) * 1000000.0), 6)
-        |    AS cluster_mean_sil
+        |  CAST(floor(CAST(sum(sil_micro) OVER (PARTITION BY cl) AS DOUBLE) /
+        |    CAST(count(*) OVER (PARTITION BY cl) AS DOUBLE)) AS BIGINT)
+        |    AS cluster_mean_sil_micro
         |FROM sil ORDER BY vec_id""".stripMargin,
 
     // Lloyd replay: identical micro-int quantization, integer

@@ -894,15 +894,21 @@ object TimeSeries {
         .withColumn("ey_m1", lag($"ey", 1).over(w))
         .withColumn("ey_p1", lead($"ey", 1).over(w))
         .withColumn("ey_p2", lead($"ey", 2).over(w))
-      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      // Each FACTOR is widened to decimal(38,0) BEFORE the multiply:
+      // residuals scale with data volume (|ex| ~1.3e7 at sf0.1), so a
+      // Long×Long product would wrap silently around sf100 — the cast
+      // must protect the product, not just the sum.
+      def dsum2(a: Column, b: Column) =
+        sum((a.cast("decimal(38,0)") * b.cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).cast("double")
       val g = e.groupBy($"shard")
         .agg(max($"n").as("n_days"),
-          dsum($"ex" * $"ex").as("sxx"), dsum($"ey" * $"ey").as("syy"),
-          dsum($"ex" * $"ey_m2").as("n_m2"),
-          dsum($"ex" * $"ey_m1").as("n_m1"),
-          dsum($"ex" * $"ey").as("n_0"),
-          dsum($"ex" * $"ey_p1").as("n_p1"),
-          dsum($"ex" * $"ey_p2").as("n_p2"))
+          dsum2($"ex", $"ex").as("sxx"), dsum2($"ey", $"ey").as("syy"),
+          dsum2($"ex", $"ey_m2").as("n_m2"),
+          dsum2($"ex", $"ey_m1").as("n_m1"),
+          dsum2($"ex", $"ey").as("n_0"),
+          dsum2($"ex", $"ey_p1").as("n_p1"),
+          dsum2($"ex", $"ey_p2").as("n_p2"))
       val den = sqrt($"sxx") * sqrt($"syy")
       g.select($"shard", $"n_days",
         round($"n_m2" / den, 6).as("ccf_m2"),
@@ -1328,13 +1334,13 @@ object TimeSeries {
         |  WINDOW w AS (PARTITION BY daily.shard ORDER BY d)),
         |g AS (
         |  SELECT shard, max(n) AS n_days,
-        |    CAST(sum(ex * ex) AS DOUBLE) AS sxx,
-        |    CAST(sum(ey * ey) AS DOUBLE) AS syy,
-        |    CAST(sum(ex * ey_m2) AS DOUBLE) AS n_m2,
-        |    CAST(sum(ex * ey_m1) AS DOUBLE) AS n_m1,
-        |    CAST(sum(ex * ey) AS DOUBLE) AS n_0,
-        |    CAST(sum(ex * ey_p1) AS DOUBLE) AS n_p1,
-        |    CAST(sum(ex * ey_p2) AS DOUBLE) AS n_p2
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ex AS HUGEINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ey AS HUGEINT) * CAST(ey AS HUGEINT)) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey_m2 AS HUGEINT)) AS DOUBLE) AS n_m2,
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey_m1 AS HUGEINT)) AS DOUBLE) AS n_m1,
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey AS HUGEINT)) AS DOUBLE) AS n_0,
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey_p1 AS HUGEINT)) AS DOUBLE) AS n_p1,
+        |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey_p2 AS HUGEINT)) AS DOUBLE) AS n_p2
         |  FROM e GROUP BY shard)
         |SELECT shard, n_days,
         |  round(n_m2 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_m2,

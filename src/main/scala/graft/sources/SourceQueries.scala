@@ -46,7 +46,7 @@ object SourceQueries {
     // is the O(buckets) reconciliation summary.
     "q209_json_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val out = s"/tmp/graft_json_rt_${math.abs(dir.hashCode)}"
+      val out = graft.engine.Scratch.dir(s, "json_rt", dir)
       graft.engine.Tables.documents(s, dir)
         .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
         .write.mode("overwrite").json(out)
@@ -70,7 +70,7 @@ object SourceQueries {
     // (q18/q80 own numeric formatting).
     "q235_csv_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val out = s"/tmp/graft_csv_rt_${math.abs(dir.hashCode)}"
+      val out = graft.engine.Scratch.dir(s, "csv_rt", dir)
       graft.engine.Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_partkey", $"l_suppkey",
           $"l_linenumber".cast("long").as("l_linenumber"),
@@ -95,7 +95,7 @@ object SourceQueries {
     // stays columnar and pruned — evolution costs nothing per row.
     "q236_schema_evolution" -> ((s, dir) => {
       import s.implicits._
-      val base = s"/tmp/graft_schevo_${math.abs(dir.hashCode)}"
+      val base = graft.engine.Scratch.dir(s, "schevo", dir)
       val docs = graft.engine.Tables.documents(s, dir)
       docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang")
         .write.mode("overwrite").parquet(s"$base/v1")
@@ -117,7 +117,7 @@ object SourceQueries {
     // alternative when an existing warehouse is ORC-resident.
     "q237_orc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val out = s"/tmp/graft_orc_rt_${math.abs(dir.hashCode)}"
+      val out = graft.engine.Scratch.dir(s, "orc_rt", dir)
       graft.engine.Tables.documents(s, dir)
         .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
         .write.mode("overwrite").orc(out)

@@ -54,7 +54,7 @@ object Streams {
     * drained synchronously into a memory sink and returned as a batch
     * DataFrame (verified against the same oracle as the batch variant). */
   def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    val qn = "stream_tumbling_" + math.abs(dir.hashCode)
+    val qn = "stream_tumbling_" + graft.engine.Scratch.key(dir)
     // Streaming state is partitioned by the shuffle width AT QUERY START
     // and every micro-batch pays one state-store commit (delta file +
     // snapshot bookkeeping) PER PARTITION. The aggregate here has ~100s
@@ -88,7 +88,7 @@ object Streams {
     * complete-mode sink (tumblingCounts above) is the variant with full
     * batch equivalence. */
   def watermarkedSliding(s: SparkSession, dir: String): DataFrame = {
-    val qn = "stream_sliding_" + math.abs(dir.hashCode)
+    val qn = "stream_sliding_" + graft.engine.Scratch.key(dir)
     val q = eventStream(s, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
@@ -104,7 +104,7 @@ object Streams {
   /** Stateful streaming dedup on event_id with a watermark bound on
     * state retention. */
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
-    val qn = "stream_dedup_" + math.abs(dir.hashCode)
+    val qn = "stream_dedup_" + graft.engine.Scratch.key(dir)
     val q = eventStream(s, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
