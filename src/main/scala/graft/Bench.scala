@@ -48,7 +48,18 @@ object Bench {
     "profiling"  -> Profiling.queries,
     "retrieval"  -> Retrieval.queries)
 
+  /** 1-minute system load average at call time (-1.0 if unreadable).
+    * Emitted at run start AND end so a contended run is
+    * self-identifying: the r6 official record was ~1.5× inflated by
+    * co-located driver work and only an ad-hoc idle re-run could prove
+    * it — now the evidence ships inside the bench line itself. */
+  private def loadavg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -125,11 +136,13 @@ object Bench {
         .mkString("{", ",", "}")
     val total = r4(if (med.nonEmpty) med.values.sum else 0.0)
     val totalMin = r4(if (mn.nonEmpty) mn.values.sum else 0.0)
+    val loadEnd = loadavg()
+    val loads = s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","repeats":$REPEATS,"min_total_sec":$totalMin,"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","repeats":$REPEATS,$loads,"min_total_sec":$totalMin,"total_sec":$total}"""
     println(line)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$REPEATS,"sf":"$sfDir","median":${jmap(med)},"min":${jmap(mn)},"min_total_sec":$totalMin,"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$REPEATS,"sf":"$sfDir",$loads,"median":${jmap(med)},"min":${jmap(mn)},"min_total_sec":$totalMin,"total_sec":$total}"""
     for (p <- Seq("/tmp/bench.json", "bench_last.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
       catch { case _: Throwable => () }
@@ -137,7 +150,7 @@ object Bench {
     // head-truncated tail-capture of stdout always contains at least one
     // complete, parseable JSON line.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"min_total_sec":$totalMin,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"min_total_sec":$totalMin,$loads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,10 +68,10 @@ object Extended {
         .join(supp.select($"i".as("cons"), $"s".as("s_cons")), "cons")
         .crossJoin(broadcast(n))
         .select($"ant", $"cons", $"s_ab", $"s_ant", $"s_cons",
-          round($"s_ab".cast("double") / $"s_ant".cast("double"), 6)
+          Exact.trunc6($"s_ab".cast("double") / $"s_ant".cast("double"))
             .as("confidence"),
-          round($"n_orders".cast("double") * $"s_ab".cast("double") /
-            ($"s_ant".cast("double") * $"s_cons".cast("double")), 6)
+          Exact.trunc6($"n_orders".cast("double") * $"s_ab".cast("double") /
+            ($"s_ant".cast("double") * $"s_cons".cast("double")))
             .as("lift"))
         .orderBy($"lift".desc, $"ant", $"cons")
         .limit(30)
@@ -721,10 +721,11 @@ object Extended {
         |  SELECT a AS ant, b AS cons, s_ab FROM pairs
         |  UNION ALL SELECT b AS ant, a AS cons, s_ab FROM pairs)
         |SELECT ant, cons, s_ab, sa.s AS s_ant, sc.s AS s_cons,
-        |  round(CAST(s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
-        |    AS confidence,
-        |  round(CAST(n_orders AS DOUBLE) * CAST(s_ab AS DOUBLE) /
-        |    (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6) AS lift
+        |  floor((CAST(s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS confidence,
+        |  floor((CAST(n_orders AS DOUBLE) * CAST(s_ab AS DOUBLE) /
+        |    (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE))) * 1000000.0)
+        |    / 1000000.0 AS lift
         |FROM rules
         |JOIN supp sa ON sa.i = rules.ant
         |JOIN supp sc ON sc.i = rules.cons

@@ -887,7 +887,7 @@ object Graph {
       val r = (nd * $"sxy".cast("double") - sxd * syd) /
         (sqrt(nd * $"sxx".cast("double") - sxd * sxd) *
           sqrt(nd * $"syy".cast("double") - syd * syd))
-      m.select($"n".as("n_pairs"), round(r, 6).as("assortativity"))
+      m.select($"n".as("n_pairs"), Exact.trunc6(r).as("assortativity"))
     }),
 
     // TEMPORAL reachability (earliest-arrival paths): edges carry
@@ -1005,10 +1005,10 @@ object Graph {
         |    CAST(sum(y * y) AS DOUBLE) AS syy
         |  FROM pairs)
         |SELECT n AS n_pairs,
-        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS assortativity
+        |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1000000.0) / 1000000.0 AS assortativity
         |FROM m""".stripMargin,
 
     // All ≤10-hop walks from node 1 with recursive-UNION dedup;

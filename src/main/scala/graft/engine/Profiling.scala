@@ -91,8 +91,8 @@ object Profiling {
       .agg(sum($"pos_at").as("npos"), sum($"neg_at").as("nneg"),
         sum($"pos_at" * (lit(2L) * $"neg_below" + $"neg_at")).as("u2"))
       .select($"npos", $"nneg", $"u2",
-        round($"u2".cast("double") /
-          (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")), 6)
+        Exact.trunc6($"u2".cast("double") /
+          (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")))
           .as("auc"))
   }
 
@@ -146,10 +146,10 @@ object Profiling {
         .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
           max($"nn").as("nn"), max($"pp").as("pp"))
         .select($"decile", $"n", $"n_pos",
-          round($"n_pos".cast("double") / $"n".cast("double"), 6)
+          Exact.trunc6($"n_pos".cast("double") / $"n".cast("double"))
             .as("pos_rate"),
-          round(($"n_pos" * $"nn").cast("double")
-            / ($"n" * $"pp").cast("double"), 6).as("lift"))
+          Exact.trunc6(($"n_pos" * $"nn").cast("double")
+            / ($"n" * $"pp").cast("double")).as("lift"))
         .orderBy($"decile")
     }),
 
@@ -213,9 +213,9 @@ object Profiling {
           max($"c").as("cnt_max"),
           sum(expr("c * (((lo + hi) * (hi - lo + 1)) div 2)")).as("sic"))
         .select($"n_keys", $"n_rows", $"cnt_max",
-          round(lit(2.0) * $"sic".cast("double") /
+          Exact.trunc6(lit(2.0) * $"sic".cast("double") /
             ($"n_keys".cast("double") * $"n_rows".cast("double")) -
-            ($"n_keys" + 1L).cast("double") / $"n_keys".cast("double"), 6)
+            ($"n_keys" + 1L).cast("double") / $"n_keys".cast("double"))
             .as("gini"))
     }),
 
@@ -243,10 +243,10 @@ object Profiling {
         .withColumn("ct", sum($"obs").over(Window.partitionBy($"l_linestatus")))
         .withColumn("n", sum($"obs").over(Window.partitionBy(lit(1))))
         .withColumn("expected",
-          round($"rt".cast("double") * $"ct".cast("double") /
-            $"n".cast("double"), 6))
+          Exact.trunc6($"rt".cast("double") * $"ct".cast("double") /
+            $"n".cast("double")))
         .withColumn("term_micro",
-          round(d * d /
+          Exact.round0(d * d /
             ($"n".cast("double") * $"rt".cast("double") * $"ct".cast("double"))
             * 1e6).cast("long"))
         .withColumn("chi2_micro",
@@ -277,13 +277,13 @@ object Profiling {
         .withColumn("ct", sum($"obs").over(Window.partitionBy($"l_linestatus")))
         .withColumn("n", sum($"obs").over(Window.partitionBy(lit(1))))
         .withColumn("pmi_micro",
-          round(log(($"obs" * $"n").cast("double") /
+          Exact.round0(log(($"obs" * $"n").cast("double") /
             ($"rt" * $"ct").cast("double")) * 1e6).cast("long"))
         .withColumn("mi_micro_total",
           sum($"obs" * $"pmi_micro").over(Window.partitionBy(lit(1))))
         .select($"l_returnflag", $"l_linestatus", $"obs", $"pmi_micro",
-          round($"mi_micro_total".cast("double") /
-            ($"n".cast("double") * 1e6), 6).as("mi_nats"))
+          Exact.trunc6($"mi_micro_total".cast("double") /
+            ($"n".cast("double") * 1e6)).as("mi_nats"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
@@ -479,9 +479,9 @@ object Profiling {
         .select($"l_returnflag", $"n_items",
           ($"p05c".cast("double") / 100.0).as("p05"),
           ($"p95c".cast("double") / 100.0).as("p95"),
-          round($"sum_c".cast("double") / $"n_items".cast("double") / 100.0, 6)
+          Exact.trunc6($"sum_c".cast("double") / $"n_items".cast("double") / 100.0)
             .as("mean_price"),
-          round($"sum_w".cast("double") / $"n_items".cast("double") / 100.0, 6)
+          Exact.trunc6($"sum_w".cast("double") / $"n_items".cast("double") / 100.0)
             .as("winsorized_mean"))
         .orderBy($"l_returnflag")
     }),
@@ -517,11 +517,11 @@ object Profiling {
         .withColumn("w", weight)
         .groupBy($"b").agg(sum($"w").as("n_eff"),
           sum($"w" * $"cents").as("sum_cents"))
-        .withColumn("mean_b", round($"sum_cents".cast("double") /
-          ($"n_eff".cast("double") * 100.0), 6))
+        .withColumn("mean_b", Exact.trunc6($"sum_cents".cast("double") /
+          ($"n_eff".cast("double") * 100.0)))
       val point = base.agg(count(lit(1)).as("n"), sum($"cents").as("s"))
-        .select(round($"s".cast("double") /
-          ($"n".cast("double") * 100.0), 6).as("point_mean"))
+        .select(Exact.trunc6($"s".cast("double") /
+          ($"n".cast("double") * 100.0)).as("point_mean"))
       val wAll = Window.partitionBy(lit(1))
       val wRank = Window.orderBy($"mean_b", $"b")
       reps.withColumn("rk", row_number().over(wRank))
@@ -571,8 +571,8 @@ object Profiling {
         .agg(coalesce(sum($"rt" * $"ct"), lit(0L)).as("pe_num"))
       cells.crossJoin(broadcast(stats)).crossJoin(broadcast(pe))
         .select($"ra", $"rb", $"obs", $"n", $"agree", $"pe_num",
-          round(($"n" * $"agree" - $"pe_num").cast("double") /
-            ($"n" * $"n" - $"pe_num").cast("double"), 6).as("kappa"))
+          Exact.trunc6(($"n" * $"agree" - $"pe_num").cast("double") /
+            ($"n" * $"n" - $"pe_num").cast("double")).as("kappa"))
         .orderBy($"ra", $"rb")
     }),
 
@@ -610,10 +610,11 @@ object Profiling {
       val a1 = v1 / n1d; val a2 = v2 / n2d
       val se2 = a1 + a2
       agg.select($"n1", $"n2",
-        round(m1 / 100.0, 6).as("mean1"), round(m2 / 100.0, 6).as("mean2"),
-        round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
-        round(se2 * se2 / (a1 * a1 / (n1d - lit(1.0)) +
-          a2 * a2 / (n2d - lit(1.0))), 6).as("df"))
+        Exact.trunc6(m1 / 100.0).as("mean1"),
+        Exact.trunc6(m2 / 100.0).as("mean2"),
+        Exact.trunc6((m1 - m2) / sqrt(se2)).as("t_stat"),
+        Exact.trunc6(se2 * se2 / (a1 * a1 / (n1d - lit(1.0)) +
+          a2 * a2 / (n2d - lit(1.0)))).as("df"))
     }),
 
     // Population Stability Index — the production data-drift metric
@@ -646,7 +647,7 @@ object Profiling {
         .withColumn("tr", sum($"n_ref").over(wAll) + $"b_count")
         .withColumn("tc", sum($"n_cur").over(wAll) + $"b_count")
         .withColumn("ln_ratio_micro",
-          round(log(($"sr" * $"tc").cast("double") /
+          Exact.round0(log(($"sr" * $"tc").cast("double") /
             ($"sc" * $"tr").cast("double")) * 1e6).cast("long"))
         .withColumn("term_micro", floor(
           (($"sr".cast("double") / $"tr".cast("double") -
@@ -993,7 +994,7 @@ object Profiling {
         .withColumn("tr", sum($"n_ref").over(wD) + $"b_count")
         .withColumn("tc", sum($"n_cur").over(wD) + $"b_count")
         .withColumn("ln_ratio_micro",
-          round(log(($"sr" * $"tc").cast("double") /
+          Exact.round0(log(($"sr" * $"tc").cast("double") /
             ($"sc" * $"tr").cast("double")) * 1e6).cast("long"))
         .withColumn("term_micro", floor(
           (($"sr".cast("double") / $"tr".cast("double") -
@@ -1089,8 +1090,9 @@ object Profiling {
         |  SELECT CAST(coalesce(sum(rm.rt * cm.ct), 0) AS BIGINT) AS pe_num
         |  FROM rm JOIN cm ON cm.i = rm.i)
         |SELECT c.ra, c.rb, c.obs, s.n, s.agree, p.pe_num,
-        |  round(CAST(s.n * s.agree - p.pe_num AS DOUBLE) /
-        |        CAST(s.n * s.n - p.pe_num AS DOUBLE), 6) AS kappa
+        |  floor((CAST(s.n * s.agree - p.pe_num AS DOUBLE) /
+        |        CAST(s.n * s.n - p.pe_num AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS kappa
         |FROM cells c CROSS JOIN stats s CROSS JOIN pe p
         |ORDER BY c.ra, c.rb""".stripMargin,
 
@@ -1125,11 +1127,13 @@ object Profiling {
         |    v2 / CAST(n2 AS DOUBLE) AS a2
         |  FROM der)
         |SELECT n1, n2,
-        |  round(m1 / 100.0, 6) AS mean1, round(m2 / 100.0, 6) AS mean2,
-        |  round((m1 - m2) / sqrt(a1 + a2), 6) AS t_stat,
-        |  round((a1 + a2) * (a1 + a2) /
+        |  floor((m1 / 100.0) * 1000000.0) / 1000000.0 AS mean1,
+        |  floor((m2 / 100.0) * 1000000.0) / 1000000.0 AS mean2,
+        |  floor(((m1 - m2) / sqrt(a1 + a2)) * 1000000.0) / 1000000.0 AS t_stat,
+        |  floor(((a1 + a2) * (a1 + a2) /
         |    (a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0)
-        |     + a2 * a2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+        |     + a2 * a2 / (CAST(n2 AS DOUBLE) - 1.0))) * 1000000.0)
+        |    / 1000000.0 AS df
         |FROM fin""".stripMargin,
 
     // Identical bit-length bins (printf('%b') mirrors bin()), Laplace
@@ -1155,8 +1159,8 @@ object Profiling {
         |  FROM cnt),
         |terms AS (
         |  SELECT bin, n_ref, n_cur,
-        |    CAST(round(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
-        |      * 1e6) AS BIGINT) AS ln_ratio_micro,
+        |    CAST(floor(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS ln_ratio_micro,
         |    sr, sc, tr, tc
         |  FROM sm),
         |tm AS (
@@ -1439,8 +1443,8 @@ object Profiling {
         |  FROM cnt),
         |terms AS (
         |  SELECT dimension, bin_label, n_ref, n_cur, sr, sc, tr, tc,
-        |    CAST(round(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
-        |      * 1e6) AS BIGINT) AS ln_ratio_micro
+        |    CAST(floor(ln(CAST(sr * tc AS DOUBLE) / CAST(sc * tr AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS ln_ratio_micro
         |  FROM sm),
         |tm AS (
         |  SELECT dimension, bin_label, n_ref, n_cur,
@@ -1516,8 +1520,10 @@ object Profiling {
         |    max(nn) AS nn, max(pp) AS pp
         |  FROM ranked, tot GROUP BY 1)
         |SELECT decile, n, n_pos,
-        |  round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 6) AS pos_rate,
-        |  round(CAST(n_pos*nn AS DOUBLE)/CAST(n*pp AS DOUBLE), 6) AS lift
+        |  floor((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS pos_rate,
+        |  floor((CAST(n_pos*nn AS DOUBLE)/CAST(n*pp AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS lift
         |FROM sel ORDER BY decile""".stripMargin,
 
     "q161_auc" ->
@@ -1537,9 +1543,9 @@ object Profiling {
         |SELECT CAST(sum(pos_at) AS BIGINT) AS npos,
         |  CAST(sum(neg_at) AS BIGINT) AS nneg,
         |  CAST(sum(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS u2,
-        |  round(CAST(sum(pos_at * (2 * neg_below + neg_at)) AS DOUBLE) /
-        |    (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE)),
-        |    6) AS auc
+        |  floor((CAST(sum(pos_at * (2 * neg_below + neg_at)) AS DOUBLE) /
+        |    (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE)))
+        |    * 1000000.0) / 1000000.0 AS auc
         |FROM c""".stripMargin,
 
     "q164_mad_outliers" ->
@@ -1598,10 +1604,11 @@ object Profiling {
         |SELECT CAST(sum(k) AS BIGINT) AS n_keys,
         |  CAST(sum(c * k) AS BIGINT) AS n_rows,
         |  CAST(max(c) AS BIGINT) AS cnt_max,
-        |  round(2.0 * CAST(sum(c * (((lo + hi) * (hi - lo + 1)) // 2))
+        |  floor((2.0 * CAST(sum(c * (((lo + hi) * (hi - lo + 1)) // 2))
         |      AS DOUBLE) /
         |    (CAST(sum(k) AS DOUBLE) * CAST(sum(c * k) AS DOUBLE)) -
-        |    CAST(sum(k) + 1 AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS gini
+        |    CAST(sum(k) + 1 AS DOUBLE) / CAST(sum(k) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS gini
         |FROM walked""".stripMargin,
 
     // Same contingency + micro-nat PMI per cell; the total is an
@@ -1619,12 +1626,13 @@ object Profiling {
         |  FROM cells),
         |p AS (
         |  SELECT l_returnflag, l_linestatus, obs, n,
-        |    CAST(round(ln(CAST(obs * n AS DOUBLE) / CAST(rt * ct AS DOUBLE))
-        |      * 1000000) AS BIGINT) AS pmi_micro
+        |    CAST(floor(ln(CAST(obs * n AS DOUBLE) / CAST(rt * ct AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS pmi_micro
         |  FROM m)
         |SELECT l_returnflag, l_linestatus, obs, pmi_micro,
-        |  round(CAST(sum(obs * pmi_micro) OVER () AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mi_nats
+        |  floor((CAST(sum(obs * pmi_micro) OVER () AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0
+        |    AS mi_nats
         |FROM p ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q162_chi2" ->
@@ -1640,12 +1648,12 @@ object Profiling {
         |  FROM cells),
         |t AS (
         |  SELECT l_returnflag, l_linestatus, obs,
-        |    round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE),
-        |      6) AS expected,
-        |    CAST(round(CAST(obs * n - rt * ct AS DOUBLE) *
+        |    floor((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) / 1000000.0 AS expected,
+        |    CAST(floor(CAST(obs * n - rt * ct AS DOUBLE) *
         |      CAST(obs * n - rt * ct AS DOUBLE) /
         |      (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
-        |      * 1000000) AS BIGINT) AS term_micro
+        |      * 1000000 + 0.5) AS BIGINT) AS term_micro
         |  FROM m)
         |SELECT l_returnflag, l_linestatus, obs, expected, term_micro,
         |  CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
@@ -1793,10 +1801,11 @@ object Profiling {
         |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(min(p05c) AS DOUBLE) / 100.0 AS p05,
         |  CAST(min(p95c) AS DOUBLE) / 100.0 AS p95,
-        |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
-        |    AS mean_price,
-        |  round(CAST(sum(greatest(p05c, least(p95c, cents))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS winsorized_mean
+        |  floor((CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0)
+        |    * 1000000.0) / 1000000.0 AS mean_price,
+        |  floor((CAST(sum(greatest(p05c, least(p95c, cents))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0) * 1000000.0) / 1000000.0
+        |    AS winsorized_mean
         |FROM li JOIN th ON li.l_returnflag = th.l_returnflag
         |GROUP BY li.l_returnflag
         |ORDER BY li.l_returnflag""".stripMargin,
@@ -1827,8 +1836,9 @@ object Profiling {
          |  FROM wts GROUP BY b),
          |m AS (
          |  SELECT b, n_eff, sum_cents,
-         |    round(CAST(sum_cents AS DOUBLE)
-         |      / (CAST(n_eff AS DOUBLE) * 100.0), 6) AS mean_b
+         |    floor((CAST(sum_cents AS DOUBLE)
+         |      / (CAST(n_eff AS DOUBLE) * 100.0)) * 1000000.0) / 1000000.0
+         |      AS mean_b
          |  FROM agg),
          |rk AS (
          |  SELECT m.*, row_number() OVER (ORDER BY mean_b, b) AS rk FROM m),
@@ -1837,8 +1847,9 @@ object Profiling {
          |    max(CASE WHEN rk = 15 THEN mean_b END) AS ci_hi
          |  FROM rk),
          |pt AS (
-         |  SELECT round(CAST(sum(cents) AS DOUBLE)
-         |    / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS point_mean
+         |  SELECT floor((CAST(sum(cents) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 100.0)) * 1000000.0) / 1000000.0
+         |    AS point_mean
          |  FROM base)
          |SELECT b AS replicate, n_eff, sum_cents, mean_b,
          |  ci.ci_lo, ci.ci_hi, pt.point_mean

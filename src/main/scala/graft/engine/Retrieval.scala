@@ -140,7 +140,7 @@ object Retrieval {
         .join(broadcast(dl), "doc_id").join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
         .select($"qid", $"doc_id".as("cid"),
-          round(bm25 * 1e6).cast("long").as("bm_micro"))
+          floor(bm25 * 1e6 + lit(0.5)).cast("long").as("bm_micro"))
         .groupBy($"qid", $"cid").agg(sum($"bm_micro").as("s_micro"))
       val ws = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"cid")
       val sparseTop = sparse
@@ -170,7 +170,7 @@ object Retrieval {
       fused.withColumn("rank", row_number().over(wf).cast("long"))
         .filter($"rank" <= 10)
         .select($"qid", $"cid", $"sparse_rank", $"dense_rank",
-          round($"rrf", 6).as("rrf"), $"rank")
+          graft.engine.Exact.trunc6($"rrf").as("rrf"), $"rank")
         .orderBy($"qid", $"rank")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }),
@@ -201,18 +201,19 @@ object Retrieval {
           .otherwise(element_at(ideals,
             least($"n_rel_pool", lit(10L)).cast("int"))))
         .withColumn("rr_micro", when($"first_rel_rank" === 0, lit(0L))
-          .otherwise(round(lit(1e6) / $"first_rel_rank".cast("double"))
+          .otherwise(floor(lit(1e6) / $"first_rel_rank".cast("double") + lit(0.5))
             .cast("long")))
       val wAll = Window.partitionBy(lit(1))
       perQ
-        .withColumn("mrr", round(sum($"rr_micro").over(wAll).cast("double") /
-          (count(lit(1)).over(wAll).cast("double") * 1e6), 6))
+        .withColumn("mrr",
+          graft.engine.Exact.trunc6(sum($"rr_micro").over(wAll).cast("double") /
+            (count(lit(1)).over(wAll).cast("double") * 1e6)))
         .select($"qid", $"qlabel", $"n_rel_pool", $"first_rel_rank",
           round($"rr_micro".cast("double") / 1e6, 6).as("rr"),
           $"dcg_micro", $"idcg_micro",
           when($"idcg_micro" === 0, lit(0.0))
-            .otherwise(round($"dcg_micro".cast("double") /
-              $"idcg_micro".cast("double"), 6)).as("ndcg"),
+            .otherwise(graft.engine.Exact.trunc6($"dcg_micro".cast("double") /
+              $"idcg_micro".cast("double"))).as("ndcg"),
           $"mrr")
         .orderBy($"qid")
     }),
@@ -235,7 +236,7 @@ object Retrieval {
           sum(when($"rel", 1L).otherwise(0L)).over(wcum))
         .filter($"rel")
         .select($"qid",
-          round($"cumrel".cast("double") * 1e6 / $"rank".cast("double"))
+          floor($"cumrel".cast("double") * 1e6 / $"rank".cast("double") + lit(0.5))
             .cast("long").as("p_micro"))
         .groupBy($"qid").agg(sum($"p_micro").as("sum_p_micro"),
           count(lit(1)).as("n_rel_at_k"))
@@ -245,10 +246,12 @@ object Retrieval {
       pool.join(terms, Seq("qid"), "left")
         .withColumn("n_rel_at_k", coalesce($"n_rel_at_k", lit(0L)))
         .withColumn("ap_micro", when($"n_rel_pool" === 0, lit(0L))
-          .otherwise(round(coalesce($"sum_p_micro", lit(0L)).cast("double") /
-            least($"n_rel_pool", lit(50L)).cast("double")).cast("long")))
-        .withColumn("map", round(sum($"ap_micro").over(wAll).cast("double") /
-          (count(lit(1)).over(wAll).cast("double") * 1e6), 6))
+          .otherwise(floor(coalesce($"sum_p_micro", lit(0L)).cast("double") /
+            least($"n_rel_pool", lit(50L)).cast("double") + lit(0.5))
+            .cast("long")))
+        .withColumn("map",
+          graft.engine.Exact.trunc6(sum($"ap_micro").over(wAll).cast("double") /
+            (count(lit(1)).over(wAll).cast("double") * 1e6)))
         .select($"qid", $"n_rel_pool", $"n_rel_at_k",
           round($"ap_micro".cast("double") / 1e6, 6).as("ap"), $"map")
         .orderBy($"qid")
@@ -285,9 +288,9 @@ object Retrieval {
       val lr = src.join(tgt, Seq("bucket"), "left")
         .crossJoin(broadcast(totals))
         .select($"bucket",
-          round(log(((coalesce($"tcnt", lit(0L)) + 1L) * ($"s_tot" + 16L))
+          floor(log(((coalesce($"tcnt", lit(0L)) + 1L) * ($"s_tot" + 16L))
             .cast("double") /
-            (($"scnt" + 1L) * ($"t_tot" + 16L)).cast("double")) * 1e6)
+            (($"scnt" + 1L) * ($"t_tot" + 16L)).cast("double")) * 1e6 + lit(0.5))
             .cast("long").as("lr_micro"))
       tok.filter($"lang" =!= "en")
         .join(broadcast(lr), Seq("bucket"))
@@ -315,11 +318,11 @@ object Retrieval {
         |  WHERE rn <= 10),
         |sparse AS (
         |  SELECT q.qid, t.doc_id AS cid,
-        |    CAST(sum(CAST(round(
+        |    CAST(sum(CAST(floor(
         |      ln((s.nd - CAST(f.df AS DOUBLE) + 0.5)/(CAST(f.df AS DOUBLE) + 0.5) + 1.0)
         |      * (CAST(t.tf AS DOUBLE) * 2.2)
         |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
-        |      * 1000000) AS BIGINT)) AS BIGINT) AS s_micro
+        |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
         |  FROM tf t JOIN qterms q ON q.term = t.term AND t.doc_id <> q.qid
         |  JOIN dl d ON d.doc_id = t.doc_id
         |  JOIN dfreq f ON f.term = t.term CROSS JOIN stats s
@@ -344,7 +347,8 @@ object Retrieval {
         |    COALESCE(1.0/(60.0 + CAST(s.sparse_rank AS DOUBLE)), 0.0)
         |      + COALESCE(1.0/(60.0 + CAST(d.dense_rank AS DOUBLE)), 0.0) AS rrf
         |  FROM stop s FULL OUTER JOIN dtop d ON d.qid = s.qid AND d.cid = s.cid)
-        |SELECT qid, cid, sparse_rank, dense_rank, round(rrf, 6) AS rrf, rank
+        |SELECT qid, cid, sparse_rank, dense_rank,
+        |  floor((rrf) * 1000000.0) / 1000000.0 AS rrf, rank
         |FROM (
         |  SELECT fused.*, CAST(row_number() OVER (PARTITION BY qid
         |    ORDER BY rrf DESC, cid) AS BIGINT) AS rank FROM fused) r
@@ -367,17 +371,19 @@ object Retrieval {
          |      ELSE (${sqlList(idcgMicro)})[least(n_rel_pool, 10)]
          |      END AS idcg_micro,
          |    CASE WHEN first_rel_rank = 0 THEN 0
-         |      ELSE CAST(round(1000000.0 / CAST(first_rel_rank AS DOUBLE))
+         |      ELSE CAST(floor(1000000.0 / CAST(first_rel_rank AS DOUBLE) + 0.5)
          |        AS BIGINT) END AS rr_micro
          |  FROM perq)
          |SELECT qid, qlabel, n_rel_pool, first_rel_rank,
          |  round(CAST(rr_micro AS DOUBLE) / 1000000.0, 6) AS rr,
          |  dcg_micro, CAST(idcg_micro AS BIGINT) AS idcg_micro,
          |  CASE WHEN idcg_micro = 0 THEN 0.0
-         |    ELSE round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+         |    ELSE floor((CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE))
+         |      * 1000000.0) / 1000000.0
          |    END AS ndcg,
-         |  round(CAST(sum(rr_micro) OVER () AS DOUBLE)
-         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0), 6) AS mrr
+         |  floor((CAST(sum(rr_micro) OVER () AS DOUBLE)
+         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0)) * 1000000.0)
+         |    / 1000000.0 AS mrr
          |FROM scored ORDER BY qid""".stripMargin,
 
     "q178_avg_precision" ->
@@ -389,8 +395,8 @@ object Retrieval {
          |  FROM ranked WHERE rank <= 50),
          |terms AS (
          |  SELECT qid,
-         |    CAST(sum(CAST(round(CAST(cumrel AS DOUBLE) * 1000000.0
-         |      / CAST(rank AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_p_micro,
+         |    CAST(sum(CAST(floor(CAST(cumrel AS DOUBLE) * 1000000.0
+         |      / CAST(rank AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sum_p_micro,
          |    CAST(count(*) AS BIGINT) AS n_rel_at_k
          |  FROM cum WHERE rel GROUP BY qid),
          |pool AS (
@@ -401,14 +407,15 @@ object Retrieval {
          |  SELECT p.qid, p.n_rel_pool,
          |    CAST(COALESCE(t.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
          |    CASE WHEN p.n_rel_pool = 0 THEN 0
-         |      ELSE CAST(round(CAST(COALESCE(t.sum_p_micro, 0) AS DOUBLE)
-         |        / CAST(least(p.n_rel_pool, 50) AS DOUBLE)) AS BIGINT)
+         |      ELSE CAST(floor(CAST(COALESCE(t.sum_p_micro, 0) AS DOUBLE)
+         |        / CAST(least(p.n_rel_pool, 50) AS DOUBLE) + 0.5) AS BIGINT)
          |      END AS ap_micro
          |  FROM pool p LEFT JOIN terms t ON t.qid = p.qid)
          |SELECT qid, n_rel_pool, n_rel_at_k,
          |  round(CAST(ap_micro AS DOUBLE) / 1000000.0, 6) AS ap,
-         |  round(CAST(sum(ap_micro) OVER () AS DOUBLE)
-         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0), 6) AS map
+         |  floor((CAST(sum(ap_micro) OVER () AS DOUBLE)
+         |    / (CAST(count(*) OVER () AS DOUBLE) * 1000000.0)) * 1000000.0)
+         |    / 1000000.0 AS map
          |FROM perq ORDER BY qid""".stripMargin,
 
     "q179_dsir_weights" ->
@@ -431,9 +438,9 @@ object Retrieval {
         |        FROM bt WHERE lang = 'en' GROUP BY bucket),
         |lr AS (
         |  SELECT s.bucket,
-        |    CAST(round(ln(
+        |    CAST(floor(ln(
         |      CAST((COALESCE(t.tcnt, 0) + 1) * (x.s_tot + 16) AS DOUBLE)
-        |      / CAST((s.scnt + 1) * (x.t_tot + 16) AS DOUBLE)) * 1000000)
+        |      / CAST((s.scnt + 1) * (x.t_tot + 16) AS DOUBLE)) * 1000000 + 0.5)
         |      AS BIGINT) AS lr_micro
         |  FROM src s LEFT JOIN tgt t ON t.bucket = s.bucket
         |  CROSS JOIN totals x)

@@ -462,7 +462,7 @@ object Sketches {
           countDistinct($"g").as("true_distinct"),
           kmv(md5($"g")).as("est_distinct"))
         .withColumn("rel_err",
-          round($"est_distinct" / $"true_distinct".cast("double") - 1.0, 6))
+          Exact.trunc6($"est_distinct" / $"true_distinct".cast("double") - 1.0))
         .orderBy($"lang")
     }),
 
@@ -601,8 +601,8 @@ object Sketches {
       exact.crossJoin(broadcast(est("s0"))).crossJoin(broadcast(est("s1")))
         .select($"exact_size", $"est0", $"est1",
           least($"est0", $"est1").as("est"),
-          round(least($"est0", $"est1").cast("double") /
-            $"exact_size".cast("double"), 6).as("blowup"))
+          Exact.trunc6(least($"est0", $"est1").cast("double") /
+            $"exact_size".cast("double")).as("blowup"))
     }),
 
     "q125_hll_distinct" -> ((s, dir) => {
@@ -730,8 +730,8 @@ object Sketches {
         .groupBy($"bucket")
         .agg(count(lit(1)).as("cnt"), first($"mn").as("mn"), first($"mx").as("mx"))
         .select($"bucket",
-          round($"mn" + $"bucket".cast("double") * (($"mx" - $"mn") / 20.0), 6).as("lo"),
-          round($"mn" + ($"bucket" + 1L).cast("double") * (($"mx" - $"mn") / 20.0), 6).as("hi"),
+          Exact.trunc6($"mn" + $"bucket".cast("double") * (($"mx" - $"mn") / 20.0)).as("lo"),
+          Exact.trunc6($"mn" + ($"bucket" + 1L).cast("double") * (($"mx" - $"mn") / 20.0)).as("hi"),
           $"cnt")
         .orderBy($"bucket")
     }),
@@ -908,8 +908,8 @@ object Sketches {
         |    (SELECT o_orderkey AS k, count(*) AS co FROM orders
         |     GROUP BY 1) b ON a.k = b.k)
         |SELECT exact_size, est0, est1, least(est0, est1) AS est,
-        |  round(CAST(least(est0, est1) AS DOUBLE) /
-        |    CAST(exact_size AS DOUBLE), 6) AS blowup
+        |  floor((CAST(least(est0, est1) AS DOUBLE) /
+        |    CAST(exact_size AS DOUBLE)) * 1000000.0) / 1000000.0 AS blowup
         |FROM ex CROSS JOIN e0 CROSS JOIN e1""".stripMargin,
 
     "q92_kmv_distinct" ->
@@ -939,11 +939,12 @@ object Sketches {
          |       ELSE round(${K - 1}.0 /
          |         (CAST(('0x' || substr(k.hv, 1, 13)) AS BIGINT)::DOUBLE
          |          / 4503599627370496.0), 6) END AS est_distinct,
-         |  round((CASE WHEN k.hv IS NULL THEN CAST(a.true_distinct AS DOUBLE)
+         |  floor(((CASE WHEN k.hv IS NULL THEN CAST(a.true_distinct AS DOUBLE)
          |       ELSE round(${K - 1}.0 /
          |         (CAST(('0x' || substr(k.hv, 1, 13)) AS BIGINT)::DOUBLE
          |          / 4503599627370496.0), 6) END)
-         |    / CAST(a.true_distinct AS DOUBLE) - 1.0, 6) AS rel_err
+         |    / CAST(a.true_distinct AS DOUBLE) - 1.0) * 1000000.0)
+         |    / 1000000.0 AS rel_err
          |FROM agg a LEFT JOIN kth k ON k.lang = a.lang
          |ORDER BY a.lang""".stripMargin,
 
@@ -1114,8 +1115,10 @@ object Sketches {
         |g AS (SELECT bucket, count(*) AS cnt, min(mn) AS mn, min(mx) AS mx
         |      FROM b GROUP BY bucket)
         |SELECT bucket,
-        |  round(mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0), 6) AS lo,
-        |  round(mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 20.0), 6) AS hi,
+        |  floor((mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 20.0)) * 1000000.0)
+        |    / 1000000.0 AS lo,
+        |  floor((mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 20.0)) * 1000000.0)
+        |    / 1000000.0 AS hi,
         |  CAST(cnt AS BIGINT) AS cnt
         |FROM g ORDER BY bucket""".stripMargin)
 }

@@ -128,7 +128,7 @@ object TextOps {
           sum(nsym($"seq")).as("n_chars_sym"),
           sum(nsym($"s3")).as("n_subwords"))
         .select($"doc_id", $"n_words", $"n_chars_sym", $"n_subwords",
-          round($"n_subwords".cast("double") / $"n_chars_sym".cast("double"), 6)
+          Exact.trunc6($"n_subwords".cast("double") / $"n_chars_sym".cast("double"))
             .as("compression"))
         .orderBy($"doc_id")
     }),
@@ -758,7 +758,7 @@ object TextOps {
       import s.implicits._
       fluencySpine(s, dir)
         .select($"doc_id", $"n_bigrams",
-          round($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"), 6)
+          Exact.trunc6($"s".cast("double") / 1e6 / $"n_bigrams".cast("double"))
             .as("mean_logprob"))
         .orderBy($"doc_id")
     }),
@@ -813,8 +813,8 @@ object TextOps {
           ($"p2_num" + 1L).cast("double") / ($"p2_den" + 1L).cast("double"))
           * 1e6).cast("long"))
         .withColumn("bp_micro", when($"c_len" < $"r_len",
-          round((lit(1.0) - $"r_len".cast("double") / $"c_len".cast("double"))
-            * 1e6).cast("long")).otherwise(lit(0L)))
+          floor((lit(1.0) - $"r_len".cast("double") / $"c_len".cast("double"))
+            * 1e6 + lit(0.5)).cast("long")).otherwise(lit(0L)))
         .withColumn("logbleu_micro", $"bp_micro" +
           round(($"lnp1_micro" + $"lnp2_micro").cast("double") / 2.0)
             .cast("long"))
@@ -993,8 +993,8 @@ object TextOps {
         (nd * $"sxx".cast("double") - sxd * sxd)
       val intercept = (syd - slope * sxd) / nd
       m.select($"n".as("n_terms"),
-        round(slope, 6).as("zipf_slope"),
-        round(intercept / lit(1000000.0), 6).as("ln_c"))
+        Exact.trunc6(slope).as("zipf_slope"),
+        Exact.trunc6(intercept / lit(1000000.0)).as("ln_c"))
     }))
 
   /** (doc_id, n_bigrams, s = Σ micro-nat log-probs) fluency spine —
@@ -1166,8 +1166,10 @@ object TextOps {
         |      AS slope,
         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
         |  FROM m)
-        |SELECT n AS n_terms, round(slope, 6) AS zipf_slope,
-        |  round((syd - slope * sxd) / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_c
+        |SELECT n AS n_terms,
+        |  floor((slope) * 1000000.0) / 1000000.0 AS zipf_slope,
+        |  floor(((syd - slope * sxd) / CAST(n AS DOUBLE) / 1000000.0)
+        |    * 1000000.0) / 1000000.0 AS ln_c
         |FROM s""".stripMargin,
 
     "q148_bpe_train" -> (bpeOracleCtes +
@@ -1197,9 +1199,9 @@ object TextOps {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(len(seq) - len(replace(seq, '[', ''))) AS BIGINT) AS n_chars_sym,
         |  CAST(sum(len(s3) - len(replace(s3, '[', ''))) AS BIGINT) AS n_subwords,
-        |  round(CAST(sum(len(s3) - len(replace(s3, '[', ''))) AS DOUBLE)
-        |    / CAST(sum(len(seq) - len(replace(seq, '[', ''))) AS DOUBLE), 6)
-        |    AS compression
+        |  floor((CAST(sum(len(s3) - len(replace(s3, '[', ''))) AS DOUBLE)
+        |    / CAST(sum(len(seq) - len(replace(seq, '[', ''))) AS DOUBLE))
+        |    * 1000000.0) / 1000000.0 AS compression
         |FROM applied GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "q118_bigram_fluency" ->
@@ -1221,8 +1223,9 @@ object TextOps {
         |      AS BIGINT) AS lp_micro
         |  FROM bi2 JOIN c_bi USING (a, b) JOIN c_uni USING (a))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0
-        |        / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+        |  floor((CAST(sum(lp_micro) AS DOUBLE) / 1000000.0
+        |        / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0
+        |    AS mean_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q89_mixture_weights" ->
@@ -1725,8 +1728,8 @@ object TextOps {
         |      / CAST(o2.p2_den + 1 AS DOUBLE)) * 1000000) AS BIGINT)
         |      AS lnp2_micro,
         |    CASE WHEN o1.c_len < rlen.r_len THEN
-        |      CAST(round((1.0 - CAST(rlen.r_len AS DOUBLE)
-        |        / CAST(o1.c_len AS DOUBLE)) * 1000000) AS BIGINT)
+        |      CAST(floor((1.0 - CAST(rlen.r_len AS DOUBLE)
+        |        / CAST(o1.c_len AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
         |      ELSE 0 END AS bp_micro
         |  FROM o1
         |  JOIN o2 ON o2.cand_id = o1.cand_id AND o2.ref_id = o1.ref_id

@@ -88,12 +88,12 @@ object TimeSeries {
       val msq = s2.cast("double") / 10000.0 / n.cast("double")
       val std = sqrt(greatest(lit(0.0), msq - mean * mean))
       val z = when(n >= 5L && std > 0.0,
-        round(($"value" - mean) / std, 6))
+        Exact.trunc6(($"value" - mean) / std))
       T.events(s, dir)
         .withColumn("ts_us", unix_micros($"ts"))
         .withColumn("sv", round($"value" * 100).cast("long"))
         .select($"user_id", $"event_id", $"ts", $"value",
-          n.as("n_24h"), round(mean, 6).as("mean_24h"),
+          n.as("n_24h"), Exact.trunc6(mean).as("mean_24h"),
           z.as("z"),
           coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
         .orderBy($"user_id", $"ts", $"event_id")
@@ -127,7 +127,7 @@ object TimeSeries {
         .agg(
           count(lit(1)).as("n_events"),
           max($"ts").as("last_ts"),
-          round(ewma($"ts_us", $"event_id", $"value"), 6).as("ewma"))
+          Exact.trunc6(ewma($"ts_us", $"event_id", $"value")).as("ewma"))
         .orderBy($"user_id")
     }),
 
@@ -185,7 +185,7 @@ object TimeSeries {
       val wFrom = Window.partitionBy($"event_type")
       pairs
         .withColumn("p",
-          round($"n".cast("double") / sum($"n").over(wFrom).cast("double"), 6))
+          Exact.trunc6($"n".cast("double") / sum($"n").over(wFrom).cast("double")))
         .orderBy($"event_type", $"next_type")
     }),
 
@@ -232,7 +232,7 @@ object TimeSeries {
         .withColumn("cohort_size",
           max(when($"day_offset" === 0L, $"n_active")).over(w))
         .select($"cohort_day", $"day_offset", $"n_active",
-          round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+          Exact.trunc6($"n_active".cast("double") / $"cohort_size".cast("double"))
             .as("retention"))
         .orderBy($"cohort_day", $"day_offset")
     }),
@@ -259,9 +259,9 @@ object TimeSeries {
           count(lit(1)).as("n_events"),
           holt($"ts_us", $"event_id", $"value").as("h"))
         .select($"user_id", $"n_events",
-          round($"h.level", 6).as("level"),
-          round($"h.trend", 6).as("trend"),
-          round($"h.fc3", 6).as("fc3"))
+          Exact.trunc6($"h.level").as("level"),
+          Exact.trunc6($"h.trend").as("trend"),
+          Exact.trunc6($"h.fc3").as("fc3"))
         .orderBy($"user_id")
     }),
 
@@ -291,12 +291,12 @@ object TimeSeries {
         .withColumn("e3", lead($"e", 3).over(w))
       e.groupBy($"shard")
         .agg(max($"n").as("n_days"),
-          round(sum($"e" * $"e1").cast("double")
-            / sum($"e" * $"e").cast("double"), 6).as("acf1"),
-          round(sum($"e" * $"e2").cast("double")
-            / sum($"e" * $"e").cast("double"), 6).as("acf2"),
-          round(sum($"e" * $"e3").cast("double")
-            / sum($"e" * $"e").cast("double"), 6).as("acf3"))
+          Exact.trunc6(sum($"e" * $"e1").cast("double")
+            / sum($"e" * $"e").cast("double")).as("acf1"),
+          Exact.trunc6(sum($"e" * $"e2").cast("double")
+            / sum($"e" * $"e").cast("double")).as("acf2"),
+          Exact.trunc6(sum($"e" * $"e3").cast("double")
+            / sum($"e" * $"e").cast("double")).as("acf3"))
         .orderBy($"shard")
     }),
 
@@ -323,13 +323,13 @@ object TimeSeries {
           sum($"t" * $"t").as("stt"), sum($"c" * $"c").as("scc"),
           sum($"t" * $"c").as("stc"))
         .select($"shard", $"n".as("n_days"),
-          round(($"n" * $"stc" - $"st" * $"sc").cast("double")
-            / ($"n" * $"stt" - $"st" * $"st").cast("double"), 6).as("slope"),
-          round(($"sc" * $"stt" - $"st" * $"stc").cast("double")
-            / ($"n" * $"stt" - $"st" * $"st").cast("double"), 6).as("icept"),
-          round(($"n" * $"stc" - $"st" * $"sc").cast("double")
+          Exact.trunc6(($"n" * $"stc" - $"st" * $"sc").cast("double")
+            / ($"n" * $"stt" - $"st" * $"st").cast("double")).as("slope"),
+          Exact.trunc6(($"sc" * $"stt" - $"st" * $"stc").cast("double")
+            / ($"n" * $"stt" - $"st" * $"st").cast("double")).as("icept"),
+          Exact.trunc6(($"n" * $"stc" - $"st" * $"sc").cast("double")
             / (sqrt(($"n" * $"stt" - $"st" * $"st").cast("double"))
-              * sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double"))), 6)
+              * sqrt(($"n" * $"scc" - $"sc" * $"sc").cast("double"))))
             .as("r"))
         .orderBy($"shard")
     }),
@@ -382,7 +382,7 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"), sum($"c").as("s"))
       val eD = ($"c" * $"n" - $"s").cast("double")
       val sst = daily.join(broadcast(st), "shard")
-        .select($"shard", round(eD * eD /
+        .select($"shard", Exact.round0(eD * eD /
           ($"n".cast("double") * $"n".cast("double") * 1e4) * 1e6)
           .cast("long").as("t_micro"))
         .groupBy($"shard").agg(sum($"t_micro").as("sst_micro"))
@@ -390,19 +390,19 @@ object TimeSeries {
       daily.groupBy($"shard", $"w")
         .agg(count(lit(1)).as("n_w"), sum($"c").as("s_w"))
         .join(broadcast(st), "shard")
-        .withColumn("ssb_term_micro", round(dW * dW /
+        .withColumn("ssb_term_micro", Exact.round0(dW * dW /
           ($"n_w".cast("double") * $"n".cast("double") * $"n".cast("double")
             * 1e4) * 1e6).cast("long"))
         .withColumn("ssb_micro",
           sum($"ssb_term_micro").over(Window.partitionBy($"shard")))
         .join(sst, "shard")
         .select($"shard", $"w".as("weekday0"), $"n_w".as("n_days"),
-          round($"s_w".cast("double") / ($"n_w".cast("double") * 100.0), 6)
+          Exact.trunc6($"s_w".cast("double") / ($"n_w".cast("double") * 100.0))
             .as("mean_day"),
           $"ssb_term_micro",
           when($"sst_micro" === 0, lit(0.0))
-            .otherwise(round($"ssb_micro".cast("double") /
-              $"sst_micro".cast("double"), 6)).as("eta2"))
+            .otherwise(Exact.trunc6($"ssb_micro".cast("double") /
+              $"sst_micro".cast("double"))).as("eta2"))
         .orderBy($"shard", $"weekday0")
     }),
 
@@ -472,9 +472,9 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_gaps"), sum($"gap_sec").as("bucket_gap_sec"))
         .withColumn("type_gaps",
           sum($"n_gaps").over(Window.partitionBy($"event_type")))
-        .withColumn("mean_gap_sec", round(
+        .withColumn("mean_gap_sec", Exact.trunc6(
           sum($"bucket_gap_sec").over(Window.partitionBy($"event_type"))
-            .cast("double") / $"type_gaps".cast("double"), 6))
+            .cast("double") / $"type_gaps".cast("double")))
         .orderBy($"event_type", $"gap_bucket")
     }),
 
@@ -911,11 +911,11 @@ object TimeSeries {
           dsum2($"ex", $"ey_p2").as("n_p2"))
       val den = sqrt($"sxx") * sqrt($"syy")
       g.select($"shard", $"n_days",
-        round($"n_m2" / den, 6).as("ccf_m2"),
-        round($"n_m1" / den, 6).as("ccf_m1"),
-        round($"n_0" / den, 6).as("ccf_0"),
-        round($"n_p1" / den, 6).as("ccf_p1"),
-        round($"n_p2" / den, 6).as("ccf_p2"))
+        Exact.trunc6($"n_m2" / den).as("ccf_m2"),
+        Exact.trunc6($"n_m1" / den).as("ccf_m1"),
+        Exact.trunc6($"n_0" / den).as("ccf_0"),
+        Exact.trunc6($"n_p1" / den).as("ccf_p1"),
+        Exact.trunc6($"n_p2" / den).as("ccf_p2"))
         .orderBy($"shard")
     }))
 
@@ -962,9 +962,9 @@ object TimeSeries {
         |  GROUP BY event_type, gap_bucket)
         |SELECT event_type, gap_bucket, n_gaps, bucket_gap_sec,
         |  CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS type_gaps,
-        |  round(CAST(sum(bucket_gap_sec) OVER (PARTITION BY event_type) AS DOUBLE)
-        |    / CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS DOUBLE), 6)
-        |    AS mean_gap_sec
+        |  floor((CAST(sum(bucket_gap_sec) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / CAST(sum(n_gaps) OVER (PARTITION BY event_type) AS DOUBLE))
+        |    * 1000000.0) / 1000000.0 AS mean_gap_sec
         |FROM b ORDER BY event_type, gap_bucket""".stripMargin,
 
     // Identical lag + running-flag-sum islands, integer µs compares,
@@ -1343,11 +1343,11 @@ object TimeSeries {
         |    CAST(sum(CAST(ex AS HUGEINT) * CAST(ey_p2 AS HUGEINT)) AS DOUBLE) AS n_p2
         |  FROM e GROUP BY shard)
         |SELECT shard, n_days,
-        |  round(n_m2 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_m2,
-        |  round(n_m1 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_m1,
-        |  round(n_0 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_0,
-        |  round(n_p1 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_p1,
-        |  round(n_p2 / (sqrt(sxx) * sqrt(syy)), 6) AS ccf_p2
+        |  floor((n_m2 / (sqrt(sxx) * sqrt(syy))) * 1000000.0) / 1000000.0 AS ccf_m2,
+        |  floor((n_m1 / (sqrt(sxx) * sqrt(syy))) * 1000000.0) / 1000000.0 AS ccf_m1,
+        |  floor((n_0 / (sqrt(sxx) * sqrt(syy))) * 1000000.0) / 1000000.0 AS ccf_0,
+        |  floor((n_p1 / (sqrt(sxx) * sqrt(syy))) * 1000000.0) / 1000000.0 AS ccf_p1,
+        |  floor((n_p2 / (sqrt(sxx) * sqrt(syy))) * 1000000.0) / 1000000.0 AS ccf_p2
         |FROM g ORDER BY shard""".stripMargin,
 
     "q94_gapfill_ffill" ->
@@ -1394,11 +1394,11 @@ object TimeSeries {
         |        * (CAST(s1 AS DOUBLE)/100.0/CAST(n_24h AS DOUBLE)))) AS std
         |  FROM f)
         |SELECT user_id, event_id, ts, value, n_24h,
-        |  round(mean_raw, 6) AS mean_24h,
+        |  floor((mean_raw) * 1000000.0) / 1000000.0 AS mean_24h,
         |  CASE WHEN n_24h >= 5 AND std > 0.0
-        |       THEN round((value - mean_raw)/std, 6) END AS z,
+        |       THEN floor(((value - mean_raw)/std) * 1000000.0) / 1000000.0 END AS z,
         |  coalesce(abs(CASE WHEN n_24h >= 5 AND std > 0.0
-        |       THEN round((value - mean_raw)/std, 6) END) > 2.0, false)
+        |       THEN floor(((value - mean_raw)/std) * 1000000.0) / 1000000.0 END) > 2.0, false)
         |    AS is_anomaly
         |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
 
@@ -1419,7 +1419,8 @@ object TimeSeries {
         |                                             b := CAST(0.2 AS DOUBLE) * x)),
         |      (acc, e) -> struct_pack(m := e.m * acc.m, b := e.b + e.m * acc.b)) AS r
         |  FROM s)
-        |SELECT user_id, n_events, last_ts, round(r.m * x1 + r.b, 6) AS ewma
+        |SELECT user_id, n_events, last_ts,
+        |  floor((r.m * x1 + r.b) * 1000000.0) / 1000000.0 AS ewma
         |FROM f ORDER BY user_id""".stripMargin,
 
     // Same staged running-window construction; timestamp+INTERVAL
@@ -1465,8 +1466,9 @@ object TimeSeries {
         |  FROM seq WHERE next_type IS NOT NULL
         |  GROUP BY event_type, next_type)
         |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
-        |  round(CAST(n AS DOUBLE) /
-        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+        |  floor((CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS p
         |FROM m ORDER BY event_type, next_type""".stripMargin,
 
     "q110_date_dim" ->
@@ -1497,9 +1499,10 @@ object TimeSeries {
         |  FROM days JOIN coh USING (user_id)
         |  GROUP BY c0, CAST(d - c0 AS BIGINT))
         |SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
-        |  round(CAST(n_active AS DOUBLE) /
+        |  floor((CAST(n_active AS DOUBLE) /
         |    CAST(max(CASE WHEN day_offset = 0 THEN n_active END)
-        |      OVER (PARTITION BY cohort_day) AS DOUBLE), 6) AS retention
+        |      OVER (PARTITION BY cohort_day) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS retention
         |FROM cell ORDER BY cohort_day, day_offset""".stripMargin,
 
     // The q103 discipline lifted to 2×2: identity-seeded list_reduce
@@ -1531,9 +1534,10 @@ object TimeSeries {
         |                   -0.125 * acc[5] + 0.875 * acc[6] + e[6]]) AS r
         |  FROM s)
         |SELECT user_id, n_events,
-        |  round(r[1] * x1 + r[5], 6) AS level,
-        |  round(r[3] * x1 + r[6], 6) AS trend,
-        |  round((r[1] * x1 + r[5]) + 3.0 * (r[3] * x1 + r[6]), 6) AS fc3
+        |  floor((r[1] * x1 + r[5]) * 1000000.0) / 1000000.0 AS level,
+        |  floor((r[3] * x1 + r[6]) * 1000000.0) / 1000000.0 AS trend,
+        |  floor(((r[1] * x1 + r[5]) + 3.0 * (r[3] * x1 + r[6])) * 1000000.0)
+        |    / 1000000.0 AS fc3
         |FROM f ORDER BY user_id""".stripMargin,
 
     // Same integer-residual construction: e_t = c_t·n − S, ratio of
@@ -1554,9 +1558,12 @@ object TimeSeries {
         |    lead(c*n - s, 3) OVER (PARTITION BY daily.shard ORDER BY d) AS e3
         |  FROM daily JOIN st USING (shard))
         |SELECT shard, max(n) AS n_days,
-        |  round(CAST(sum(e*e1) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf1,
-        |  round(CAST(sum(e*e2) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf2,
-        |  round(CAST(sum(e*e3) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE), 6) AS acf3
+        |  floor((CAST(sum(e*e1) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS acf1,
+        |  floor((CAST(sum(e*e2) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS acf2,
+        |  floor((CAST(sum(e*e3) AS DOUBLE)/CAST(sum(e*e) AS DOUBLE)) * 1000000.0)
+        |    / 1000000.0 AS acf3
         |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Same integer moments, same fixed IEEE tail (two divides, two
@@ -1576,13 +1583,14 @@ object TimeSeries {
         |          CAST(d - DATE '2024-01-01' AS BIGINT) AS t FROM daily) x
         |  GROUP BY shard)
         |SELECT shard, n AS n_days,
-        |  round(CAST(n*stc - st*sc AS DOUBLE)
-        |    / CAST(n*stt - st*st AS DOUBLE), 6) AS slope,
-        |  round(CAST(sc*stt - st*stc AS DOUBLE)
-        |    / CAST(n*stt - st*st AS DOUBLE), 6) AS icept,
-        |  round(CAST(n*stc - st*sc AS DOUBLE)
+        |  floor((CAST(n*stc - st*sc AS DOUBLE)
+        |    / CAST(n*stt - st*st AS DOUBLE)) * 1000000.0) / 1000000.0 AS slope,
+        |  floor((CAST(sc*stt - st*stc AS DOUBLE)
+        |    / CAST(n*stt - st*st AS DOUBLE)) * 1000000.0) / 1000000.0 AS icept,
+        |  floor((CAST(n*stc - st*sc AS DOUBLE)
         |    / (sqrt(CAST(n*stt - st*st AS DOUBLE))
-        |       * sqrt(CAST(n*scc - sc*sc AS DOUBLE))), 6) AS r
+        |       * sqrt(CAST(n*scc - sc*sc AS DOUBLE)))) * 1000000.0)
+        |    / 1000000.0 AS r
         |FROM m ORDER BY shard""".stripMargin,
 
     // q169's integer residual, a running integer window sum, and a
@@ -1624,9 +1632,9 @@ object TimeSeries {
         |  FROM dw GROUP BY shard),
         |sst AS (
         |  SELECT dw.shard,
-        |    CAST(sum(CAST(round(CAST(c*n - s AS DOUBLE) * CAST(c*n - s AS DOUBLE)
+        |    CAST(sum(CAST(floor(CAST(c*n - s AS DOUBLE) * CAST(c*n - s AS DOUBLE)
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0)
-        |      * 1000000) AS BIGINT)) AS BIGINT) AS sst_micro
+        |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sst_micro
         |  FROM dw JOIN st USING (shard) GROUP BY dw.shard),
         |wk AS (
         |  SELECT shard, w, CAST(count(*) AS BIGINT) AS n_w,
@@ -1634,18 +1642,19 @@ object TimeSeries {
         |  FROM dw GROUP BY shard, w),
         |terms AS (
         |  SELECT wk.shard, wk.w, wk.n_w, wk.s_w, st.n, st.s,
-        |    CAST(round(CAST(s_w*n - s*n_w AS DOUBLE) * CAST(s_w*n - s*n_w AS DOUBLE)
+        |    CAST(floor(CAST(s_w*n - s*n_w AS DOUBLE) * CAST(s_w*n - s*n_w AS DOUBLE)
         |      / (CAST(n_w AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |         * 10000.0)
-        |      * 1000000) AS BIGINT) AS ssb_term_micro
+        |      * 1000000 + 0.5) AS BIGINT) AS ssb_term_micro
         |  FROM wk JOIN st USING (shard))
         |SELECT t.shard, t.w AS weekday0, t.n_w AS n_days,
-        |  round(CAST(t.s_w AS DOUBLE) / (CAST(t.n_w AS DOUBLE) * 100.0), 6)
-        |    AS mean_day,
+        |  floor((CAST(t.s_w AS DOUBLE) / (CAST(t.n_w AS DOUBLE) * 100.0))
+        |    * 1000000.0) / 1000000.0 AS mean_day,
         |  t.ssb_term_micro,
         |  CASE WHEN x.sst_micro = 0 THEN 0.0
-        |    ELSE round(CAST(sum(t.ssb_term_micro) OVER (PARTITION BY t.shard)
-        |      AS DOUBLE) / CAST(x.sst_micro AS DOUBLE), 6) END AS eta2
+        |    ELSE floor((CAST(sum(t.ssb_term_micro) OVER (PARTITION BY t.shard)
+        |      AS DOUBLE) / CAST(x.sst_micro AS DOUBLE)) * 1000000.0)
+        |      / 1000000.0 END AS eta2
         |FROM terms t JOIN sst x ON x.shard = t.shard
         |ORDER BY t.shard, weekday0""".stripMargin)
 }

@@ -89,6 +89,18 @@ object Windows {
     "q43_stream_tumbling" -> ((s, dir) =>
       graft.streaming.Streams.tumblingCounts(s, dir)),
 
+    // Watermarked APPEND-mode streaming with a planted late batch —
+    // the §2.8 late-data checkbox as a driver-verified query (the
+    // watermark/dedup paths were previously spec-only): three-file
+    // replay (bulk on-time → heartbeat → late set), watermark 2 h,
+    // tumbling 1 h; the oracle replays the closed form (on-time rows
+    // only, windows closed by the final watermark) so the DROPPED
+    // late rows are visible as the difference against q40's full
+    // counts. See streaming/Streams.lateDataTumbling for why three
+    // batches (the late-event watermark lags eviction by one batch).
+    "q239_stream_late_data" -> ((s, dir) =>
+      graft.streaming.Streams.lateDataTumbling(s, dir)),
+
     // The NATIVE as-of join (custom LogicalPlan + planner Strategy +
     // SparkPlan, graft.plans.AsOfJoinNative) run against q28's oracle —
     // the full §2.9 extension ladder lands in the driver-verified
@@ -126,6 +138,26 @@ object Windows {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n, ${msumSql("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Append-mode watermark replay in closed form: only ON-TIME rows
+    // (the planted late set — old-half rows with event_id % 7 = 0 —
+    // arrives after the late-event watermark passed and is dropped),
+    // only windows the final watermark closed (window end ≤
+    // max(on-time ts) − 2 h); tail windows stay open in a bounded
+    // replay and are never emitted.
+    "q239_stream_late_data" ->
+      """WITH ontime AS (
+        |  SELECT ts, event_type FROM events
+        |  WHERE NOT (event_id % 7 = 0 AND epoch_us(ts) * 2 <=
+        |    (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events))),
+        |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ontime),
+        |win AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n
+        |  FROM ontime GROUP BY 1, 2)
+        |SELECT window_start, event_type, n FROM win, wm
+        |WHERE window_start + INTERVAL 1 HOUR <= wm.w
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q41_sliding_window" ->
       s"""SELECT window_start, count(*) AS n, ${msumSql("value")} AS total_value

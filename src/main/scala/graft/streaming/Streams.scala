@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.engine.Exact._
 
@@ -115,6 +116,84 @@ object Streams {
     q.processAllAvailable()
     q.stop()
     s.table(qn).orderBy("event_type")
+  }
+
+  /** Watermarked tumbling counts over a PLANTED three-batch replay —
+    * the late-data drop path, deterministically: bulk on-time rows as
+    * file 1, a single heartbeat row (the latest on-time event) as
+    * file 2, and the late set (every 7th event id in the older half
+    * of the span) as file 3; `maxFilesPerTrigger = 1` replays them as
+    * three micro-batches in mtime order. The heartbeat batch exists
+    * because Spark's late-event watermark LAGS the eviction watermark
+    * by one batch (lenient by design, SPARK-40925 semantics): only by
+    * batch 3 has the late-event watermark advanced to
+    * max(on-time) − 2 h, at which point every planted row sits far
+    * below it and is DROPPED in full (the whole point of a watermark:
+    * state for closed windows is gone). Emitted output = append-mode
+    * finalized windows: windows whose end the final watermark passed,
+    * counting ON-TIME rows only — a closed form the DuckDB oracle
+    * replays, so the dropped rows are visible as the difference
+    * against q40's full counts. At scale this is the standard
+    * Kafka→window→sink shape; the watermark bounds state size and
+    * late storms degrade to dropped rows, not OOM. */
+  def lateDataTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qn = "stream_late_" + graft.engine.Scratch.key(dir)
+    val stage = graft.engine.Scratch.dir(s, "late_replay", dir)
+    val ev = graft.engine.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"event_type")
+    // The planted late set: every 7th event id, RESTRICTED to the
+    // older half of the time span (integer µs compare, no division),
+    // so every late row sits far below the watermark when its batch
+    // arrives — none straddle the boundary and the closed form is
+    // sf-independent.
+    val span = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val late = $"event_id" % 7 === 0 &&
+      unix_micros($"ts") * 2L <= lit(minUs + maxUs)
+    val ontime = ev.filter(!late)
+    // Spark ≥3.4 filters late events with the PREVIOUS batch's
+    // watermark (watermarkForLateEvents lags watermarkForEviction by
+    // one batch — lenient by design), so a 2-batch replay never drops
+    // anything. Three batches: bulk on-time → a 1-row heartbeat (the
+    // latest on-time row) → the late file, which now meets an
+    // already-advanced late-event watermark and is dropped in full.
+    val wHb = Window.orderBy($"ts".desc, $"event_id".desc)
+    val withRn = ontime.withColumn("rn", row_number().over(wHb))
+    val bulk = withRn.filter($"rn" > 1).drop("rn")
+    val heartbeat = withRn.filter($"rn" === 1).drop("rn")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(wipe) }
+      f.delete(); ()
+    }
+    wipe(new java.io.File(stage))
+    val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
+    def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    stageBatch(bulk, "b1", t0)
+    stageBatch(heartbeat, "b2", t0 + 60000L)
+    stageBatch(ev.filter(late), "b3", t0 + 120000L)
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getAbsolutePath)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("window_start", "event_type")
   }
 
   /** One document's claim on one LSH band bucket: `claimedBy` is the

@@ -140,17 +140,18 @@ class AnnRecallSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = SparkEntry.queries("q196_silhouette")(spark, dir)
       .select($"vec_id", $"cl", $"d2_own", $"d2_next", $"sil_micro",
-        $"cluster_mean_sil")
-      .as[(Long, Long, Long, Long, Long, Double)].collect()
+        $"cluster_mean_sil_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.length === 500)
     rows.foreach { case (id, _, own, next, sil, _) =>
       assert(own <= next, s"vec $id: own centroid not the argmin")
       assert(sil >= 0L && sil <= 1000000L, s"vec $id sil $sil out of [0,1]")
     }
     rows.groupBy(_._2).foreach { case (cl, members) =>
-      val mean = members.map(_._5).sum.toDouble / (members.length * 1e6)
+      // integer micro mean: floor(Σ sil_micro / n)
+      val mean = Math.floorDiv(members.map(_._5).sum, members.length.toLong)
       members.foreach { m =>
-        assert(math.abs(m._6 - mean) < 1e-6, s"cluster $cl mean mismatch")
+        assert(m._6 === mean, s"cluster $cl mean mismatch")
       }
     }
   }

@@ -21,6 +21,37 @@ class MaintenanceSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
 
+  test("q238 on-disk dedup state round-trip: g1 tables persist, g2 output equals memoized path") {
+    import spark.implicits._
+    // run the declared query — it writes g1 state (first run), reads it
+    // back, ingests the delta, writes g2, and reads the output from g2
+    val disk = SparkEntry.queries("q238_incremental_dedup_disk")(spark, dir)
+      .collect().toSeq
+    val memo = SparkEntry.queries("q122_incremental_dedup")(spark, dir)
+      .collect().toSeq
+    assert(disk == memo, "disk-state path diverged from the memoized path")
+    assert(disk.nonEmpty)
+    // the state tables exist on disk as BUCKETED tables and are
+    // re-readable: generation 1 (seed) and generation 2 (advanced)
+    val key = graft.engine.Scratch.key(dir)
+    for (t <- Seq(s"graft_state_bands_$key", s"graft_state_labels_$key",
+                  s"graft_state_bands_${key}_g2", s"graft_state_labels_${key}_g2")) {
+      assert(spark.catalog.tableExists(t), s"state table $t missing")
+      assert(spark.table(t).count() > 0, s"state table $t empty")
+    }
+    // the advanced generation strictly contains the seed generation
+    val g1 = spark.table(s"graft_state_bands_$key").count()
+    val g2 = spark.table(s"graft_state_bands_${key}_g2").count()
+    assert(g2 > g1, "advanced band index must contain the delta's bands")
+    // bucket layout survived the round-trip (the probe join's
+    // shuffle-free contract): bucketed by the probe key
+    val desc = spark.sql(
+      s"DESCRIBE TABLE EXTENDED graft_state_bands_${key}_g2")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("bandkey"),
+      s"bucket spec lost in round-trip:\n$desc")
+  }
+
   test("incremental aggregate maintenance is bit-identical to full recompute") {
     import spark.implicits._
     val orders = graft.engine.Tables.orders(spark, dir)

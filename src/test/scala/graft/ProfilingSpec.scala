@@ -73,7 +73,8 @@ class ProfilingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (chars, sub, comp) =>
       assert(sub <= chars && sub > 0)
-      assert(math.abs(comp - math.round(sub.toDouble / chars * 1e6) / 1e6) < 1e-9)
+      // trunc6 semantics: floor(x·1e6)/1e6 (cross-engine-stable device)
+      assert(math.abs(comp - math.floor(sub.toDouble / chars * 1e6) / 1e6) < 1e-9)
     }
   }
 
@@ -590,8 +591,7 @@ class ProfilingSpec extends AnyFunSuite {
         ssbMicro += term
       }
       val expEta = if (sstMicro == 0) 0.0
-        else BigDecimal(ssbMicro.toDouble / sstMicro.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else math.floor(ssbMicro.toDouble / sstMicro.toDouble * 1e6) / 1e6
       byW.keys.foreach { w =>
         assert(math.abs(got((shard, w))._3 - expEta) < 1e-9, s"shard $shard eta2")
       }

@@ -121,8 +121,7 @@ class RetrievalSpec extends AnyFunSuite {
         if (nRel == 0) 0L else ideals(math.min(nRel, 10L).toInt - 1)
       assert(idcg === expIdcg, s"q$qid idcg")
       val expNdcg = if (expIdcg == 0) 0.0
-        else BigDecimal(expDcg.toDouble / expIdcg.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else math.floor(expDcg.toDouble / expIdcg.toDouble * 1e6) / 1e6
       assert(math.abs(ndcg - expNdcg) < 1e-9, s"q$qid ndcg")
       sumRrMicro +=
         (if (expFirst == 0) 0L else math.round(1e6 / expFirst.toDouble))
