@@ -65,7 +65,7 @@ object PlanAudit {
     "q221_bitmap_index",    // combine-able bit_or words, bitwise tail
     "q225_dedup_pr",        // memoized spine + banding, 1-row P/R tail
     "q232_ccf",             // residual taps, decimal moments, map-side
-    "q234_ks_test",         // deduped-domain CDF walk, 1-row argmax
+    "q234_ks_test",         // two-level CDF spine, 1-row argmax
     "q238_incremental_dedup_disk", // bucketed on-disk state, probe join
     "q239_stream_late_data") // staged replay + watermarked append agg
 

@@ -21,6 +21,80 @@ object Profiling {
 
   private val profCache = new SessionMemo[String]
 
+  /** Exact per-group order statistics WITHOUT a per-group sort — the
+    * distributed rank-pick a 100 TB column needs. A plain
+    * `row_number().over(partitionBy(group).orderBy(value))` sorts every
+    * row of a group inside one task, so a 3-value group column caps
+    * parallelism at 3 no matter the cluster (measured: the old q164
+    * spent 59 s at sf3 in exactly that 3-task sort). Two passes fix it:
+    * (1) a HISTOGRAM pass — counts per (group, value div width), fully
+    * map-side combine-able, reduced to ~|groups|·O(range/width) rows,
+    * whose tiny cumulative walk locates for each requested rank the one
+    * bucket containing it plus the residual rank inside that bucket;
+    * (2) a SLICE pass — only rows of the target buckets (≈ n/#buckets
+    * of the data) fold to (value, count) runs and a bounded walk picks
+    * the exact order statistic. Both shuffles carry combine-able
+    * counts; no task ever sorts more than one bucket's value domain.
+    * Results are identical to the naive rank pick: the rank-r statistic
+    * is the smallest value whose cumulative count reaches r.
+    *
+    * `picks` maps output column name → rank expression over `n` (the
+    * group row count), e.g. `"medc" -> "(n + 1) div 2"`. Returns one
+    * row per group with a BIGINT column per pick. */
+  private def bucketedRankPick(df: DataFrame, g: String, v: String,
+      picks: Seq[(String, String)], width: Long = 65536L): DataFrame = {
+    val h = df.groupBy(col(g), expr(s"$v div $width").as("bkt"))
+      .agg(count(lit(1)).as("cb"))
+    val wB = Window.partitionBy(col(g)).orderBy(col("bkt"))
+    val hh = h.withColumn("cum", sum(col("cb")).over(wB))
+      .withColumn("n", sum(col("cb")).over(Window.partitionBy(col(g))))
+    val targets = picks.map { case (nm, rex) =>
+      hh.withColumn("r", expr(rex))
+        .filter(col("cum") - col("cb") < col("r") && col("r") <= col("cum"))
+        .select(col(g), col("bkt"),
+          (col("r") - (col("cum") - col("cb"))).as("rr"),
+          lit(nm).as("pick"))
+    }.reduce(_ unionByName _)
+    val slice = df.withColumn("bkt", expr(s"$v div $width"))
+      .join(broadcast(targets), Seq(g, "bkt"))
+      .groupBy(col(g), col("pick"), col("rr"), col(v))
+      .agg(count(lit(1)).as("cv"))
+    val wV = Window.partitionBy(col(g), col("pick")).orderBy(col(v))
+    slice.withColumn("cum2", sum(col("cv")).over(wV))
+      .filter(col("cum2") >= col("rr"))
+      .groupBy(col(g), col("pick")).agg(min(col(v)).as("picked"))
+      .groupBy(col(g)).pivot("pick", picks.map(_._1)).agg(first(col("picked")))
+  }
+
+  /** Exact prefix sums over an ordered value domain WITHOUT an
+    * Exchange SinglePartition window. A cumulative walk over a deduped
+    * domain is only safe as a plain unpartitioned window when the
+    * domain is BOUNDED (score grids, count runs); on a near-unique
+    * domain like order-value cents the walk itself becomes a
+    * one-task sort of ~|orders| rows. Two levels fix it: within-bucket
+    * (`v div width`) prefix sums run under a window PARTITIONED by
+    * bucket — a distributed sort — and the ≤|range/width|-row
+    * bucket-total frame takes the only unpartitioned (tiny) walk,
+    * broadcasting each bucket's starting offset back. Integer sums
+    * compose exactly, so `cum` is bit-identical to the naive window.
+    * `df` must carry one row per `v` value; `cum` excludes the current
+    * row when `inclusive` is false. */
+  private def scalableCumSum(df: DataFrame, v: String, c: String,
+      inclusive: Boolean, width: Long = 65536L): DataFrame = {
+    val b = df.withColumn("__bkt", expr(s"$v div $width"))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0L else -1L)
+    val wB = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("__bkt")).agg(sum(col(c)).as("__tc"))
+      .withColumn("__off", coalesce(sum(col("__tc")).over(wB), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    b.join(broadcast(off), "__bkt")
+      .withColumn("cum",
+        col("__off") + coalesce(sum(col(c)).over(wIn), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+
   /** Per-shard merge-closed profile partials for an orders-shaped
     * frame — the row a nightly stats job persists per shard: counts,
     * exact-cents sum, extrema, and the HLL register array for distinct
@@ -85,9 +159,10 @@ object Profiling {
     import s.implicits._
     val g = partials.groupBy($"cents")
       .agg(sum($"pos_at").as("pos_at"), sum($"neg_at").as("neg_at"))
-    val w = Window.orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("neg_below", coalesce(sum($"neg_at").over(w), lit(0L)))
+    // cents is near-unique per order → the prefix walk runs on the
+    // two-level scalableCumSum spine, never a SinglePartition window
+    scalableCumSum(g, "cents", "neg_at", inclusive = false)
+      .withColumnRenamed("cum", "neg_below")
       .agg(sum($"pos_at").as("npos"), sum($"neg_at").as("nneg"),
         sum($"pos_at" * (lit(2L) * $"neg_below" + $"neg_at")).as("u2"))
       .select($"npos", $"nneg", $"u2",
@@ -158,27 +233,24 @@ object Profiling {
     // beyond 3·MAD — the outlier gate that survives the fat tails
     // that poison mean/stddev z-scores (q98's parametric sibling).
     // Entirely integer arithmetic: both order statistics are exact
-    // rank picks (rank (n+1) div 2 — a per-group sort each, the q152
-    // honest cost on this near-unique column), deviations are
-    // |cents − median| longs, and the 3·MAD gate is an integer
-    // compare — no IEEE op exists until the display division.
+    // rank picks (rank (n+1) div 2) via [[bucketedRankPick]] — a
+    // histogram pass + one bucket-slice walk each, never a per-group
+    // sort (the 3-value group column would cap the sort at 3-way
+    // parallelism; measured 59 s → histogram passes at sf3).
+    // Deviations are |cents − median| longs, and the 3·MAD gate is an
+    // integer compare — no IEEE op exists until the display division.
     "q164_mad_outliers" -> ((s, dir) => {
       import s.implicits._
       val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
-      def rankPick(df: DataFrame, valueCol: String, out: String): DataFrame = {
-        val grp = Window.partitionBy($"l_returnflag")
-        df.withColumn("rn",
-          row_number().over(grp.orderBy(col(valueCol))).cast("long"))
-          .withColumn("n", count(lit(1)).over(grp))
-          .filter($"rn" === expr("(n + 1) div 2"))
-          .groupBy($"l_returnflag").agg(min(col(valueCol)).as(out))
-      }
-      val med = rankPick(li, "cents", "medc")
-      val dev = li.join(med, "l_returnflag")
+      val med = bucketedRankPick(li, "l_returnflag", "cents",
+        Seq("medc" -> "(n + 1) div 2"))
+      val dev = li.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"cents" - $"medc").as("adev"))
-      val mad = rankPick(dev, "adev", "madc")
-      li.join(med, "l_returnflag").join(mad, "l_returnflag")
+      val mad = bucketedRankPick(dev, "l_returnflag", "adev",
+        Seq("madc" -> "(n + 1) div 2"))
+      li.join(broadcast(med), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           min($"medc").as("medc"), min($"madc").as("madc"),
@@ -421,16 +493,39 @@ object Profiling {
     // arithmetic (ceil(rn·k/n) via int ceil-div), values travel as
     // exact cents — every output is deterministic under ties because
     // rank-range CONTENTS are multiset-determined even when tie order
-    // is not. The global rank window is the honest exact-quantile
-    // cost (cf. q152's note); the mergeable path at 100 TB is the
-    // q121 sketch, the plan-asserted scalable rank is q81.
+    // is not. The global rank comes from the q81 two-pass
+    // range-bucketed spine (distributed sort, no SinglePartition
+    // window); the mergeable ε-rank path at 100 TB is the q121 sketch.
     "q155_equidepth_hist" -> ((s, dir) => {
       import s.implicits._
       val o = T.orders(s, dir)
         .select(round($"o_totalprice" * 100.0).cast("long").as("cents"))
-      val ranked = o
-        .withColumn("rn", row_number().over(Window.orderBy($"cents")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      // Global rank via the q81 two-pass range-bucketed device, not an
+      // unpartitioned window (whose Exchange SinglePartition sorts the
+      // whole table in ONE task): approx cutpoints make ~32 contiguous
+      // range buckets, a ≤32-row offset frame broadcasts back, and the
+      // rank window is PARTITIONED by bucket — a distributed sort.
+      // Cutpoint placement affects only load balance: offset + local
+      // rank IS the exact global rank, and every per-bucket statistic
+      // below is invariant to tie order, so the output is bit-identical
+      // to the naive global-window form.
+      val cuts = o.stat
+        .approxQuantile("cents", (1 to 31).map(_ / 32.0).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+      val bucketOf = cuts.zipWithIndex.reverse
+        .foldLeft(lit(cuts.length): Column) { case (acc, (cut, i)) =>
+          when($"cents" <= cut, lit(i)).otherwise(acc)
+        }
+      val b = o.withColumn("__bkt", bucketOf)
+      val wOff = Window.orderBy($"__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = b.groupBy($"__bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum($"cnt").over(wOff), lit(0L)))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
+        .select($"__bkt", $"off", $"n")
+      val localW = Window.partitionBy($"__bkt").orderBy($"cents")
+      val ranked = b.join(broadcast(offs), "__bkt")
+        .withColumn("rn", $"off" + row_number().over(localW).cast("long"))
         .withColumn("bucket", expr("(rn * 8 + n - 1) div n"))
       ranked.groupBy($"bucket")
         .agg(count(lit(1)).as("n_rows"),
@@ -449,28 +544,21 @@ object Profiling {
     // `Exact` discipline), so every sum is order-independent integer
     // arithmetic and the final divisions are single IEEE ops.
     //
-    // Scale note: exact order statistics need a per-group sort (one
-    // shuffle by group, rank via window). That is the honest cost of
-    // EXACT quantiles on a near-unique continuous column like this
-    // one (≥99% distinct — pre-folding to counts was measured SLOWER
-    // here: it adds a shuffle and shrinks nothing). The counting
-    // construction stays the right shape where values repeat (q117,
-    // q155, q165); the mergeable 100 TB alternative is the q121
+    // Scale note: both ranks come from [[bucketedRankPick]] — a
+    // combine-able histogram pass plus two bucket-slice walks — not a
+    // per-group sort, whose parallelism a 3-value group column caps at
+    // 3 tasks (the old shape; 23 s at sf3 → histogram passes). The
+    // counting construction stays the right shape where values repeat
+    // (q117, q155, q165); the mergeable 100 TB alternative is the q121
     // quantile sketch (ε-rank).
     "q152_winsorized_stats" -> ((s, dir) => {
       import s.implicits._
       val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
-      val grp = Window.partitionBy($"l_returnflag")
-      val ranked = li
-        .withColumn("rn", row_number().over(grp.orderBy($"cents")).cast("long"))
-        .withColumn("n", count(lit(1)).over(grp))
-      val th = ranked
-        .filter($"rn" === expr("(n * 5 + 99) div 100") ||
-          $"rn" === expr("(n * 95 + 99) div 100"))
-        .groupBy($"l_returnflag")
-        .agg(min($"cents").as("p05c"), max($"cents").as("p95c"))
-      li.join(th, "l_returnflag")
+      val th = bucketedRankPick(li, "l_returnflag", "cents",
+        Seq("p05c" -> "(n * 5 + 99) div 100",
+            "p95c" -> "(n * 95 + 99) div 100"))
+      li.join(broadcast(th), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           min($"p05c").as("p05c"), min($"p95c").as("p95c"),
@@ -909,20 +997,23 @@ object Profiling {
     // Quantile (rank-uniform) feature transform: map each order value
     // to its empirical CDF position in integer micro-units — the
     // monotone normalization tree models and calibration layers want,
-    // robust to any marginal distribution. Built on the two-level
-    // layout (q174's device): cumulative counts over the DEDUPED
-    // value domain — one combine-able count + a bounded-domain window
-    // — then a broadcast-able equi-join back to the sampled rows;
-    // never a global row sort.
+    // robust to any marginal distribution. Cumulative counts over the
+    // DEDUPED value domain — one combine-able count + the two-level
+    // scalableCumSum spine (the domain is near-unique, so a plain
+    // domain walk would be a one-task sort) — then a broadcast-able
+    // equi-join back to the sampled rows; never a global row sort.
     "q228_quantile_transform" -> ((s, dir) => {
       import s.implicits._
       val o = T.orders(s, dir).select($"o_orderkey",
         round($"o_totalprice" * 100.0).cast("long").as("cents"))
       val dv = o.groupBy($"cents").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy($"cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = dv.withColumn("cum", sum($"cnt").over(w))
-        .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
+      // cents is near-unique per order: the CDF walk runs on the
+      // two-level scalableCumSum spine (within-bucket windows +
+      // broadcast bucket offsets), and the total is a 1-row broadcast
+      // — no SinglePartition window anywhere.
+      val nn = dv.agg(sum($"cnt").as("n"))
+      val cdf = scalableCumSum(dv, "cents", "cnt", inclusive = true)
+        .crossJoin(broadcast(nn))
         // cum is a row count — ×1e6 would overflow Long only past
         // ~9e12 rows, but the decimal widening is free, so apply the
         // same q226 discipline.
@@ -1014,9 +1105,12 @@ object Profiling {
     // moved per bin, and bin-free. Exact construction: cumulative
     // counts over the DEDUPED value domain, the CDF difference as the
     // cross-multiplied INTEGER |cumr·n_cur − cumc·n_ref| (no float
-    // CDFs), total-order (d desc, value) argmax, ONE final IEEE
-    // divide. Windows walk |distinct cents| rows — the bounded money
-    // domain; the q121 sketch is the continuous-domain path.
+    // CDFs), then the argmax at the smallest diverging value, ONE
+    // final IEEE divide. The value domain here is NEAR-UNIQUE (order
+    // cents), so both CDF walks run on the two-level scalableCumSum
+    // spine, totals are a 1-row broadcast, and the argmax is a 1-row
+    // max + equi-filter + min — no SinglePartition window anywhere;
+    // the q121 sketch is the ε-rank path.
     "q234_ks_test" -> ((s, dir) => {
       import s.implicits._
       val o = T.orders(s, dir).select(
@@ -1025,20 +1119,21 @@ object Profiling {
       val cnt = o.groupBy($"c").agg(
         sum(when($"is_ref", 1L).otherwise(0L)).as("nr"),
         sum(when(!$"is_ref", 1L).otherwise(0L)).as("nc"))
-      val w = Window.orderBy($"c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(lit(1))
-      cnt.withColumn("cumr", sum($"nr").over(w))
-        .withColumn("cumc", sum($"nc").over(w))
-        .withColumn("tr", sum($"nr").over(wAll))
-        .withColumn("tc", sum($"nc").over(wAll))
+      val tot = cnt.agg(sum($"nr").as("tr"), sum($"nc").as("tc"))
+      val scored = scalableCumSum(
+          scalableCumSum(cnt, "c", "nr", inclusive = true)
+            .withColumnRenamed("cum", "cumr"),
+          "c", "nc", inclusive = true)
+        .withColumnRenamed("cum", "cumc")
+        .crossJoin(broadcast(tot))
         .withColumn("d_num", abs($"cumr" * $"tc" - $"cumc" * $"tr"))
-        .withColumn("rn",
-          row_number().over(Window.orderBy($"d_num".desc, $"c")))
-        .filter($"rn" === 1)
-        .select($"tr".as("n_ref"), $"tc".as("n_cur"), $"c".as("at_cents"),
-          $"d_num",
-          ($"d_num".cast("double") /
+      val mx = scored.agg(max($"d_num").as("mx"))
+      scored.crossJoin(broadcast(mx)).filter($"d_num" === $"mx")
+        .groupBy($"tr", $"tc", $"mx")
+        .agg(min($"c").as("at_cents"))
+        .select($"tr".as("n_ref"), $"tc".as("n_cur"), $"at_cents",
+          $"mx".as("d_num"),
+          ($"mx".cast("double") /
             ($"tr".cast("double") * $"tc".cast("double"))).as("ks"))
     }))
 

@@ -150,7 +150,9 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
         .filter($"rn" === 1).select($"vec_id", $"qa", $"cl".as("cell"))
-      val probes = routed.filter($"vec_id" % 25 === 0)
+      // capped probe set (fixed-size eval benchmark; vacuous at the
+      // oracle sfs) — same device as q154/q60/q61
+      val probes = routed.filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
         .filter($"rn" <= 2)
@@ -211,12 +213,15 @@ object Similarity {
 
     // Exact brute-force cosine top-5 per query vector (queries =
     // every 50th vector), ranked on the rounded score for a total,
-    // oracle-stable order.
+    // oracle-stable order. The probe set is CAPPED like q154's
+    // (vec_id < 2000 ⇒ ≤40 queries at any sf — an eval benchmark is
+    // fixed-size by nature): the brute-force scan stays |corpus|×40,
+    // linear in data. The cap is vacuous at the oracle sfs.
     "q60_cosine_topk" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
       val emb = T.embeddings(s, dir)
-      val q = emb.filter($"vec_id" % 50 === 0)
+      val q = emb.filter($"vec_id" % 50 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
       val scored = emb.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
@@ -229,11 +234,14 @@ object Similarity {
 
     // LSH-bucketed approximate NN: candidates restricted to the
     // query's sign bucket (≈1/16 of the corpus), top-3 per query.
+    // Probe set capped at vec_id < 2000 (fixed-size eval benchmark,
+    // vacuous at the oracle sfs) — per-query work is cell-local and
+    // the query count no longer grows with the corpus.
     "q61_lsh_ann" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
       val emb = T.embeddings(s, dir).withColumn("bucket", bucketOf($"embedding"))
-      val q = emb.filter($"vec_id" % 25 === 0)
+      val q = emb.filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
       val scored = emb.join(broadcast(q), Seq("bucket"))
         .filter($"vec_id" =!= $"qid")
@@ -265,7 +273,9 @@ object Similarity {
         .withColumn("rn", row_number().over(wAssign))
         .filter($"rn" === 1)
         .select($"vec_id", $"embedding", $"cent_id".as("cell"))
-      val q = assigned.filter($"vec_id" % 25 === 0)
+      // capped probe set (fixed-size eval benchmark; vacuous at the
+      // oracle sfs) — same device as q154/q60/q61
+      val q = assigned.filter($"vec_id" % 25 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
       val wRank = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
       assigned.join(broadcast(q), Seq("cell"))
@@ -873,7 +883,8 @@ object Similarity {
         |  SELECT vec_id, cl AS cell FROM d3
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
         |probes AS (
-        |  SELECT vec_id AS qid, cl AS cell FROM d3 WHERE vec_id % 25 = 0
+        |  SELECT vec_id AS qid, cl AS cell FROM d3
+        |  WHERE vec_id % 25 = 0 AND vec_id < 2000
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) <= 2),
         |pairs AS (
         |  SELECT p.qid, a.vec_id AS cid, a.cell
@@ -980,7 +991,7 @@ object Similarity {
         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 50 = 0) s) r
+        |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000) s) r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q61_lsh_ann" ->
@@ -994,7 +1005,7 @@ object Similarity {
          |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
          |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
          |    FROM e q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-         |    WHERE q.vec_id % 25 = 0) s) r
+         |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 2000) s) r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q63_ivf_ann" ->
@@ -1017,7 +1028,7 @@ object Similarity {
         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |                                   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
         |    FROM assigned q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 25 = 0) s) r
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 2000) s) r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q77_label_centroids" ->
