@@ -39,12 +39,15 @@ object Profiling {
     * is the smallest value whose cumulative count reaches r.
     *
     * `picks` maps output column name → rank expression over `n` (the
-    * group row count), e.g. `"medc" -> "(n + 1) div 2"`. Returns one
-    * row per group with a BIGINT column per pick. */
+    * group row count — or the group's total WEIGHT mass when `w` is
+    * given, which turns the pick into an exact weighted quantile),
+    * e.g. `"medc" -> "(n + 1) div 2"`. Returns one row per group with
+    * a BIGINT column per pick. */
   private def bucketedRankPick(df: DataFrame, g: String, v: String,
-      picks: Seq[(String, String)], width: Long = 65536L): DataFrame = {
+      picks: Seq[(String, String)], width: Long = 65536L,
+      w: Column = lit(1L)): DataFrame = {
     val h = df.groupBy(col(g), expr(s"$v div $width").as("bkt"))
-      .agg(count(lit(1)).as("cb"))
+      .agg(sum(w).as("cb"))
     val wB = Window.partitionBy(col(g)).orderBy(col("bkt"))
     val hh = h.withColumn("cum", sum(col("cb")).over(wB))
       .withColumn("n", sum(col("cb")).over(Window.partitionBy(col(g))))
@@ -58,7 +61,7 @@ object Profiling {
     val slice = df.withColumn("bkt", expr(s"$v div $width"))
       .join(broadcast(targets), Seq(g, "bkt"))
       .groupBy(col(g), col("pick"), col("rr"), col(v))
-      .agg(count(lit(1)).as("cv"))
+      .agg(sum(w).as("cv"))
     val wV = Window.partitionBy(col(g), col("pick")).orderBy(col(v))
     slice.withColumn("cum2", sum(col("cv")).over(wV))
       .filter(col("cum2") >= col("rr"))
@@ -867,28 +870,26 @@ object Profiling {
 
     // WEIGHTED median / p90 (price weighted by quantity) — the
     // importance-weighted percentile a reweighted corpus needs (a
-    // DSIR-weighted quality threshold is exactly this shape): the
-    // q206 deduped-value rank walk with integer WEIGHT mass instead
-    // of row counts. Cumulative weight over distinct values, pick the
-    // smallest value whose cumulative weight reaches the ceil-div of
-    // total weight — all integer, no raw sort, window over the
-    // bounded value domain.
+    // DSIR-weighted quality threshold is exactly this shape):
+    // [[bucketedRankPick]] with integer WEIGHT mass instead of row
+    // counts — histogram of weight per value bucket, residual-rank
+    // pick inside the one target slice, all integer, no raw sort and
+    // no domain-sized window.
     "q216_weighted_median" -> ((s, dir) => {
       import s.implicits._
       val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("c"),
         $"l_quantity".cast("long").as("qty"))
-      val dv = li.groupBy($"l_returnflag", $"c").agg(sum($"qty").as("w"))
-      val wcum = Window.partitionBy($"l_returnflag").orderBy($"c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dv.withColumn("cumw", sum($"w").over(wcum))
-        .withColumn("tw", sum($"w").over(Window.partitionBy($"l_returnflag")))
-        .groupBy($"l_returnflag")
-        .agg(max($"tw").as("total_weight"),
-          min(when($"cumw" >= expr("(tw * 50 + 99) div 100"), $"c"))
-            .as("wp50c"),
-          min(when($"cumw" >= expr("(tw * 90 + 99) div 100"), $"c"))
-            .as("wp90c"))
+      // extendedprice cents is ~97% distinct (measured) — the deduped
+      // domain GROWS with the data, so the weighted rank walk rides
+      // [[bucketedRankPick]] with qty as the weight mass, never a
+      // 3-partition window over the domain.
+      val th = bucketedRankPick(li, "l_returnflag", "c",
+        Seq("wp50c" -> "(n * 50 + 99) div 100",
+            "wp90c" -> "(n * 90 + 99) div 100"), w = $"qty")
+      val tot = li.groupBy($"l_returnflag")
+        .agg(sum($"qty").as("total_weight"))
+      tot.join(broadcast(th), "l_returnflag")
         .select($"l_returnflag", $"total_weight", $"wp50c", $"wp90c",
           ($"wp50c".cast("double") / 100.0).as("wp50"),
           ($"wp90c".cast("double") / 100.0).as("wp90"))
