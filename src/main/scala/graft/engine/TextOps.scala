@@ -224,6 +224,89 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Deterministic train/val/test split + stratification audit — the
+    // FIRST thing a training pipeline does to a corpus, and the thing
+    // rand() must never do (irreproducible across runs/partitionings).
+    // The split is a keyed md5 threshold on the 13-hex-digit hash
+    // domain (the q49/q141/q185 device): u < ⌊0.8·2^52⌋ → train,
+    // u < ⌊0.9·2^52⌋ → val, else test — integer compares, thresholds
+    // folded once in Scala and interpolated into BOTH engines. The
+    // audit reports, per (split, language), the stratum share against
+    // the corpus-wide share in integer micro-units (decimal-widened
+    // div, the q226 discipline) — the skew a stratified splitter
+    // would drive to zero. Scale shape: one map-side hash + one
+    // combine-able count; every window below runs on the
+    // |splits|×|langs| aggregate frame (≤ dozens of rows).
+    "q240_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val C = 4503599627370496L // 2^52, shared with the oracle
+      val (tr, va) = (C * 8L / 10L, C * 9L / 10L)
+      val u = conv(substring(
+        md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 13), 16, 10)
+        .cast("long")
+      val g = T.documents(s, dir)
+        .select($"lang",
+          when(u < tr, "train").when(u < va, "val").otherwise("test")
+            .as("split"))
+        .groupBy($"split", $"lang").agg(count(lit(1)).as("n_docs"))
+      g.withColumn("split_total",
+          sum($"n_docs").over(Window.partitionBy($"split")))
+        .withColumn("lang_total",
+          sum($"n_docs").over(Window.partitionBy($"lang")))
+        .withColumn("total_docs",
+          sum($"n_docs").over(Window.partitionBy(lit(1))))
+        .select($"split", $"lang", $"n_docs", $"split_total",
+          expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000) div split_total")
+            .as("share_in_split_micro"),
+          expr("(CAST(lang_total AS DECIMAL(38,0)) * 1000000) div total_docs")
+            .as("overall_share_micro"),
+          (expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000) div split_total") -
+            expr("(CAST(lang_total AS DECIMAL(38,0)) * 1000000) div total_docs"))
+            .as("skew_micro"))
+        .orderBy($"split", $"lang")
+    }),
+
+    // Vocabulary coverage curve — what fraction of all token
+    // OCCURRENCES the top-k most frequent terms cover, the number that
+    // sizes a tokenizer vocab (k = 100 / 1k / 10k). Never ranks the
+    // vocab: term counts fold to (count value, #terms) RUNS — at most
+    // O(√N) distinct count values exist (Σc·k = N bounds them) — and
+    // the cumulative walk runs over that sub-linear runs domain (the
+    // q165 device). The rank-k boundary may SPLIT a run: the run
+    // containing rank k contributes (k − prev_terms)·c occurrences by
+    // closed form. Everything is exact integer arithmetic; the
+    // coverage share is a decimal-widened floor div (micro-units).
+    "q241_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.documents(s, dir)
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        .filter(length($"w") > 0)
+      val runs = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("k"))
+      val wD = Window.orderBy($"c".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = runs
+        .withColumn("prev_terms", coalesce(sum($"k").over(wD), lit(0L)))
+        .withColumn("prev_occ", coalesce(sum($"c" * $"k").over(wD), lit(0L)))
+      val tot = runs.agg(sum($"k").as("total_terms"),
+        sum($"c" * $"k").as("total_occ"))
+      val ks = s.range(1)
+        .select(explode(array(lit(100L), lit(1000L), lit(10000L)))
+          .as("k_req"))
+      ks.crossJoin(broadcast(tot))
+        .withColumn("kk", least($"k_req", $"total_terms"))
+        .crossJoin(broadcast(cum))
+        .filter($"prev_terms" < $"kk" && $"kk" <= $"prev_terms" + $"k")
+        .groupBy($"k_req", $"kk", $"total_occ")
+        .agg(min($"prev_occ" + ($"kk" - $"prev_terms") * $"c")
+          .as("covered_occ"))
+        .select($"k_req".as("k"), $"kk".as("n_terms_used"),
+          $"covered_occ", $"total_occ",
+          expr("(CAST(covered_occ AS DECIMAL(38,0)) * 1000000) div total_occ")
+            .as("coverage_micro"))
+        .orderBy($"k")
+    }),
+
     // Priority sampling (Duffield–Lund–Thorup, JACM 2007) — weighted
     // sampling without replacement with an unbiased subset-sum
     // estimator: priority q_i = w_i / u_i, keep the k largest, and
@@ -1412,6 +1495,75 @@ object TextOps {
         |SELECT doc_id, lang, cand AS pred_lang, dist FROM d
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q240_hash_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |             || ':split'), 1, 13)) AS BIGINT) < 3602879701896396
+        |           THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |             || ':split'), 1, 13)) AS BIGINT) < 4053239664633446
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1, 2),
+        |t AS (
+        |  SELECT split, lang, n_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY split) AS BIGINT)
+        |      AS split_total,
+        |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS lang_total,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs
+        |  FROM g)
+        |SELECT split, lang, n_docs, split_total,
+        |  CAST((CAST(n_docs AS HUGEINT) * 1000000) // split_total
+        |    AS BIGINT) AS share_in_split_micro,
+        |  CAST((CAST(lang_total AS HUGEINT) * 1000000) // total_docs
+        |    AS BIGINT) AS overall_share_micro,
+        |  CAST((CAST(n_docs AS HUGEINT) * 1000000) // split_total
+        |    - (CAST(lang_total AS HUGEINT) * 1000000) // total_docs
+        |    AS BIGINT) AS skew_micro
+        |FROM t ORDER BY split, lang""".stripMargin,
+
+    "q241_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0),
+        |runs AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS k FROM (
+        |    SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w) tc
+        |  GROUP BY c),
+        |cum AS (
+        |  SELECT c, k,
+        |    CAST(coalesce(sum(k) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prev_terms,
+        |    CAST(coalesce(sum(c * k) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prev_occ
+        |  FROM runs),
+        |tot AS (
+        |  SELECT CAST(sum(k) AS BIGINT) AS total_terms,
+        |    CAST(sum(c * k) AS BIGINT) AS total_occ FROM runs),
+        |ks AS (SELECT CAST(k_req AS BIGINT) AS k_req
+        |       FROM (VALUES (100), (1000), (10000)) AS v(k_req)),
+        |j AS (
+        |  SELECT k_req, least(k_req, total_terms) AS kk, total_occ,
+        |    prev_occ, prev_terms, c, k
+        |  FROM ks CROSS JOIN tot CROSS JOIN cum)
+        |SELECT k_req AS k, kk AS n_terms_used,
+        |  CAST(min(prev_occ + (kk - prev_terms) * c) AS BIGINT)
+        |    AS covered_occ,
+        |  total_occ,
+        |  CAST((CAST(min(prev_occ + (kk - prev_terms) * c) AS HUGEINT)
+        |    * 1000000) // total_occ AS BIGINT) AS coverage_micro
+        |FROM j WHERE prev_terms < kk AND kk <= prev_terms + k
+        |GROUP BY k_req, kk, total_occ ORDER BY k""".stripMargin,
 
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (

@@ -181,4 +181,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getLong(6) <= 0L, "log BLEU is non-positive")
     }
   }
+
+  test("q240 hash split partitions the corpus near 80/10/10, deterministically") {
+    import spark.implicits._
+    val out = TextOps.queries("q240_hash_split")(spark, dir)
+      .select($"split", $"lang", $"n_docs", $"split_total",
+        $"share_in_split_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    val docs = graft.engine.Tables.documents(spark, dir).count()
+    assert(out.map(_._3).sum === docs) // splits partition the corpus
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // keyed-hash thresholds: expect ~80/10/10 (loose CI at 500 docs)
+    assert(bySplit("train") > docs * 7 / 10 && bySplit("train") < docs * 9 / 10)
+    // per-row share replays as floor(n·1e6 / split_total)
+    out.foreach { case (_, _, n, st, sh) =>
+      assert(sh === n * 1000000L / st)
+    }
+    // deterministic: a second evaluation is identical
+    val again = TextOps.queries("q240_hash_split")(spark, dir)
+      .select($"split", $"lang", $"n_docs", $"split_total",
+        $"share_in_split_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
+  test("q241 vocab coverage replays from raw term counts and is monotone") {
+    import spark.implicits._
+    val counts = graft.engine.Tables.documents(spark, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val sortedC = counts.map(_._2).sorted(Ordering[Long].reverse)
+    val totalOcc = sortedC.sum
+    val out = TextOps.queries("q241_vocab_coverage")(spark, dir)
+      .select($"k", $"n_terms_used", $"covered_occ", $"total_occ",
+        $"coverage_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(100L, 1000L, 10000L))
+    out.foreach { case (k, used, cov, tot, micro) =>
+      assert(tot === totalOcc)
+      assert(used === math.min(k, sortedC.length.toLong))
+      // exact replay: top-used counts (any tie order — counts equal)
+      assert(cov === sortedC.take(used.toInt).sum)
+      assert(micro === cov * 1000000L / tot)
+    }
+    // more vocab never covers less
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+  }
 }
