@@ -424,28 +424,34 @@ object TextOps {
 
     "q142_langid_ngram" -> ((s, dir) => {
       import s.implicits._
-      val words = T.documents(s, dir)
-        .select($"doc_id", $"lang",
-          explode(split(trim($"text"), "\\s+")).as("w"))
-        .filter(length($"w") > 0)
-      val grams = words.select($"doc_id", $"lang",
-        explode(expr(
-          "transform(sequence(1, length(w)), i -> substring(concat('_', w, '_'), i, 3))"))
-          .as("g"))
-      // One explode + one aggregation feeds BOTH profile branches: the
-      // language counts are the per-doc counts re-aggregated (identical
-      // totals), so the corpus is scanned and sharded once, not twice.
-      val gc = grams.groupBy($"doc_id", $"lang", $"g").count()
+      // Per-doc distinct-gram counts fold MAP-SIDE in one native
+      // expression pass (functions/NgramCounts — codepoint-exact
+      // mirror of the split/pad/substring built-ins): no
+      // row-per-character explode ever exists, the lang-profile
+      // shuffle carries per-doc DISTINCT grams, and the per-doc top-40
+      // is array_sort+slice on the in-row array — the per-doc window
+      // shuffle is gone. Both profile branches feed from the one scan.
+      val gcf = graft.functions.NgramCounts.gramCounts(s) _
+      val ga = T.documents(s, dir)
+        .select($"doc_id", $"lang", gcf($"text").as("ga"))
+      val gc = ga.select($"doc_id", $"lang", explode($"ga").as("x"))
+        .select($"doc_id", $"lang", $"x.g".as("g"), $"x.c".as("count"))
       val lp = gc.groupBy($"lang", $"g").agg(sum($"count").as("cnt"))
         .withColumn("lang_rank", row_number().over(
           Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")).cast("long"))
         .filter($"lang_rank" <= 100L)
         .select($"lang".as("lcand"), $"g".as("lg"), $"lang_rank")
-      val dp = gc
-        .withColumn("doc_rank", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"count".desc, $"g")).cast("long"))
-        .filter($"doc_rank" <= 40L)
-        .select($"doc_id", $"lang", $"g", $"doc_rank")
+      // (count desc, gram) — the same total order the old per-doc
+      // rank window used; lambda string compares are UTF8-binary like
+      // the window's orderBy
+      val top40 = expr("""slice(array_sort(ga, (l, r) ->
+          CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
+               WHEN l.g < r.g THEN -1 WHEN l.g > r.g THEN 1
+               ELSE 0 END), 1, 40)""")
+      val dp = ga.select($"doc_id", $"lang",
+          posexplode(top40).as(Seq("p", "x")))
+        .select($"doc_id", $"lang", $"x.g".as("g"),
+          ($"p" + 1).cast("long").as("doc_rank"))
       val langs = T.documents(s, dir).select($"lang".as("cand")).distinct()
       dp.join(broadcast(langs))
         .join(broadcast(lp), $"cand" === $"lcand" && $"g" === $"lg", "left")
