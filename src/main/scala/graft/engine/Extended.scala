@@ -40,25 +40,35 @@ object Extended {
     // Association rules over order baskets (market-basket mining, the
     // Agrawal-Srikant support/confidence/lift surface): antecedent →
     // consequent part pairs co-purchased in ≥3 orders, ranked by lift.
-    // Spark-first shape: baskets dedup to DISTINCT (order, item) rows
-    // (combine-able), pair supports come from the per-order self-join
-    // (never a corpus cross — candidate pairs only exist where baskets
-    // overlap, the q53 spine discipline), item supports join back on
-    // the item key, and the corpus order-count travels as a broadcast
-    // 1-row stats cross (the q76 idiom). Both rule directions emit
-    // from one undirected pair count. Confidence and lift are single
-    // fixed IEEE sequences over exact integer supports (the q146
-    // overflow-safe layout). Top-30 by (lift, ant, cons) is a total
-    // order → TakeOrderedAndProject, no global sort materialized.
+    // Spark-first shape: ONE shuffle groups each basket's distinct
+    // items into a bounded sorted array (collect_set — basket size is
+    // order-line-bounded, ~7 items), then candidate pairs EXPLODE
+    // MAP-SIDE from each basket's item array (i<j positions of the
+    // sorted array — never a self-join shuffle of the (order, item)
+    // table, and never a corpus cross: pairs only exist inside a
+    // basket, the q53 spine discipline). Item supports re-aggregate
+    // from the same basket frame; the corpus order-count travels as a
+    // broadcast 1-row stats cross (the q76 idiom). Both rule
+    // directions emit from one undirected pair count. Confidence and
+    // lift are single fixed IEEE sequences over exact integer supports
+    // (the q146 overflow-safe layout). Top-30 by (lift, ant, cons) is
+    // a total order → TakeOrderedAndProject, no global sort
+    // materialized.
     "q163_assoc_rules" -> ((s, dir) => {
       import s.implicits._
-      val oi = T.lineitem(s, dir)
-        .select($"l_orderkey".as("o"), $"l_partkey".as("i")).distinct()
-      val n = oi.agg(countDistinct($"o").as("n_orders"))
-      val supp = oi.groupBy($"i").agg(count(lit(1)).as("s"))
-      val pairs = oi.select($"o", $"i".as("a"))
-        .join(oi.select($"o", $"i".as("b")), "o")
-        .filter($"a" < $"b")
+      val baskets = T.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("i"))
+        .groupBy($"o").agg(sort_array(collect_set($"i")).as("items"))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val supp = baskets.select(explode($"items").as("i"))
+        .groupBy($"i").agg(count(lit(1)).as("s"))
+      val pairs = baskets.filter(size($"items") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(items) - 1), ii ->
+             transform(sequence(ii + 1, size(items)), jj ->
+               struct(element_at(items, ii) AS a,
+                      element_at(items, jj) AS b))))""")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
         .groupBy($"a", $"b").agg(count(lit(1)).as("s_ab"))
         .filter($"s_ab" >= 3L)
       val rules = pairs.select($"a".as("ant"), $"b".as("cons"), $"s_ab")

@@ -99,7 +99,14 @@ class PlanLintSpec extends AnyFunSuite {
     "q217_macro_f1",
     // q224 crosses the 1-row inferred bounds (q95 shape); q225
     // crosses its three 1-row P/R aggregates (q151/q166 shape).
-    "q224_inferred_contracts", "q225_dedup_pr")
+    "q224_inferred_contracts", "q225_dedup_pr",
+    // q228/q234 cross 1-row totals (and q234 the 1-row argmax) onto
+    // the scalableCumSum spine — the q76/q95 1-row-stats shape.
+    "q228_quantile_transform", "q234_ks_test",
+    // q241 crosses the 1-row vocab totals and the O(√N)-bounded
+    // (count value, #terms) runs frame against the 3-row k table —
+    // the boundary-run probe is a bounded-set non-equi join.
+    "q241_vocab_coverage")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
