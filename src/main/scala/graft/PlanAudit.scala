@@ -67,7 +67,12 @@ object PlanAudit {
     "q232_ccf",             // residual taps, decimal moments, map-side
     "q234_ks_test",         // two-level CDF spine, 1-row argmax
     "q238_incremental_dedup_disk", // bucketed on-disk state, probe join
-    "q239_stream_late_data") // staged replay + watermarked append agg
+    "q239_stream_late_data", // staged replay + watermarked append agg
+    "q243_tpch_q21",        // double-EXISTS folded to one grouped pass
+    "q244_tpch_q20",        // nested-agg threshold via windowed rollup
+    "q245_stream_stream_join", // watermarked stream-stream interval join
+    "q247_table_diff",      // O(buckets) checksum diff, full-outer meet
+    "q248_feature_hashing") // map-side hashing trick, doc×64 bounded
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -365,6 +365,91 @@ object Extended {
         .limit(100)
     }),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    // per-part average threshold — "lines whose quantity is below 20%
+    // of the part's average" — decorrelated into one aggregate over
+    // the brand-filtered lines joined back to the same lines. The
+    // brand filter reaches the part scan (75 of 2000 parts) and the
+    // dimension is broadcast, so lineitem is scanned once with a
+    // map-side join; the per-part (sum, count) table is part-sized
+    // and broadcast back. The 0.2·avg compare is kept in exact
+    // integers (5·qty·n < Σqty — quantities are integer-valued), so
+    // the predicate has no float boundary at any scale.
+    "q242_tpch_q17" -> ((s, dir) => {
+      import s.implicits._
+      val p = T.part(s, dir).filter($"p_brand" === "Brand#23")
+        .select($"p_partkey")
+      val l = T.lineitem(s, dir)
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+          $"l_extendedprice")
+      val avgq = l.groupBy($"l_partkey".as("pk"))
+        .agg(sum($"qty").as("sq"), count(lit(1)).as("nq"))
+      l.join(broadcast(avgq), $"l_partkey" === $"pk")
+        .filter($"qty" * lit(5L) * $"nq" < $"sq")
+        .agg((msum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS/NOT-EXISTS double self-join — "late line on a
+    // multi-supplier order where no OTHER supplier was late" —
+    // reformulated as ONE grouped pass per order: count distinct
+    // suppliers, count distinct LATE suppliers, and when exactly one
+    // supplier is late on a multi-supplier order, that supplier (the
+    // conditional max is well-defined precisely because the count is
+    // 1). Two shuffles total (order rollup + supplier rollup) instead
+    // of the textbook plan's two extra corpus-sized self-joins; all
+    // counts are integers, the supplier dimension is broadcast.
+    // "Late" = shipped >365 days after the order date (this schema
+    // carries no commit/receipt dates; the shape is identical).
+    "q243_tpch_q21" -> ((s, dir) => {
+      import s.implicits._
+      val o = T.orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val l = T.lineitem(s, dir)
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey",
+          ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 365 DAYS")).as("late"))
+      val per = l.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"),
+          max(when($"late", $"l_suppkey")).as("late_supp"))
+      per.filter($"n_supp" > 1 && $"n_late_supp" === 1)
+        .groupBy($"late_supp")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(T.supplier(s, dir)), $"late_supp" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
+    // TPC-H Q20 shape (dominant-share suppliers): a nested aggregate
+    // threshold — suppliers shipping >20% of some part's total
+    // quantity — as one (part, supplier) rollup plus a per-part total
+    // via a window OVER the rollup (partition key = part key, which
+    // grows with the data — the window distributes; the frame per
+    // part is supplier-count-sized, not corpus-sized). The share
+    // compare stays in exact integers (5·supp_qty > Σpart_qty), and
+    // the supplier table sees a semi join, so each qualifying
+    // supplier appears once regardless of how many parts it
+    // dominates.
+    "q244_tpch_q20" -> ((s, dir) => {
+      import s.implicits._
+      val bySupp = T.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("qty"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"qty").as("sq"))
+      val dominant = bySupp
+        .withColumn("tot", sum($"sq").over(Window.partitionBy($"l_partkey")))
+        .filter($"sq" * lit(5L) > $"tot")
+        .select($"l_suppkey")
+      T.supplier(s, dir)
+        .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_name", $"s_nationkey", $"s_acctbal")
+        .orderBy($"s_name")
+    }),
+
     // MERGE upsert post-image (Maintenance.upsert): updates touch every
     // 10th customer (balance bump + segment overwrite), inserts add a
     // shifted-key cohort. One anti-join (updates broadcast — they're
@@ -382,6 +467,65 @@ object Extended {
       Maintenance.upsert(base, broadcast(updates.unionByName(inserts)),
           Seq("c_custkey"))
         .orderBy($"c_custkey")
+    }),
+
+    // MERGE … WHEN MATCHED THEN DELETE as a verified query
+    // (Maintenance.deleteMatching — the right-to-be-forgotten shape):
+    // a tombstone list of customer keys is anti-joined away
+    // (broadcast — a deletion request batch is always dimension-
+    // sized), and the output is the governance AUDIT a production
+    // delete job must emit: per segment, rows before, rows deleted,
+    // rows after, with n_before − n_deleted = n_after provable in the
+    // result itself. At 100 TB the anti-join narrows to matched
+    // files/partitions via the upsertPartitioned machinery; the audit
+    // aggregation is segment-sized.
+    "q246_delete_audit" -> ((s, dir) => {
+      import s.implicits._
+      val base = T.customer(s, dir)
+      val tombstones = base.filter($"c_custkey" % 97 === 13)
+        .select($"c_custkey")
+      val post = Maintenance.deleteMatching(base, broadcast(tombstones),
+        Seq("c_custkey"))
+      val before = base.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_before"),
+          count_if($"c_custkey" % 97 === 13).as("n_deleted"))
+      val after = post.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_after"))
+      before.join(after, "c_mktsegment")
+        .select($"c_mktsegment", $"n_before", $"n_deleted", $"n_after")
+        .orderBy($"c_mktsegment")
+    }),
+
+    // The replica-reconciliation DIFF as a verified query
+    // (Maintenance.tableDiff over a deterministically corrupted copy:
+    // one drifted value run, one deleted key run, one inserted
+    // cohort). Each side is summarized to O(buckets) rows by the
+    // order-invariant 52-bit-hash-sum checksum — comparing two 100 TB
+    // copies costs one scan of each plus a 256-row join, and the
+    // output names exactly the buckets (search-space ÷256) where they
+    // disagree. The oracle replays the canonicalize→md5→bucket→sum
+    // arithmetic token for token on both sides (the q116 device,
+    // lifted to the two-table full-outer diff).
+    "q247_table_diff" -> ((s, dir) => {
+      import s.implicits._
+      val base = T.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority")
+      val drifted = base.filter($"o_orderkey" % 503 =!= 11)
+        .withColumn("o_orderpriority",
+          when($"o_orderkey" % 501 === 7, lit("X-DRIFTED"))
+            .otherwise($"o_orderpriority"))
+      val inserted = base.filter($"o_orderkey" % 997 === 3)
+        .select(($"o_orderkey" + lit(20000000L)).as("o_orderkey"),
+          $"o_custkey", lit("Z").as("o_orderstatus"),
+          lit("X-NEW").as("o_orderpriority"))
+      Maintenance.tableDiff(base, drifted.unionByName(inserted), buckets = 256)
+        .select($"bucket",
+          coalesce($"a_rows", lit(0L)).as("a_rows"),
+          coalesce($"a_sum", lit(0L)).as("a_sum"),
+          coalesce($"b_rows", lit(0L)).as("b_rows"),
+          coalesce($"b_sum", lit(0L)).as("b_sum"))
+        .orderBy($"bucket")
     }),
 
     // The reconciliation checksum as a verified query: order- and
@@ -875,6 +1019,51 @@ object Extended {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    "q242_tpch_q17" ->
+      s"""WITH l AS (
+         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'),
+         |a AS (SELECT l_partkey AS pk, sum(qty) AS sq, count(*) AS nq
+         |      FROM l GROUP BY 1)
+         |SELECT (${msumSql("l_extendedprice")}) / 7.0 AS avg_yearly,
+         |  count(*) AS n_small
+         |FROM l JOIN a ON l_partkey = pk
+         |WHERE qty * 5 * nq < sq""".stripMargin,
+
+    "q243_tpch_q21" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT l_suppkey) FILTER (WHERE late) AS n_late_supp,
+        |    max(l_suppkey) FILTER (WHERE late) AS late_supp
+        |  FROM l GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM per JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q244_tpch_q20" ->
+      """WITH bysupp AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, sq,
+        |      sum(sq) OVER (PARTITION BY l_partkey) AS tot
+        |    FROM bysupp) t
+        |  WHERE sq * 5 > tot)
+        |SELECT s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM dom WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_name""".stripMargin,
+
     "q71_merge_upsert" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
@@ -889,6 +1078,56 @@ object Extended {
         |UNION ALL
         |SELECT * FROM upd
         |ORDER BY c_custkey""".stripMargin,
+
+    "q246_delete_audit" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, count(*) AS n_before,
+        |    count(*) FILTER (WHERE c_custkey % 97 = 13) AS n_deleted
+        |  FROM customer GROUP BY 1),
+        |a AS (
+        |  SELECT c_mktsegment, count(*) AS n_after
+        |  FROM customer WHERE c_custkey % 97 <> 13 GROUP BY 1)
+        |SELECT b.c_mktsegment AS c_mktsegment, n_before, n_deleted, n_after
+        |FROM b JOIN a USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q247_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |mut AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 501 = 7 THEN 'X-DRIFTED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE o_orderkey % 503 <> 11
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, 'Z', 'X-NEW'
+        |  FROM base WHERE o_orderkey % 997 = 3),
+        |ha AS (SELECT md5(concat(
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(o_orderpriority, chr(2)||'NULL'), chr(1),
+        |    COALESCE(o_orderstatus, chr(2)||'NULL'))) AS h FROM base),
+        |hb AS (SELECT md5(concat(
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)||'NULL'), chr(1),
+        |    COALESCE(o_orderpriority, chr(2)||'NULL'), chr(1),
+        |    COALESCE(o_orderstatus, chr(2)||'NULL'))) AS h FROM mut),
+        |ca AS (SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS a_rows,
+        |    CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS a_sum
+        |  FROM ha GROUP BY 1),
+        |cb AS (SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS b_rows,
+        |    CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS b_sum
+        |  FROM hb GROUP BY 1)
+        |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |  COALESCE(a_rows, 0) AS a_rows, COALESCE(a_sum, 0) AS a_sum,
+        |  COALESCE(b_rows, 0) AS b_rows, COALESCE(b_sum, 0) AS b_sum
+        |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |WHERE NOT (COALESCE(a_rows, 0) = COALESCE(b_rows, 0)
+        |       AND COALESCE(a_sum, 0) = COALESCE(b_sum, 0))
+        |ORDER BY bucket""".stripMargin,
 
     "q116_table_checksum" ->
       """WITH h AS (SELECT md5(concat(

@@ -237,6 +237,32 @@ object TextOps {
     // would drive to zero. Scale shape: one map-side hash + one
     // combine-able count; every window below runs on the
     // |splits|×|langs| aggregate frame (≤ dozens of rows).
+    // The hashing trick (Weinberger et al., ICML 2009): fixed-width
+    // feature vectors with NO vocabulary pass — each token maps
+    // straight to one of 64 buckets by hash, with a second hash bit
+    // choosing ±1 so colliding features cancel in expectation instead
+    // of biasing upward. The whole featurizer is one map-side explode
+    // + one combine-able integer aggregation (doc × 64 bounded
+    // output); at 100 TB it needs no dictionary broadcast, no second
+    // scan, and no driver state — which is exactly why feature
+    // hashing beats dictionary one-hot at corpus scale. Zero-sum
+    // buckets (pure cancelled collisions) are dropped: they carry no
+    // signal and their absence keeps the row count ≤ nnz.
+    "q248_feature_hashing" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.spread(T.documents(s, dir))
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      val h = md5($"term")
+      toks.select($"doc_id",
+          (conv(substring(h, 1, 4), 16, 10).cast("long") % 64).as("bucket"),
+          when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
+            lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        .groupBy($"doc_id", $"bucket")
+        .agg(sum($"sgn").as("w"))
+        .filter($"w" =!= 0)
+        .orderBy($"doc_id", $"bucket")
+    }),
+
     "q240_hash_split" -> ((s, dir) => {
       import s.implicits._
       val C = 4503599627370496L // 2^52, shared with the oracle
@@ -1501,6 +1527,20 @@ object TextOps {
         |SELECT doc_id, lang, cand AS pred_lang, dist FROM d
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q248_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(md5(term), 5, 1)) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM toks)
+        |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+        |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q240_hash_split" ->
       """WITH d AS (

@@ -101,6 +101,16 @@ object Windows {
     "q239_stream_late_data" -> ((s, dir) =>
       graft.streaming.Streams.lateDataTumbling(s, dir)),
 
+    // Watermarked STREAM-STREAM interval join (clicks ⋈ purchases
+    // within 30 min, both sides file-replayed in three time-ordered
+    // batches) — the stateful join shape Structured Streaming
+    // supports at scale, driver-verified against the batch interval
+    // join because the time-ordered replay provably never evicts a
+    // partner early (see streaming/Streams.streamStreamAttribution
+    // for the watermark-margin argument).
+    "q245_stream_stream_join" -> ((s, dir) =>
+      graft.streaming.Streams.streamStreamAttribution(s, dir)),
+
     // The NATIVE as-of join (custom LogicalPlan + planner Strategy +
     // SparkPlan, graft.plans.AsOfJoinNative) run against q28's oracle —
     // the full §2.9 extension ladder lands in the driver-verified
@@ -158,6 +168,20 @@ object Windows {
         |SELECT window_start, event_type, n FROM win, wm
         |WHERE window_start + INTERVAL 1 HOUR <= wm.w
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // The stream-stream join's time-ordered replay never drops or
+    // early-evicts (margin argument in Streams.streamStreamAttribution),
+    // so the closed form is the plain batch interval join.
+    "q245_stream_stream_join" ->
+      """SELECT c.user_id AS user_id,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  p.value AS amount
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     "q41_sliding_window" ->
       s"""SELECT window_start, count(*) AS n, ${msumSql("value")} AS total_value

@@ -182,7 +182,12 @@ object Streams {
     stageBatch(bulk, "b1", t0)
     stageBatch(heartbeat, "b2", t0 + 60000L)
     stageBatch(ev.filter(late), "b3", t0 + 120000L)
-    val q = s.readStream.schema(ev.schema)
+    // state width 8 (the tumblingCounts sizing rule): 3 micro-batches
+    // each pay one state-store commit per partition, and the aggregate
+    // holds ~100s of keys — width is for the state, not the CPUs
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.getAbsolutePath)
       .withWatermark("ts", "2 hours")
@@ -191,9 +196,98 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qn).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
     q.processAllAvailable()
     q.stop()
     s.table(qn).orderBy("window_start", "event_type")
+  }
+
+  /** The watermarked STREAM-STREAM interval join as a file-replayed,
+    * deterministic query (q245): clicks and purchases are two
+    * separate file streams, each staged as three time-ordered batch
+    * files (span tertiles, integer-µs splits), joined by
+    * [[purchaseAttribution]] (equi-key user_id + `p.ts ∈
+    * [c.ts, c.ts+30 min]`, both sides watermarked 1 h).
+    *
+    * Determinism argument (why the streamed result EQUALS the batch
+    * interval join, making the DuckDB oracle applicable): the replay
+    * is time-ordered, so no row is ever late — the only way a
+    * stream-stream inner join can diverge from batch is a match
+    * arriving after its partner's state was EVICTED. Eviction needs
+    * watermark (= max ts seen − 1 h, taken across both sources) to
+    * pass click_ts + 30 min; a cross-batch partner purchase lies
+    * within 30 min of the click but after the batch boundary, so at
+    * eviction time the purchase batch has necessarily arrived —
+    * 30 min lag vs a 1 h delay leaves a half-hour safety margin at
+    * every boundary. At 100 TB the same bound is the state-store
+    * size guarantee: each side buffers only rows newer than
+    * watermark − interval. */
+  def streamStreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qn = "stream_ssj_" + graft.engine.Scratch.key(dir)
+    val stage = graft.engine.Scratch.dir(s, "ssj_replay", dir)
+    val ev = graft.engine.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val span = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val (minUs, maxUs) = (span.getLong(0), span.getLong(1))
+    val (t1, t2) = (minUs + (maxUs - minUs) / 3, minUs + 2 * ((maxUs - minUs) / 3))
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(wipe) }
+      f.delete(); ()
+    }
+    wipe(new java.io.File(stage))
+    def stageTertiles(df: DataFrame, sub: String): String = {
+      val inDir = new java.io.File(s"$stage/$sub"); inDir.mkdirs()
+      val t0 = System.currentTimeMillis() - 600000L
+      Seq[(String, org.apache.spark.sql.Column)](
+        ("b1", unix_micros($"ts") <= t1),
+        ("b2", unix_micros($"ts") > t1 && unix_micros($"ts") <= t2),
+        ("b3", unix_micros($"ts") > t2)).zipWithIndex.foreach {
+        case ((name, cond), i) =>
+          val tmp = s"$stage/tmp_${sub}_$name"
+          df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(inDir, name + ".parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + 60000L * i); ()
+      }
+      inDir.getAbsolutePath
+    }
+    val cDir = stageTertiles(clicks, "clicks")
+    val pDir = stageTertiles(purchases, "purchases")
+    val cS = s.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "1").parquet(cDir)
+    val pS = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1").parquet(pDir)
+    // same join shape as purchaseAttribution, with both event ids kept
+    // so the output carries a total order (ts alone can tie)
+    val c = cS.withWatermark("ts", "1 hour").alias("c")
+    val p = pS.withWatermark("ts", "1 hour").alias("p")
+    val joined = c.join(p, expr(
+      """c.user_id = p.user_id AND
+        |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("c.ts").as("click_ts"),
+        col("p.event_id").as("purchase_id"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("amount"))
+    // join state width 8 (the tumblingCounts sizing rule): each side
+    // buffers ≤ one watermark-interval of rows per partition and every
+    // micro-batch commits per-partition state deltas — size for state
+    // cardinality, not CPU count
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("user_id", "click_id", "purchase_id")
   }
 
   /** One document's claim on one LSH band bucket: `claimedBy` is the

@@ -61,6 +61,64 @@ class ExtendedSpec extends AnyFunSuite {
     assert(rows.sameElements(rows.sortBy(-_)))
   }
 
+  test("q242 q17-shape matches a literal correlated-subquery recompute") {
+    import spark.implicits._
+    val raw = graft.engine.Tables.lineitem(spark, dir)
+      .join(graft.engine.Tables.part(spark, dir).filter($"p_brand" === "Brand#23"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long"))
+      .as[(Long, Long)].collect()
+    val byPart = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // the defining form: qty < 0.2 * avg(qty per part), as exact integers
+    val expectSmall = raw.count { case (pk, q) =>
+      val vs = byPart(pk); q * 5 * vs.length < vs.sum
+    }
+    val (avgYearly, nSmall) = Extended.queries("q242_tpch_q17")(spark, dir)
+      .as[(Option[Double], Long)].head() match { case (a, n) => (a, n) }
+    assert(nSmall == expectSmall)
+    if (nSmall > 0) assert(avgYearly.exists(_ > 0.0))
+  }
+
+  test("q243 q21-shape counts exactly the sole-late-supplier orders") {
+    import spark.implicits._
+    val rows = graft.engine.Tables.lineitem(spark, dir)
+      .join(graft.engine.Tables.orders(spark, dir)
+        .filter($"o_orderstatus" === "F"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + org.apache.spark.sql.functions
+          .expr("INTERVAL 365 DAYS")).as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val qualifying = rows.groupBy(_._1).valuesIterator.flatMap { ls =>
+      val supps = ls.map(_._2).distinct
+      val lateSupps = ls.filter(_._3).map(_._2).distinct
+      if (supps.length > 1 && lateSupps.length == 1) Some(lateSupps.head)
+      else None
+    }.toSeq
+    val out = Extended.queries("q243_tpch_q21")(spark, dir)
+      .select($"numwait").as[Long].collect()
+    assert(out.sum <= qualifying.size) // top-20 cap
+    assert(out.sameElements(out.sortBy(-_)))
+    val totalDeclared = qualifying.groupBy(identity).size
+    if (totalDeclared <= 20) assert(out.sum == qualifying.size)
+  }
+
+  test("q244 q20-shape suppliers each dominate at least one part") {
+    import spark.implicits._
+    val rows = graft.engine.Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val dominant = rows.groupBy(_._1).valuesIterator.flatMap { ls =>
+      val tot = ls.map(_._3).sum
+      ls.groupBy(_._2).collect { case (sk, g) if g.map(_._3).sum * 5 > tot => sk }
+    }.toSet
+    val names = Extended.queries("q244_tpch_q20")(spark, dir)
+      .select($"s_name").as[String].collect()
+    val nameToKey = graft.engine.Tables.supplier(spark, dir)
+      .select($"s_name", $"s_suppkey").as[(String, Long)].collect().toMap
+    assert(names.toSet.map(nameToKey) == dominant)
+    assert(names.sameElements(names.sorted))
+  }
+
   test("q69 funnel stages are monotonically non-increasing") {
     import spark.implicits._
     val (s, v, f) = Extended.queries("q69_funnel")(spark, dir)

@@ -182,6 +182,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q248 feature hashing is bounded, signed, and replayable per doc") {
+    import spark.implicits._
+    val out = TextOps.queries("q248_feature_hashing")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, b, w) => b >= 0 && b < 64 && w != 0 })
+    // Σ|w| per doc never exceeds the doc's token count (signs cancel,
+    // never amplify), and buckets are unique per doc
+    val tokCounts = graft.engine.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("t"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (docId, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length)
+      assert(rows.map(r => math.abs(r._3)).sum <= tokCounts(docId))
+    }
+  }
+
   test("q240 hash split partitions the corpus near 80/10/10, deterministically") {
     import spark.implicits._
     val out = TextOps.queries("q240_hash_split")(spark, dir)

@@ -103,6 +103,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((7L, 5.0)))
   }
 
+  test("q245 file-replayed stream-stream join equals the batch interval join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streams.streamStreamAttribution(spark, dir)
+      .collect().toSeq
+    val ev = graft.engine.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("amount"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("left-outer stream-stream join finalizes unconverted clicks as misses") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
