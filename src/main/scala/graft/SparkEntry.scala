@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Aggregates.queries ++ Scalar.queries ++ Commission.queries ++ Windows.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ RefShapes.queries ++ Extended.queries ++ Pipeline.queries ++ graft.api.Rehive.queries ++ Chunking.queries ++ Sketches.queries ++ TimeSeries.queries ++ Graph.queries ++ graft.sources.SourceQueries.queries ++ Profiling.queries ++ Retrieval.queries
+    Relational.queries ++ Aggregates.queries ++ Scalar.queries ++ Commission.queries ++ Windows.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ RefShapes.queries ++ Extended.queries ++ Pipeline.queries ++ graft.api.Rehive.queries ++ Chunking.queries ++ Sketches.queries ++ TimeSeries.queries ++ Graph.queries ++ graft.sources.SourceQueries.queries ++ Profiling.queries ++ Retrieval.queries ++ TpchShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Aggregates.oracle ++ Scalar.oracle ++ Commission.oracle ++ Windows.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ RefShapes.oracle ++ Extended.oracle ++ Pipeline.oracle ++ graft.api.Rehive.oracle ++ Chunking.oracle ++ Sketches.oracle ++ TimeSeries.oracle ++ Graph.oracle ++ graft.sources.SourceQueries.oracle ++ Profiling.oracle ++ Retrieval.oracle
+    Relational.oracle ++ Aggregates.oracle ++ Scalar.oracle ++ Commission.oracle ++ Windows.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ RefShapes.oracle ++ Extended.oracle ++ Pipeline.oracle ++ graft.api.Rehive.oracle ++ Chunking.oracle ++ Sketches.oracle ++ TimeSeries.oracle ++ Graph.oracle ++ graft.sources.SourceQueries.oracle ++ Profiling.oracle ++ Retrieval.oracle ++ TpchShapes.oracle
 }

@@ -111,6 +111,17 @@ object Windows {
     "q245_stream_stream_join" -> ((s, dir) =>
       graft.streaming.Streams.streamStreamAttribution(s, dir)),
 
+    // Streaming dedup with PLANTED duplicates (two-batch file replay:
+    // the full events file, then every 5th event verbatim again) —
+    // `dropDuplicates` must match batch-2 rows against batch-1 STATE,
+    // so the §2.8 streaming-dedup checkbox lands in the oracle matrix
+    // with a non-vacuous input: a broken dedup inflates the counts
+    // ~20% and fails the COUNT oracle. See
+    // streaming/Streams.streamingDedupPlanted for the determinism and
+    // bounded-state (dropDuplicatesWithinWatermark) notes.
+    "q257_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streams.streamingDedupPlanted(s, dir)),
+
     // The NATIVE as-of join (custom LogicalPlan + planner Strategy +
     // SparkPlan, graft.plans.AsOfJoinNative) run against q28's oracle —
     // the full §2.9 extension ladder lands in the driver-verified
@@ -182,6 +193,13 @@ object Windows {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
+    // Closed form of the planted-duplicate replay: dedup removed every
+    // batch-2 row, so the counts are the base table's per-type counts
+    // (event_id is unique in the base table by construction).
+    "q257_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q41_sliding_window" ->
       s"""SELECT window_start, count(*) AS n, ${msumSql("value")} AS total_value

@@ -118,6 +118,61 @@ object Streams {
     s.table(qn).orderBy("event_type")
   }
 
+  /** Streaming dedup over a PLANTED duplicate replay — the cross-batch
+    * dedup-state path, deterministically: the full events file as
+    * batch 1, then every 5th event REPLAYED VERBATIM as batch 2;
+    * `dropDuplicates("event_id")` must recognize the batch-2 rows
+    * against batch-1 state, so the final complete-mode counts equal
+    * the base table's distinct counts even though the input carried
+    * ~20% extra rows — a broken dedup inflates the counts and fails
+    * the oracle. Duplicate rows are byte-identical, so the result is
+    * independent of which copy wins. No watermark: the declared query
+    * needs a closed form, and exact global dedup is the one whose
+    * oracle is plain COUNT; the bounded-state production variant
+    * (`dropDuplicatesWithinWatermark`, state ∝ watermark horizon) is
+    * the same plan shape and is parity-verified in StreamingSpec. */
+  def streamingDedupPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qn = "stream_dedup_planted_" + graft.engine.Scratch.key(dir)
+    val stage = graft.engine.Scratch.dir(s, "dedup_replay", dir)
+    val ev = graft.engine.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(wipe) }
+      f.delete(); ()
+    }
+    wipe(new java.io.File(stage))
+    val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
+    def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    stageBatch(ev, "b1", t0)
+    stageBatch(ev.filter($"event_id" % 5 === 0), "b2", t0 + 60000L)
+    // Width stays the SESSION width here (the tumblingCounts rule cuts
+    // the other way): dedup state is ~|events| KEYS — corpus-sized,
+    // not rollup-sized — so per-partition state serialization dominates
+    // the per-batch commit overhead and narrowing to 8 serializes it.
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getAbsolutePath)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_type")
+  }
+
   /** Watermarked tumbling counts over a PLANTED three-batch replay —
     * the late-data drop path, deterministically: bulk on-time rows as
     * file 1, a single heartbeat row (the latest on-time event) as

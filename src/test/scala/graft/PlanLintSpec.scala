@@ -106,7 +106,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q241 crosses the 1-row vocab totals and the O(√N)-bounded
     // (count value, #terms) runs frame against the 3-row k table —
     // the boundary-run probe is a bounded-set non-equi join.
-    "q241_vocab_coverage")
+    "q241_vocab_coverage",
+    // Q15's global max, Q22's balance threshold, and Q11's global
+    // total are 1-row aggregates crossed back broadcast — the
+    // q95/q76 1-row-stats shape.
+    "q252_tpch_q15", "q254_tpch_q22", "q256_tpch_q11")
 
   test("no unintentional cartesian/nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
