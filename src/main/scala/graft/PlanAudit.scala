@@ -72,7 +72,10 @@ object PlanAudit {
     "q244_tpch_q20",        // nested-agg threshold via windowed rollup
     "q245_stream_stream_join", // watermarked stream-stream interval join
     "q247_table_diff",      // O(buckets) checksum diff, full-outer meet
-    "q248_feature_hashing") // map-side hashing trick, doc×64 bounded
+    "q248_feature_hashing", // map-side hashing trick, doc×64 bounded
+    "q249_tpch_q4",         // EXISTS → left-semi with non-equi rider
+    "q255_tpch_q2",         // correlated MIN → min(struct) argmin rollup
+    "q257_stream_dedup")    // cross-batch dedup state, session width
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -834,7 +834,10 @@ object Extended {
         |  FROM src)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Checksum of the ORIGINAL table (the z-ordered copy is checksummed
@@ -856,7 +859,10 @@ object Extended {
         |  FROM src)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Deliberately the PLAIN join: hash-matching it proves the salted
@@ -1115,11 +1121,17 @@ object Extended {
         |    COALESCE(o_orderstatus, chr(2)||'NULL'))) AS h FROM mut),
         |ca AS (SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 256 AS bucket,
         |    CAST(count(*) AS BIGINT) AS a_rows,
-        |    CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS a_sum
+        |    CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS a_sum
         |  FROM ha GROUP BY 1),
         |cb AS (SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 256 AS bucket,
         |    CAST(count(*) AS BIGINT) AS b_rows,
-        |    CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS b_sum
+        |    CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS b_sum
         |  FROM hb GROUP BY 1)
         |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
         |  COALESCE(a_rows, 0) AS a_rows, COALESCE(a_sum, 0) AS a_sum,
@@ -1138,7 +1150,10 @@ object Extended {
         |  FROM customer)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q117_quantiles_nosort" ->

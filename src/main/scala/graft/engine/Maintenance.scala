@@ -94,7 +94,20 @@ object Maintenance {
                     salt: String = ""): DataFrame =
     bucketed(df, buckets, salt)
       .groupBy(col("__bucket").as("bucket"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("__rh")).as("checksum"))
+      // Checksum = Σ __rh  mod 2^52, computed from the 26-bit halves so
+      // no intermediate ever wraps: sum_lo ≤ rows·2^26 and sum_hi ≤
+      // rows·2^26 stay inside a long up to ~1.4e11 rows PER BUCKET
+      // (~10^14 rows/table at 1024 buckets), and
+      // (sum_hi mod 2^26)·2^26 + sum_lo ≡ Σrh (mod 2^52) caps at
+      // ~2^52 + rows·2^26. The naive sum(__rh) wraps (ANSI: throws) at
+      // ~4·10^3 rows per bucket — the sf3 rung caught exactly that on
+      // q247's 17.6k-row buckets. Modular truncation costs nothing: the
+      // checksum was already a 52-bit-space collision argument, and a
+      // mod-2^52 sum has the same 2^-52 random-collision bound.
+      .agg(count(lit(1)).as("n_rows"),
+        (((sum(expr("__rh DIV 67108864")) % lit(67108864L)) * lit(67108864L) +
+          sum(expr("__rh % 67108864"))) % lit(4503599627370496L))
+          .as("checksum"))
 
   /** Buckets where two tables disagree (empty ⇔ identical as
     * multisets up to the checksum's collision probability). Full

@@ -141,7 +141,10 @@ object SourceQueries {
         |  FROM documents)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Checksum of the ORIGINAL lineitem slice (sorted-name column
@@ -165,7 +168,10 @@ object SourceQueries {
         |  FROM src)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays the generation split (doc_id parity) over the one
@@ -188,7 +194,10 @@ object SourceQueries {
         |  FROM documents)
         |SELECT CAST(('0x'||substr(h,1,4)) AS BIGINT) % 64 AS bucket,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x'||substr(h,5,13)) AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(((sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) // 67108864) % 67108864)
+        |      * 67108864
+        |      + sum(CAST(('0x'||substr(h,5,13)) AS BIGINT) % 67108864))
+        |    % 4503599627370496 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same modular arithmetic as SeqSource.valOf/bucketOf,
