@@ -105,6 +105,13 @@ object Bench {
 
     val med = scala.collection.mutable.Map.empty[String, Double]
     val mn = scala.collection.mutable.Map.empty[String, Double]
+    // Queries that THREW during a timed run. The catch below keeps the
+    // run going (one broken query must not zero a whole rung), but a
+    // swallowed failure records a partial time that silently pollutes
+    // the rung — the sf3 ANSI-overflow incident. Failures are emitted
+    // in the JSON line so a polluted run is self-identifying, like the
+    // loadavg fields.
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     for ((_, fam) <- plan) {
       val qs = fam.toSeq.sortBy(_._1)
       // family warm-up: builds this family's shared spines and compiles
@@ -114,7 +121,8 @@ object Bench {
       qs.foreach { case (name, fn) =>
         val ts = (1 to REPEATS).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => failed += name; -1L }
           (System.nanoTime() - t0) / 1e9
         }.sorted
         med(name) = ts(ts.length / 2)
@@ -137,7 +145,9 @@ object Bench {
     val total = r4(if (med.nonEmpty) med.values.sum else 0.0)
     val totalMin = r4(if (mn.nonEmpty) mn.values.sum else 0.0)
     val loadEnd = loadavg()
-    val loads = s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loads =
+      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"failed":$failedJson"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","repeats":$REPEATS,$loads,"min_total_sec":$totalMin,"total_sec":$total}"""
     println(line)

@@ -246,6 +246,180 @@ object TpchShapes {
         .select($"l_partkey",
           ($"value_s".cast("double") / lit(10000.0)).as("value"))
         .orderBy($"value".desc, $"l_partkey")
+    }),
+
+    // TPC-H Q6 (forecast revenue change): the pure scan-filter-agg —
+    // a year of shipments, a discount band, small quantities, ONE
+    // aggregate row. The whole query is a single parquet scan with
+    // every predicate pushed/codegen'd and a map-side-combined sum:
+    // the cheapest possible shape at any scale, and the canonical
+    // "did the filters reach the scan" probe.
+    "q258_tpch_q6" -> ((s, dir) => {
+      import s.implicits._
+      T.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= lit(0.04) && $"l_discount" <= lit(0.06) &&
+          $"l_quantity" < lit(24.0))
+        .agg(msum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q14 (promotion effect): the conditional-share aggregate —
+    // promo revenue over total revenue for one month, both sums in
+    // exact cents from ONE joined pass, the share as an integer
+    // micro-unit floor division with decimal-widened factors (the
+    // q226 device — no float boundary, no overflow at any sf).
+    "q259_tpch_q14" -> ((s, dir) => {
+      import s.implicits._
+      T.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(T.part(s, dir).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .select(scaled($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("rev_s"), ($"p_type" === "PROMO").as("promo"))
+        .agg(sum(when($"promo", $"rev_s").otherwise(0L)).as("pr"),
+          sum($"rev_s").as("tr"))
+        .select(($"pr".cast("double") / lit(10000.0)).as("promo_rev"),
+          ($"tr".cast("double") / lit(10000.0)).as("total_rev"),
+          expr("(CAST(pr AS DECIMAL(38,0)) * 1000000) div tr")
+            .as("promo_share_micro"))
+    }),
+
+    // TPC-H Q10 (returned-item reporting): top 20 customers by
+    // revenue lost to returns in one quarter. The rollup key is the
+    // customer key (grows with data), nation is broadcast, and the
+    // top-k orders on EXACT revenue cents (BIGINT — deterministic
+    // ties) planning as TakeOrderedAndProject, never a global sort.
+    "q260_tpch_q10" -> ((s, dir) => {
+      import s.implicits._
+      val rev = T.lineitem(s, dir)
+        .filter($"l_returnflag" === "R" &&
+          $"l_shipdate" >= lit("1996-07-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+        .join(T.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sum(scaled($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("rev_s"))
+      rev.join(T.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal",
+          $"rev_s", ($"rev_s".cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy($"rev_s".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // TPC-H Q8 (national market share): of the revenue ASIA customers
+    // spent, the fraction supplied by one nation, by order year —
+    // BOTH sums come from the same grouped pass (a conditional sum,
+    // not a second scan), and the share is the decimal-widened
+    // integer micro division. The selective dimensions (region-
+    // filtered customers, the supplier→nation map) reduce before the
+    // fact join; nation/region/supplier sides broadcast.
+    "q261_tpch_q8" -> ((s, dir) => {
+      import s.implicits._
+      val asiaCust = T.customer(s, dir)
+        .join(broadcast(T.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"c_custkey")
+      val suppNat = T.supplier(s, dir)
+        .join(broadcast(T.nation(s, dir)
+            .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+        .select($"s_suppkey", $"supp_nation")
+      T.lineitem(s, dir)
+        .join(T.orders(s, dir).select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(asiaCust, $"o_custkey" === $"c_custkey", "left_semi")
+        .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+        .select($"o_year", $"supp_nation",
+          scaled($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_s"))
+        .groupBy($"o_year")
+        .agg(sum(when($"supp_nation" === "NATION_5", $"rev_s").otherwise(0L))
+          .as("nat_s"), sum($"rev_s").as("tot_s"))
+        .select($"o_year",
+          ($"nat_s".cast("double") / lit(10000.0)).as("nation_rev"),
+          ($"tot_s".cast("double") / lit(10000.0)).as("total_rev"),
+          expr("(CAST(nat_s AS DECIMAL(38,0)) * 1000000) div tot_s")
+            .as("mkt_share_micro"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q9 (product-type profit): profit per supplier nation per
+    // order year over one part family. The schema has no partsupp
+    // supply cost, so cost = 0.8 · retail price · quantity (≤4
+    // decimals — the scaled-integer sum stays exact, including
+    // negative-profit lines). Part and supplier→nation dimensions
+    // broadcast; the rollup key (nation × year) is tiny, the work is
+    // the one fact scan.
+    "q262_tpch_q9" -> ((s, dir) => {
+      import s.implicits._
+      val widget = T.part(s, dir)
+        .filter($"p_name".contains("widget"))
+        .select($"p_partkey", $"p_retailprice")
+      val suppNat = T.supplier(s, dir)
+        .join(broadcast(T.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      T.lineitem(s, dir)
+        .join(broadcast(widget), $"l_partkey" === $"p_partkey")
+        .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+        .join(T.orders(s, dir).select($"o_orderkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", $"o_year")
+        .agg(msum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.8) * $"p_retailprice" * $"l_quantity").as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name", $"o_year".desc)
+    }),
+
+    // TPC-H Q12 (shipping-delay priority audit): the CASE-sum shape —
+    // per lateness bucket (shipped ≤/> 90 days after ordering), how
+    // many lines carried urgent priorities vs not. One fact join, one
+    // 2-row rollup, both counts conditional sums in the same pass.
+    // (The schema has no ship mode; lateness is the derived dimension.)
+    "q263_tpch_q12" -> ((s, dir) => {
+      import s.implicits._
+      T.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+        .join(T.orders(s, dir)
+            .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+          lit("LATE")).otherwise(lit("ONTIME")).as("bucket"),
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH").as("high"))
+        .groupBy($"bucket")
+        .agg(sum(when($"high", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!$"high", 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"bucket")
+    }),
+
+    // TPC-H Q16 (supplier relationship count) over the observed
+    // supply: distinct suppliers per (brand, type, size) for parts
+    // outside one brand and inside a size set, excluding a
+    // deterministic complaint blacklist (suppkey ≡ 0 mod 7 — the
+    // schema carries no comment text) via a broadcast anti-join. The
+    // count-distinct shuffles on the (brand, type, size) rollup key;
+    // the supply pairs come from the fact scan, deduplicated by the
+    // rollup itself.
+    "q264_tpch_q16" -> ((s, dir) => {
+      import s.implicits._
+      val pts = T.part(s, dir)
+        .filter($"p_brand" =!= "Brand#23" &&
+          $"p_size".isin(1, 5, 10, 15, 20, 25))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val blacklist = T.supplier(s, dir)
+        .filter($"s_suppkey" % 7 === 0).select($"s_suppkey")
+      T.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+        .join(broadcast(pts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(blacklist), $"l_suppkey" === $"s_suppkey",
+          "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -366,5 +540,109 @@ object TpchShapes {
          |SELECT l_partkey, CAST(value_s AS DOUBLE)/10000.0 AS value
          |FROM v
          |WHERE value_s * 10000 > (SELECT CAST(sum(value_s) AS BIGINT) FROM v)
-         |ORDER BY value DESC, l_partkey""".stripMargin)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q258_tpch_q6" ->
+      s"""SELECT ${msumSql("l_extendedprice*l_discount")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.04 AND l_discount <= 0.06
+         |  AND l_quantity < 24.0""".stripMargin,
+
+    "q259_tpch_q14" ->
+      s"""WITH l AS (
+         |  SELECT ${scaledSql("l_extendedprice*(1.0-l_discount)")} AS rev_s,
+         |    p_type = 'PROMO' AS promo
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+         |a AS (
+         |  SELECT CAST(sum(CASE WHEN promo THEN rev_s ELSE 0 END) AS BIGINT)
+         |      AS pr,
+         |    CAST(sum(rev_s) AS BIGINT) AS tr
+         |  FROM l)
+         |SELECT CAST(pr AS DOUBLE)/10000.0 AS promo_rev,
+         |  CAST(tr AS DOUBLE)/10000.0 AS total_rev,
+         |  CAST((CAST(pr AS HUGEINT) * 1000000) // tr AS BIGINT)
+         |    AS promo_share_micro
+         |FROM a""".stripMargin,
+
+    "q260_tpch_q10" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(${scaledSql("l_extendedprice*(1.0-l_discount)")})
+         |      AS BIGINT) AS rev_s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND l_shipdate >= TIMESTAMP '1996-07-01'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01'
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name, c_acctbal, rev_s,
+         |  CAST(rev_s AS DOUBLE)/10000.0 AS revenue
+         |FROM rev JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY rev_s DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q261_tpch_q8" ->
+      s"""WITH j AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    sn.n_name AS supp_nation,
+         |    ${scaledSql("l_extendedprice*(1.0-l_discount)")} AS rev_s
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE EXISTS (
+         |    SELECT 1 FROM customer
+         |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |    JOIN region ON cn.n_regionkey = r_regionkey
+         |    WHERE c_custkey = o_custkey AND r_name = 'ASIA')),
+         |a AS (
+         |  SELECT o_year,
+         |    CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_s
+         |             ELSE 0 END) AS BIGINT) AS nat_s,
+         |    CAST(sum(rev_s) AS BIGINT) AS tot_s
+         |  FROM j GROUP BY 1)
+         |SELECT o_year,
+         |  CAST(nat_s AS DOUBLE)/10000.0 AS nation_rev,
+         |  CAST(tot_s AS DOUBLE)/10000.0 AS total_rev,
+         |  CAST((CAST(nat_s AS HUGEINT) * 1000000) // tot_s AS BIGINT)
+         |    AS mkt_share_micro
+         |FROM a ORDER BY o_year""".stripMargin,
+
+    "q262_tpch_q9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${msumSql("l_extendedprice*(1.0-l_discount) - 0.8*p_retailprice*l_quantity")}
+         |    AS profit,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q263_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |       THEN 'LATE' ELSE 'ONTIME' END AS bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q264_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
 }

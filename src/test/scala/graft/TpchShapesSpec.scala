@@ -6,11 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.TpchShapes
 
 /** Structural and semantic pins for the round-7 TPC-H shape family
-  * (q249–q256) that the DuckDB oracle can't show: plan shapes (semi
+  * (q249–q264) that the DuckDB oracle can't show: plan shapes (semi
   * join for Q4's EXISTS, no nested loops anywhere, broadcast on every
   * dimension side), the Q2 argmin's partition invariance, Q13 keeping
-  * zero-order customers, and Q15's exact-cents max being tie-stable.
-  * Result-level parity is q249–q256 in the driver matrix.
+  * zero-order customers, Q15's exact-cents max being tie-stable, and
+  * Q12's conditional counts partitioning the joined line set.
+  * Result-level parity is q249–q264 in the driver matrix.
   */
 class TpchShapesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -76,6 +77,16 @@ class TpchShapesSpec extends AnyFunSuite {
       val rev = r.getAs[Double]("total_revenue")
       assert(math.round(rev * 10000) == cents, s"row $r != max cents $cents")
     }
+  }
+
+  test("Q12's conditional counts partition the joined line set") {
+    import spark.implicits._
+    val byBucket = q("q263_tpch_q12")
+      .as[(String, Long, Long)].collect()
+      .map { case (b, h, l) => b -> (h + l) }.toMap
+    val nJoined = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(byBucket.values.sum == nJoined,
+      s"high+low across buckets must equal joined lines: $byBucket vs $nJoined")
   }
 
   test("every shape in the family plans without nested loops") {
