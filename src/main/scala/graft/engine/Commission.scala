@@ -215,6 +215,13 @@ object Commission {
       // the frontier (cf. Streams.tumblingCounts on state width).
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // The closure materializes ~10·|customers| rows; Spark's default
+      // cteRecursionRowLimit (1e6) trips at ~100k customers (the sf10
+      // rung's "failed" field caught it). The limit is a guard against
+      // runaway recursion, not a memory bound — the row count here is
+      // provably ≤ levels·|edges| — so raise it scoped to the query.
+      val savedLimit = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       try s.sql(
         s"""WITH RECURSIVE
            |edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer
@@ -229,7 +236,10 @@ object Commission {
            |  count(DISTINCT ancestor) AS n_ancestors
            |FROM anc GROUP BY lvl ORDER BY lvl""".stripMargin)
         .localCheckpoint()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.cteRecursionRowLimit", savedLimit)
+      }
     }),
 
     // AG1/AG2: balance as a pure recomputation — earned commissions

@@ -246,12 +246,16 @@ object Profiling {
       import s.implicits._
       val li = T.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
+      // width 1024 (same reasoning as q216): the cents domain spans
+      // ~1e7, so the default 65536 leaves ~140 buckets and the walked
+      // slice grows linearly with the data; 1024 keeps slices 64×
+      // smaller at a still-tiny histogram.
       val med = bucketedRankPick(li, "l_returnflag", "cents",
-        Seq("medc" -> "(n + 1) div 2"))
+        Seq("medc" -> "(n + 1) div 2"), width = 1024L)
       val dev = li.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"cents" - $"medc").as("adev"))
       val mad = bucketedRankPick(dev, "l_returnflag", "adev",
-        Seq("madc" -> "(n + 1) div 2"))
+        Seq("madc" -> "(n + 1) div 2"), width = 1024L)
       li.join(broadcast(med), "l_returnflag")
         .join(broadcast(mad), "l_returnflag")
         .groupBy($"l_returnflag")
@@ -560,7 +564,7 @@ object Profiling {
         round($"l_extendedprice" * 100.0).cast("long").as("cents"))
       val th = bucketedRankPick(li, "l_returnflag", "cents",
         Seq("p05c" -> "(n * 5 + 99) div 100",
-            "p95c" -> "(n * 95 + 99) div 100"))
+            "p95c" -> "(n * 95 + 99) div 100"), width = 1024L)
       li.join(broadcast(th), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n_items"),
@@ -884,9 +888,15 @@ object Profiling {
       // domain GROWS with the data, so the weighted rank walk rides
       // [[bucketedRankPick]] with qty as the weight mass, never a
       // 3-partition window over the domain.
+      // Width 1024, not the 65536 default: the price domain spans ~1e7
+      // cents, so 65536-wide buckets leave only ~140 of them and each
+      // target SLICE (the only per-(group, pick) sorted walk) holds
+      // rows/140 — linear in data (×14.6 sf1→sf3, the q164 class one
+      // level down). 1024-wide buckets keep the histogram tiny (~9k
+      // rows/group) while shrinking the walked slice 64×.
       val th = bucketedRankPick(li, "l_returnflag", "c",
         Seq("wp50c" -> "(n * 50 + 99) div 100",
-            "wp90c" -> "(n * 90 + 99) div 100"), w = $"qty")
+            "wp90c" -> "(n * 90 + 99) div 100"), width = 1024L, w = $"qty")
       val tot = li.groupBy($"l_returnflag")
         .agg(sum($"qty").as("total_weight"))
       tot.join(broadcast(th), "l_returnflag")

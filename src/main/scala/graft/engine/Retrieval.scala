@@ -96,11 +96,18 @@ object Retrieval {
     "q176_rrf_fusion" -> ((s, dir) => {
       import s.implicits._
       val cosF = CosineSimilarity.cosineSim(s) _
-      // ~12 narrow stages over sub-MB frames: per-stage scheduling, not
-      // data, is the cost at fixture scale — right-size the width (the
-      // q67/q97 rule; at real scale width comes from data volume)
+      // ~12 narrow stages over sub-MB frames at FIXTURE scale: there
+      // per-stage scheduling, not data, is the cost and width 8 wins
+      // (the q67/q97 rule). But the BM25 scoring pass is CORPUS-sized
+      // (tf × bounded probe fan-out), so pinning 8 at every sf
+      // serializes it as the corpus grows — the sf10 rung measured
+      // ×5.8 at ×3.3 data until the width followed the data again
+      // (the q257 state-width lesson: size width to the biggest
+      // data-bound stage, narrow only when everything is rollup-sized).
       val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val nDocs = T.documents(s, dir).count()
+      s.conf.set("spark.sql.shuffle.partitions",
+        if (nDocs <= 2000L) "8" else saved)
       try {
       val tf = T.spread(T.documents(s, dir))
         .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
