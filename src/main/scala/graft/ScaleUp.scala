@@ -10,17 +10,31 @@ import org.apache.spark.sql.functions._
   * per-copy join fan-outs match the sf0.1 originals instead of
   * cross-multiplying.
   *
-  * Documents: copy k > 0 marks every 3rd token with a `_k` suffix.
-  * Every 3-gram shingle then contains ≥ 1 marked token, so shingle
-  * sets NEVER overlap across copies while each copy preserves the
-  * original internal near-dup structure exactly — the honest model of
-  * a ×10 crawl (10 shards, same per-shard dup rate), and the property
-  * that keeps candidate-pair counts scaling ×10 instead of ×100.
+  * Documents: copy k > 0 marks EVERY token with a `_k` suffix — an
+  * injective per-copy token rename, so each copy's internal near-dup
+  * structure is isomorphic to the original while copies share NO
+  * tokens at all. Token-bag similarity (SimHash), shingle similarity
+  * (MinHash/PPJoin), and prefix tokens are all disjoint across
+  * copies, so per-doc duplicate counts are SCALE-INVARIANT: a ×k
+  * crawl is k shards with the same per-shard dup rate, and pair mass
+  * scales ×k, never ×k². (Round 7 marked only every 3rd token — that
+  * killed shingle overlap but left copies sharing 2/3 of their token
+  * bags, so 16-bit SimHashes of cross-copy clones genuinely landed
+  * within Hamming ≤ 3 and pair mass grew quadratically in copies —
+  * the fixture artifact behind the old rung exclusion list.)
   *
-  * Embeddings are cloned with shifted ids only: the ANN queries' query
-  * SETS (`vec_id % 25 = 0`) grow ×10 with the corpus by construction,
-  * so their total work model is ×100 at ×10 data — SCALE.md normalizes
-  * against that model rather than hiding it.
+  * Embeddings: copy k > 0 applies a deterministic SIGNED PERMUTATION
+  * (rotate dims by k mod d, then negate the first ⌊k/d⌋ mod (d+1)
+  * positions). A signed permutation is orthogonal, so every
+  * within-copy inner product — hence the copy's entire near-dup and
+  * ANN neighborhood structure — is preserved exactly, while
+  * cross-copy cosines collapse to random-pair levels (cos(x, Qx) ≈ 0
+  * for a non-identity signed permutation of a generic vector). This
+  * gives d·(d+1) distinct transforms (≈4k at d=64) before any two
+  * copies repeat, so clone pairs never reappear at any sf this
+  * sandbox can hold. The ANN queries' query SETS (`vec_id % 25 = 0`)
+  * still grow with the corpus by construction; the verified queries
+  * cap their probe sets (q60/q145) and SCALE.md carries the model.
   *
   * Events keep `ts` as raw NANO longs (the driver fixture's physical
   * type), so `Tables.events`' nanos→micros conversion — and the
@@ -78,17 +92,28 @@ object ScaleUp {
         .withColumn("user_id", $"user_id" + o)), "events")
     write(copiesOf("documents", (df, o) => {
       val marked = array_join(
-        zip_with(split($"text", " "),
-          sequence(lit(0), size(split($"text", " ")) - 1),
-          (w, p) => when(o === 0L || p % 3 =!= 0, w)
+        transform(split($"text", " "),
+          w => when(o === 0L, w)
             .otherwise(concat(w, lit("_"), (o / Stride).cast("string")))),
         " ")
       df.withColumn("doc_id", $"doc_id" + o)
         .withColumn("text", marked)
         .withColumn("n_chars", length(marked))
     }), "documents")
-    write(copiesOf("embeddings", (df, o) =>
-      df.withColumn("vec_id", $"vec_id" + o)), "embeddings")
+    write(copiesOf("embeddings", (df, o) => {
+      val c = o / Stride // copy index
+      val d = size($"embedding")
+      val r = (c % d.cast("long")).cast("int")
+      val rot = concat(
+        slice($"embedding", r + 1, d - r),
+        slice($"embedding", lit(1), r))
+      val m = ((c / d.cast("long")) % (d.cast("long") + 1)).cast("int")
+      val rotFlip = zip_with(rot, sequence(lit(0), d - 1),
+        (v, i) => when(i < m, -v).otherwise(v))
+      df.withColumn("vec_id", $"vec_id" + o)
+        .withColumn("embedding",
+          when(c === 0L, $"embedding").otherwise(rotFlip))
+    }), "embeddings")
 
     spark.stop()
   }

@@ -219,9 +219,21 @@ object Commission {
       // cteRecursionRowLimit (1e6) trips at ~100k customers (the sf10
       // rung's "failed" field caught it). The limit is a guard against
       // runaway recursion, not a memory bound — the row count here is
-      // provably ≤ levels·|edges| — so raise it scoped to the query.
+      // provably ≤ levels·|edges| (each edge appears at most once per
+      // level) — so ASSERT that bound against the actual edge count
+      // first, then raise the limit scoped to the query. If the
+      // assertion ever fires, the closure is no longer provably
+      // bounded and raising the limit would be masking a runaway.
+      val levels = 10L
+      val edgeCount = T.customer(s, dir)
+        .filter(org.apache.spark.sql.functions.col("c_custkey") >= 1).count()
+      val bound = levels * edgeCount
+      val raisedLimit = 2000000000L
+      require(bound < raisedLimit,
+        s"recursion closure bound levels*|edges| = $bound exceeds the " +
+          s"raised cteRecursionRowLimit $raisedLimit - refusing to raise")
       val savedLimit = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
-      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+      s.conf.set("spark.sql.cteRecursionRowLimit", raisedLimit.toString)
       try s.sql(
         s"""WITH RECURSIVE
            |edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer

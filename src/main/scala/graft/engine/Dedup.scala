@@ -240,27 +240,17 @@ object Dedup {
         val cut = maxId - maxId / 5
         val seed = docs.filter($"doc_id" <= cut)
         val delta = docs.filter($"doc_id" > cut)
-        val key = Scratch.key(dir)
+        // State-table names carry the APPLICATION id (Scratch.stateKey)
+        // so concurrent sessions sharing a warehouse can never collide
+        // on — or sweep — each other's live state; the sweep itself is
+        // scoped by construction to warehouse-resident graft_state_*
+        // dirs of THIS application (Scratch.sweepStaleState refuses
+        // anything else).
+        val key = Scratch.stateKey(s, dir)
         val bandsT = s"graft_state_bands_$key"
         val labelsT = s"graft_state_labels_$key"
-        // A previous JVM's warehouse directory can survive while the
-        // (in-memory) catalog entry did not — CREATE TABLE then fails
-        // with LOCATION_ALREADY_EXISTS. Sweep stale locations for any
-        // table this session's catalog doesn't know.
-        def sweepStale(name: String): Unit = if (!s.catalog.tableExists(name)) {
-          val whConf = s.conf.get("spark.sql.warehouse.dir")
-          val wh = if (whConf.startsWith("file:"))
-            new java.net.URI(whConf).getPath else whConf
-          def wipe(f: java.io.File): Unit = {
-            if (f.isDirectory) {
-              val cs = f.listFiles(); if (cs != null) cs.foreach(wipe)
-            }
-            f.delete(); ()
-          }
-          wipe(new java.io.File(wh, name.toLowerCase))
-        }
         Seq(bandsT, labelsT, s"${bandsT}_g2", s"${labelsT}_g2")
-          .foreach(sweepStale)
+          .foreach(Scratch.sweepStaleState(s, _))
         if (!s.catalog.tableExists(bandsT)) {
           Catalog.bucketize(bandsOf(seed), bandsT, "bandkey", buckets = 8)
           val pairs = pairsOf(seed).localCheckpoint()

@@ -229,7 +229,10 @@ object TpchShapes {
     // parts whose value exceeds 1/10000 of that nation's total — the
     // nested global-threshold aggregate. The global total is a 1-row
     // broadcast, and the share predicate is pure integers
-    // (value_cents · 10000 > total_cents): no float at any scale.
+    // (value_cents · 10000 > total_cents) widened to decimal(38,0)
+    // BEFORE the multiply (q232/q226 rule: an unwidened Long product
+    // wraps silently in Spark but errors in DuckDB at large sf):
+    // no float and no overflow at any scale.
     "q256_tpch_q11" -> ((s, dir) => {
       import s.implicits._
       val supp = T.supplier(s, dir)
@@ -242,7 +245,8 @@ object TpchShapes {
         .agg(sum(scaled($"l_extendedprice")).as("value_s"))
       val tot = value.agg(sum($"value_s").as("tot_s"))
       value.crossJoin(broadcast(tot))
-        .filter($"value_s" * lit(10000L) > $"tot_s")
+        .filter($"value_s".cast("decimal(38,0)") * lit(10000L) >
+          $"tot_s".cast("decimal(38,0)"))
         .select($"l_partkey",
           ($"value_s".cast("double") / lit(10000.0)).as("value"))
         .orderBy($"value".desc, $"l_partkey")
@@ -539,7 +543,8 @@ object TpchShapes {
          |  GROUP BY 1)
          |SELECT l_partkey, CAST(value_s AS DOUBLE)/10000.0 AS value
          |FROM v
-         |WHERE value_s * 10000 > (SELECT CAST(sum(value_s) AS BIGINT) FROM v)
+         |WHERE CAST(value_s AS HUGEINT) * 10000
+         |      > (SELECT CAST(sum(value_s) AS HUGEINT) FROM v)
          |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q258_tpch_q6" ->

@@ -87,10 +87,13 @@ object JaroWinkler {
   }
 
   /** Exact Jaro-Winkler (p = 0.1, ℓ = common prefix capped at 4)
-    * floored to integer micro-units ∈ [0, 1e6]. The standard variant
-    * applies the boost unconditionally (DuckDB/jellyfish convention);
-    * Winkler's 0.7-threshold variant is `jw = if (j ≥ 0.7) boosted
-    * else j` — callers can gate on jaroMicro if they want it. */
+    * floored to integer micro-units ∈ [0, 1e6]. This is the
+    * NON-THRESHOLDED variant: the boost is applied unconditionally.
+    * (Winkler's original — and jellyfish's / DuckDB's — convention
+    * gates the boost on j > 0.7: `jw = if (j > 0.7) boosted else j`;
+    * callers wanting that variant gate on jaroMicro. JaroWinklerSpec
+    * pins a j < 0.7 pair so the intended unconditional behavior is
+    * test-visible, not an accident of high-similarity test data.) */
   def jaroWinklerMicro(a: String, b: String): Long = {
     val (num, den) = jaroRational(a, b)
     if (den == 0L) return 0L
@@ -101,17 +104,28 @@ object JaroWinkler {
     Micro * (10L * num + l * (den - num)) / (10L * den)
   }
 
+  /** Null-in/null-out wrappers (Spark's SQL-function convention for a
+    * record-linkage primitive: a NULL name has UNKNOWN similarity, not
+    * 1.0-to-another-NULL, and must never NPE the task). The boxed
+    * java.lang.Long return type is what lets the UDF emit SQL NULL. */
+  private def jaroMicroN(a: String, b: String): java.lang.Long =
+    if (a == null || b == null) null else java.lang.Long.valueOf(jaroMicro(a, b))
+
+  private def jaroWinklerMicroN(a: String, b: String): java.lang.Long =
+    if (a == null || b == null) null
+    else java.lang.Long.valueOf(jaroWinklerMicro(a, b))
+
   /** Column API + SQL registration (idempotent). */
   def register(s: SparkSession): Unit = {
     s.udf.register("jaro_micro",
-      (a: String, b: String) => jaroMicro(a, b))
+      (a: String, b: String) => jaroMicroN(a, b))
     s.udf.register("jaro_winkler_micro",
-      (a: String, b: String) => jaroWinklerMicro(a, b))
+      (a: String, b: String) => jaroWinklerMicroN(a, b))
   }
 
   def jaroMicroCol(a: Column, b: Column): Column =
-    udf((x: String, y: String) => jaroMicro(x, y)).apply(a, b)
+    udf((x: String, y: String) => jaroMicroN(x, y)).apply(a, b)
 
   def jaroWinklerMicroCol(a: Column, b: Column): Column =
-    udf((x: String, y: String) => jaroWinklerMicro(x, y)).apply(a, b)
+    udf((x: String, y: String) => jaroWinklerMicroN(x, y)).apply(a, b)
 }

@@ -41,6 +41,40 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(jaroWinklerMicro("ABC", "XYZ") === 0L)
   }
 
+  test("boost is applied unconditionally — pinned below the 0.7 gate") {
+    // DIXON/DICKSONX truncated: j < 0.7 with a shared 2-char prefix,
+    // so the thresholded (jellyfish/DuckDB) variant would return j
+    // unchanged while this implementation boosts. Pins the documented
+    // non-thresholded behavior where high-similarity pairs can't.
+    val (a, b) = ("DIXON", "CKSONXDI")
+    val j = jaroMicro(a, b)
+    assert(j < 700000L, s"fixture must sit below the 0.7 gate, got $j")
+    assert(jaroWinklerMicro(a, b) === j,
+      "no shared prefix => boost is identity even unconditionally")
+    val (c, d) = ("ABXXXX", "ABYYYYYY") // prefix=2, j < 0.7
+    val jc = jaroMicro(c, d)
+    assert(jc < 700000L, s"fixture must sit below the 0.7 gate, got $jc")
+    assert(jaroWinklerMicro(c, d) > jc,
+      "unconditional variant boosts below the gate; thresholded would not")
+  }
+
+  test("null-in/null-out: NULL names score NULL, never 1.0 or an NPE") {
+    import spark.implicits._
+    register(spark)
+    val df = Seq[(String, String)](
+      (null, null), (null, "ABC"), ("ABC", null), ("ABC", "ABC"))
+      .toDF("a", "b")
+    val got = df.select(jaroWinklerMicroCol($"a", $"b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got(0) == null && got(1) == null && got(2) == null)
+    assert(got(3) == 1000000L)
+    df.createOrReplaceTempView("jw_nulls")
+    val viaSql = spark.sql("SELECT jaro_micro(a, b) FROM jw_nulls")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(viaSql(0) == null && viaSql(1) == null && viaSql(2) == null)
+    assert(viaSql(3) == 1000000L)
+  }
+
   test("symmetry, bounds, and the Winkler boost dominates Jaro") {
     // deterministic pseudo-random name corpus (seeded LCG — no float,
     // replays identically everywhere)

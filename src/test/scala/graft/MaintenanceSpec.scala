@@ -33,7 +33,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(disk.nonEmpty)
     // the state tables exist on disk as BUCKETED tables and are
     // re-readable: generation 1 (seed) and generation 2 (advanced)
-    val key = graft.engine.Scratch.key(dir)
+    val key = graft.engine.Scratch.stateKey(spark, dir)
     for (t <- Seq(s"graft_state_bands_$key", s"graft_state_labels_$key",
                   s"graft_state_bands_${key}_g2", s"graft_state_labels_${key}_g2")) {
       assert(spark.catalog.tableExists(t), s"state table $t missing")
@@ -50,6 +50,38 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
     assert(desc.contains("Num Buckets") && desc.contains("bandkey"),
       s"bucket spec lost in round-trip:\n$desc")
+  }
+
+  test("sweepStaleState is provably scoped to this app's warehouse state dirs") {
+    val S = graft.engine.Scratch
+    // non-state names, separator smuggling, and foreign-app names all refuse
+    intercept[IllegalArgumentException] {
+      S.sweepStaleState(spark, "customer")
+    }
+    intercept[IllegalArgumentException] {
+      S.sweepStaleState(spark, s"graft_state_../escape_${S.appTag(spark)}")
+    }
+    intercept[IllegalArgumentException] {
+      S.sweepStaleState(spark, "graft_state_bands_local_0000000000000_deadbeef")
+    }
+    // a genuinely stale dir of THIS application is deleted
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = if (whConf.startsWith("file:"))
+      new java.net.URI(whConf).getPath else whConf
+    val name = s"graft_state_sweeptest_${S.appTag(spark)}"
+    val staleDir = new java.io.File(wh, name)
+    staleDir.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(staleDir, "part-0")).close()
+    assert(staleDir.exists())
+    S.sweepStaleState(spark, name)
+    assert(!staleDir.exists(), "stale state dir should have been swept")
+    // a LIVE (catalog-registered) table of this app is left alone
+    import spark.implicits._
+    val liveName = s"graft_state_livetest_${S.appTag(spark)}"
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(liveName)
+    S.sweepStaleState(spark, liveName)
+    assert(spark.table(liveName).count() == 1L, "live state table was swept")
+    spark.sql(s"DROP TABLE $liveName")
   }
 
   test("incremental aggregate maintenance is bit-identical to full recompute") {
