@@ -52,6 +52,45 @@ class MaintenanceSpec extends AnyFunSuite {
       s"bucket spec lost in round-trip:\n$desc")
   }
 
+  test("q265/q266 disk-state round-trips: g1 persists, g2 output equals memoized path") {
+    import spark.implicits._
+    val key = graft.engine.Scratch.stateKey(spark, dir)
+    // postings: disk path ≡ session-memoized incremental path
+    val postDisk = SparkEntry.queries("q265_postings_disk")(spark, dir)
+      .collect().toSeq
+    val postMemo = SparkEntry.queries("q190_postings_incremental")(spark, dir)
+      .collect().toSeq
+    assert(postDisk == postMemo, "q265 disk path diverged from q190")
+    assert(postDisk.nonEmpty)
+    // vocab: disk path ≡ session-memoized incremental path
+    val vocDisk = SparkEntry.queries("q266_vocab_disk")(spark, dir)
+      .collect().toSeq
+    val vocMemo = SparkEntry.queries("q201_incremental_vocab")(spark, dir)
+      .collect().toSeq
+    assert(vocDisk == vocMemo, "q266 disk path diverged from q201")
+    assert(vocDisk.nonEmpty)
+    for (t <- Seq(s"graft_state_postings_$key", s"graft_state_postings_${key}_g2",
+                  s"graft_state_vocab_$key", s"graft_state_vocab_${key}_g2")) {
+      assert(spark.catalog.tableExists(t), s"state table $t missing")
+      assert(spark.table(t).count() > 0, s"state table $t empty")
+    }
+    // the advanced generations strictly contain the seeds
+    assert(spark.table(s"graft_state_postings_${key}_g2").count() >
+      spark.table(s"graft_state_postings_$key").count(),
+      "advanced postings index must contain the delta's rows")
+    assert(spark.table(s"graft_state_vocab_${key}_g2").count() >=
+      spark.table(s"graft_state_vocab_$key").count(),
+      "advanced census cannot shrink (min/sum merge)")
+    // bucket layout survived: bucketed by term (the merge/probe key)
+    for (t <- Seq(s"graft_state_postings_${key}_g2",
+                  s"graft_state_vocab_${key}_g2")) {
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("term"),
+        s"bucket spec lost in $t round-trip:\n$desc")
+    }
+  }
+
   test("sweepStaleState is provably scoped to this app's warehouse state dirs") {
     val S = graft.engine.Scratch
     // non-state names, separator smuggling, and foreign-app names all refuse
