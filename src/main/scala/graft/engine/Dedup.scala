@@ -425,23 +425,36 @@ object Dedup {
     // (graft.functions.HammingDistance).
     //
     // Candidate generation is PIGEONHOLE BANDING, not a cross join:
-    // split the 16-bit fingerprint into 4 blocks of 4 bits — any pair
-    // within Hamming distance 3 differs in at most 3 blocks, so it
-    // agrees EXACTLY on at least one block. Each doc emits 4
-    // (block, masked-fingerprint) probe keys; candidates come from a
-    // plain equi-join on that key, so the shuffle is 4 short rows per
-    // document and work is proportional to true bucket collisions.
-    // At 100 TB you widen to a 64-bit fingerprint and (hamming+1)
-    // blocks — same shape, vastly sparser buckets; the exact Hamming
-    // filter after the join keeps the result identical either way.
+    // split the fingerprint into 4 blocks — any pair within Hamming
+    // distance 3 differs in at most 3 blocks, so it agrees EXACTLY on
+    // at least one block. Each doc emits 4 (block, masked-fingerprint)
+    // probe keys; candidates come from a plain equi-join on that key,
+    // so the shuffle is 4 short rows per document and work is
+    // proportional to true bucket collisions.
+    //
+    // The fingerprint WIDTH FOLLOWS THE DATA (adaptiveWidth — block
+    // width bitlen(n−1)−5, floored at 4 so the 500-doc oracle sf
+    // keeps the original 16-bit output, capped at 15 so the value
+    // stays a positive BIGINT): a fixed 16-bit fingerprint saturates
+    // by birthday at ~10^4 docs — block buckets hold n/2^bb docs, so
+    // candidate pairs grow n²/2^bb, quadratic at any fixed width.
+    // With bb tracking bitlen(n), occupancy stays 16–32 and candidate
+    // work is ~64·n at every corpus size. The oracle replays the
+    // width formula from count(*) and brute-forces all pairs, so the
+    // banding is proven lossless AT THE CHOSEN WIDTH per sf. (q124
+    // pins the fixed 60-bit production variant; q52 pins the 16-bit
+    // fingerprint itself.)
     "q68_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val hd = graft.functions.HammingDistance.hamming(s) _
-      val sh = simhashOf(s, dir)
+      val n = T.documents(s, dir).count()
+      val bb = adaptiveWidth(n, 4, 15) // block bits; fingerprint = 4·bb
+      val sh = simhashOfW(s, dir, 4 * bb)
       val blocks = sh.select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("blk"))
         .withColumn("bval",
-          expr("(simhash div shiftleft(CAST(1 AS BIGINT), blk * 4)) % 16"))
+          expr(s"(simhash div shiftleft(CAST(1 AS BIGINT), blk * $bb)) % " +
+            s"shiftleft(CAST(1 AS BIGINT), $bb)"))
         .cache() // both sides of the candidate self-join consume it
       blocks.alias("a")
         .join(blocks.alias("b"),
@@ -1034,19 +1047,37 @@ object Dedup {
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
-  /** (doc_id, simhash): 16-bit md5-majority SimHash per document. */
-  def simhashOf(s: SparkSession, dir: String): DataFrame = {
+  /** Data-following hash width in exact INTEGER bit-length arithmetic
+    * (no log2 floats — a power-of-two corpus count must widen
+    * identically in both engines): w = bitlen(n−1) − 5, floored at
+    * `floor` (the width at the 500-row oracle sf, so oracle outputs
+    * are unchanged there) and capped at `cap` (so shifted values stay
+    * positive in a signed BIGINT). Keeps expected bucket occupancy
+    * n/2^w in the 16–32 band at every corpus size — the HLL-register
+    * discipline applied to banding: a FIXED width saturates by
+    * birthday at ~2^(w/2) items and turns any pair search quadratic
+    * (round 7's rung-exclusion cause); width must follow the data.
+    * Oracle mirror, token for token:
+    * `least(cap, greatest(floor, length(bin(n - 1)) - 5))`. */
+  def adaptiveWidth(n: Long, floor: Int, cap: Int): Int = {
+    val bitlen = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, n - 1)))
+    math.min(cap, math.max(floor, bitlen - 5))
+  }
+
+  /** (doc_id, simhash): w-bit md5-majority SimHash per document
+    * (w a multiple of 4, ≤ 60: the token value is the first w/4 md5
+    * hex chars — the widest slice that stays a positive signed BIGINT
+    * in both engines). At w = 16 this is bit-identical to the
+    * original fixed-width fingerprint (q52's pinned output). */
+  def simhashOfW(s: SparkSession, dir: String, w: Int): DataFrame = {
+    require(w % 4 == 0 && w >= 4 && w <= 60, s"simhash width $w")
     import s.implicits._
-    val toks = T.documents(s, dir)
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
-      .withColumn("h4", substring(md5($"w"), 1, 4))
-      .withColumn("v", expr(
-        """CAST((instr('0123456789abcdef', substr(h4,1,1))-1)*4096
-          |   + (instr('0123456789abcdef', substr(h4,2,1))-1)*256
-          |   + (instr('0123456789abcdef', substr(h4,3,1))-1)*16
-          |   + (instr('0123456789abcdef', substr(h4,4,1))-1) AS BIGINT)""".stripMargin))
-    toks
-      .withColumn("bit", explode(sequence(lit(0), lit(15))))
+    T.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .withColumn("v",
+        conv(substring(md5($"tok"), 1, w / 4), 16, 10).cast("long"))
+      .withColumn("bit", explode(sequence(lit(0), lit(w - 1))))
       .withColumn("contrib",
         when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
           .otherwise(-1L))
@@ -1056,6 +1087,10 @@ object Dedup {
       .agg(sum(when($"lean" > 0,
         expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
   }
+
+  /** (doc_id, simhash): 16-bit md5-majority SimHash per document. */
+  def simhashOf(s: SparkSession, dir: String): DataFrame =
+    simhashOfW(s, dir, 16)
 
   /** (doc_id, simhash): 60-bit md5-majority SimHash — [[simhashOf]]
     * at the production width (see q124). */
@@ -1363,13 +1398,35 @@ object Dedup {
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
 
+    // Brute-force ground truth at the ADAPTIVE width: the width CTE
+    // replays adaptiveWidth's integer bit-length formula from
+    // count(*), so banding is proven lossless at whatever width the
+    // corpus size selects (16 bits at the 500-doc oracle sf — the
+    // original pinned output).
     "q68_simhash_pairs" ->
-      s"""WITH $simhashCte
-         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
-         |ORDER BY doc1, doc2""".stripMargin,
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |wid AS (SELECT least(15, greatest(4, length(bin(n - 1)) - 5)) AS bb FROM nn),
+        |tv AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, (SELECT bb FROM wid))) AS BIGINT) AS v
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents) raw),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS lean
+        |  FROM tv CROSS JOIN (SELECT unnest(range((SELECT bb * 4 FROM wid))) AS bit) b
+        |  GROUP BY doc_id, bit),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN lean > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
 
     // brute-force ground truth again ⇒ the 4×15-bit banding is lossless
     "q124_simhash64_pairs" ->

@@ -36,6 +36,21 @@ object Similarity {
       | + CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END
       | + CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)""".stripMargin
 
+  /** w-bit sign-LSH bucket whose WIDTH FOLLOWS THE DATA
+    * (Dedup.adaptiveWidth): bit i reads dimension 1 + (i%8)·8 + i÷8 —
+    * bits 0–3 hit the same dims (1, 9, 17, 25) as the fixed 4-bit
+    * [[bucketOf]], so the 500-vector oracle sf keeps its original
+    * output, and the map stays injective through w = 64. A FIXED
+    * 4-bit bucket holds n/16 vectors, so within-bucket pair work is
+    * n²/32 — quadratic at any fixed width (round 7's q62 rung
+    * exclusion); with w tracking bitlen(n), occupancy stays 16–32 and
+    * candidate work is ~16·n at every corpus size. */
+  private def adaptiveBucket(emb: Column, w: Int): Column =
+    (0 until w).map(i =>
+      when(element_at(emb, 1 + (i % 8) * 8 + i / 8) >= 0f, 1L << i)
+        .otherwise(0L))
+      .reduce(_ + _).cast("long")
+
   /** Two unrolled Lloyd iterations over micro-quantized vectors
     * (k = 8, init = first k vectors by id). Returns (centroids as
     * (cl, dim, qc) rows, final assignment as (vec_id, cl) rows) —
@@ -319,7 +334,9 @@ object Similarity {
     "q62_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       val cos = CosineSimilarity.cosineSim(s) _
-      val emb = T.spread(T.embeddings(s, dir)).withColumn("bucket", bucketOf($"embedding"))
+      val base = T.spread(T.embeddings(s, dir))
+      val w = Dedup.adaptiveWidth(base.count(), 4, 20)
+      val emb = base.withColumn("bucket", adaptiveBucket($"embedding", w))
       val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"), $"bucket")
       val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"bucket")
       a.join(b, Seq("bucket"))
@@ -1074,9 +1091,18 @@ object Similarity {
          |    / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_qerr
          |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Width CTE replays Dedup.adaptiveWidth's integer bit-length
+    // formula from count(*) (4 bits at the 500-vector oracle sf — the
+    // original pinned output); the per-bit dim map mirrors
+    // adaptiveBucket token for token.
     "q62_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket
-         |           FROM embeddings)
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |wid AS (SELECT least(20, greatest(4, length(bin(n - 1)) - 5)) AS w FROM nn),
+         |e AS (SELECT vec_id, embedding,
+         |  CAST(list_sum(list_transform(range((SELECT w FROM wid)),
+         |    i -> CASE WHEN embedding[1 + (i % 8) * 8 + (i // 8)] >= 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM embeddings)
          |SELECT a.bucket, a.vec_id AS v1, b.vec_id AS v2,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
