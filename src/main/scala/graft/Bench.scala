@@ -21,6 +21,20 @@ import graft.engine._
 object Bench {
   private val REPEATS = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
 
+  /** Multi-batch Structured Streaming REPLAYS: trigger scheduling and
+    * checkpoint setup dominate their runtime, which swings 2–4×
+    * between otherwise-identical runs (r7's idle-rerun variance was
+    * concentrated here), so (a) they run with their own repeat count
+    * (default REPEATS+2, env-overridable) and (b) their full
+    * min/median/max spread ships in the JSON line — rung ratios for
+    * the BATCH surface are computed family-excluded in SCALE.md
+    * rather than being hostage to stream replay jitter. */
+  private val streamReplays = Set(
+    "q43_stream_tumbling", "q239_stream_late_data",
+    "q245_stream_stream_join", "q257_stream_dedup")
+  private val SREPEATS =
+    sys.env.getOrElse("SPARK_GRAFT_REPEATS_STREAM", (REPEATS + 2).toString).toInt
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Query surface grouped by declaring module. Must cover
@@ -105,6 +119,8 @@ object Bench {
 
     val med = scala.collection.mutable.Map.empty[String, Double]
     val mn = scala.collection.mutable.Map.empty[String, Double]
+    val mx = scala.collection.mutable.Map.empty[String, Double]
+    val famTot = scala.collection.mutable.Map.empty[String, Double]
     // Queries that THREW during a timed run. The catch below keeps the
     // run going (one broken query must not zero a whole rung), but a
     // swallowed failure records a partial time that silently pollutes
@@ -112,14 +128,15 @@ object Bench {
     // in the JSON line so a polluted run is self-identifying, like the
     // loadavg fields.
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    for ((_, fam) <- plan) {
+    for ((famName, fam) <- plan) {
       val qs = fam.toSeq.sortBy(_._1)
       // family warm-up: builds this family's shared spines and compiles
       // every generated class, so timed runs measure steady state
       qs.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       qs.foreach { case (name, fn) =>
-        val ts = (1 to REPEATS).map { _ =>
+        val reps = if (streamReplays(name)) SREPEATS else REPEATS
+        val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => failed += name; -1L }
@@ -127,7 +144,9 @@ object Bench {
         }.sorted
         med(name) = ts(ts.length / 2)
         mn(name) = ts.head
+        mx(name) = ts.last
       }
+      famTot(famName) = qs.map { case (n, _) => med.getOrElse(n, 0.0) }.sum
       // bound resident cache to one family: drop spines + cached plans,
       // and nudge the ContextCleaner to reap localCheckpoint blocks
       SessionMemo.releaseAll(spark)
@@ -146,8 +165,17 @@ object Bench {
     val totalMin = r4(if (mn.nonEmpty) mn.values.sum else 0.0)
     val loadEnd = loadavg()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-family subtotals + the streaming replays' full spread: the
+    // batch surface's rung ratios are computable family-excluded, and
+    // a jittery stream replay self-identifies inside the line.
+    val famJson = famTot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val spreadJson = streamReplays.toSeq.sorted.filter(med.contains)
+      .map(n => "\"" + n + "\":[" + r4(mn(n)) + "," + r4(med(n)) + "," +
+        r4(mx(n)) + "]").mkString("{", ",", "}")
     val loads =
-      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"failed":$failedJson"""
+      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"failed":$failedJson""" +
+        s""","families":$famJson,"stream_repeats":$SREPEATS,"stream_spread":$spreadJson"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","repeats":$REPEATS,$loads,"min_total_sec":$totalMin,"total_sec":$total}"""
     println(line)
