@@ -72,7 +72,29 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Wait for the machine to go idle before timing anything: poll the
+    * 1-minute loadavg until it drops under SPARK_GRAFT_IDLE_MAX
+    * (default 1.0) or SPARK_GRAFT_IDLE_WAIT_MAX seconds elapse
+    * (default 600 — 1-min load decays ~2× per minute, so a run
+    * launched right after an oracle sweep self-heals in 2–4 min
+    * instead of recording a contaminated total). Set
+    * SPARK_GRAFT_IDLE_WAIT_MAX=0 to skip. The start loadavg is
+    * re-read AFTER the wait, so the emitted loadavg_start reflects
+    * the run that was actually timed. */
+  private def awaitIdle(): Unit = {
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MAX", "600").toInt
+    val idleMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.0").toDouble
+    val deadline = System.currentTimeMillis() + maxWait * 1000L
+    var l = loadavg()
+    while (l > idleMax && System.currentTimeMillis() < deadline) {
+      Console.err.println(f"[bench] waiting for idle: loadavg $l%.2f > $idleMax%.1f")
+      Thread.sleep(15000)
+      l = loadavg()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    awaitIdle()
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,6 +111,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warehouse janitor: reclaim state dirs left by crashed/old runs
+    try Scratch.sweepAgedState(spark) catch { case _: Throwable => () }
 
     // Session-level warm-up, untimed: parquet footer reads, the session
     // init, and the flagship entry (JIT + codegen compiler priming).
@@ -136,12 +160,21 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       qs.foreach { case (name, fn) =>
         val reps = if (streamReplays(name)) SREPEATS else REPEATS
-        val ts = (1 to reps).map { _ =>
+        // (elapsed, succeeded) per repeat: a throwing repeat records
+        // its time-to-exception, but min/median/max are computed over
+        // SUCCESSFUL samples only — a failed attempt lands the query
+        // in `failed` without silently polluting the spread (if every
+        // repeat failed, the failure times stand in so the row isn't
+        // invisibly free, and `failed` flags it).
+        val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => failed += name; -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => failed += name; false }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val good = samples.filter(_._2).map(_._1).sorted
+        val ts = if (good.nonEmpty) good else samples.map(_._1).sorted
         med(name) = ts(ts.length / 2)
         mn(name) = ts.head
         mx(name) = ts.last
@@ -189,6 +222,8 @@ object Bench {
     // complete, parseable JSON line.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"min_total_sec":$totalMin,$loads,"sf":"$sfDir"}""")
+    // graceful-shutdown cleanup: drop this run's own state tables
+    try Scratch.dropOwnState(spark) catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   * structure is isomorphic to the original while copies share NO
   * tokens at all. Token-bag similarity (SimHash), shingle similarity
   * (MinHash/PPJoin), and prefix tokens are all disjoint across
-  * copies, so per-doc duplicate counts are SCALE-INVARIANT: a ×k
-  * crawl is k shards with the same per-shard dup rate, and pair mass
-  * scales ×k, never ×k². (Round 7 marked only every 3rd token — that
-  * killed shingle overlap but left copies sharing 2/3 of their token
-  * bags, so 16-bit SimHashes of cross-copy clones genuinely landed
-  * within Hamming ≤ 3 and pair mass grew quadratically in copies —
-  * the fixture artifact behind the old rung exclusion list.)
+  * copies, so pair mass scales ×k, never ×k². (Round 7 marked only
+  * every 3rd token — that killed shingle overlap but left copies
+  * sharing 2/3 of their token bags, so 16-bit SimHashes of cross-copy
+  * clones genuinely landed within Hamming ≤ 3 and pair mass grew
+  * quadratically in copies — the fixture artifact behind the old rung
+  * exclusion list.)
+  *
+  * Scale-invariance caveat: per-doc duplicate counts are EXACTLY
+  * invariant only for set-overlap ops (Jaccard / shingle / prefix —
+  * the rename is a bijection on token sets). md5-derived fingerprints
+  * (SimHash) RE-RANDOMIZE under the rename: each copy's fingerprints
+  * are a fresh draw, so per-copy Hamming≤3 pair counts match copy 0
+  * in DISTRIBUTION (equal expectation), not realization — a modest
+  * rung-ratio wobble on q68-class queries is fixture re-roll noise,
+  * not a plan regression.
   *
   * Embeddings: copy k > 0 applies a deterministic SIGNED PERMUTATION
   * (rotate dims by k mod d, then negate the first ⌊k/d⌋ mod (d+1)
@@ -59,9 +67,19 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def copiesOf(name: String, shift: (DataFrame, Column) => DataFrame): DataFrame = {
+    // shift receives (table, key offset k·Stride, copy index k) — the
+    // copy index is a plain Scala Long, so index/rotation/flip-count
+    // arithmetic is exact INTEGER math on the driver, never a
+    // re-derived `offset / Stride` (Spark's Divide on integral columns
+    // is DOUBLE division: the index would ride float arithmetic and
+    // the document token suffix would be the string of a double,
+    // "_1.0" instead of "_1")
+    def copiesOf(name: String,
+                 shift: (DataFrame, Column, Long) => DataFrame): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until copies).map(i => shift(base, lit(i.toLong * Stride))).reduce(_ union _)
+      (0 until copies)
+        .map(i => shift(base, lit(i.toLong * Stride), i.toLong))
+        .reduce(_ union _)
     }
 
     def write(df: DataFrame, name: String, parts: Int = 8): Unit = {
@@ -73,46 +91,48 @@ object ScaleUp {
     for (t <- Seq("region", "nation"))
       write(spark.read.parquet(s"$src/$t.parquet"), t, parts = 1)
 
-    write(copiesOf("customer", (df, o) =>
+    write(copiesOf("customer", (df, o, _) =>
       df.withColumn("c_custkey", $"c_custkey" + o)), "customer")
-    write(copiesOf("supplier", (df, o) =>
+    write(copiesOf("supplier", (df, o, _) =>
       df.withColumn("s_suppkey", $"s_suppkey" + o)), "supplier")
-    write(copiesOf("part", (df, o) =>
+    write(copiesOf("part", (df, o, _) =>
       df.withColumn("p_partkey", $"p_partkey" + o)), "part")
-    write(copiesOf("orders", (df, o) =>
+    write(copiesOf("orders", (df, o, _) =>
       df.withColumn("o_orderkey", $"o_orderkey" + o)
         .withColumn("o_custkey", $"o_custkey" + o)), "orders")
-    write(copiesOf("lineitem", (df, o) =>
+    write(copiesOf("lineitem", (df, o, _) =>
       df.withColumn("l_orderkey", $"l_orderkey" + o)
         .withColumn("l_partkey", $"l_partkey" + o)
         .withColumn("l_suppkey", $"l_suppkey" + o)), "lineitem", parts = 16)
     // events: ts stays a NANO long (see scaladoc)
-    write(copiesOf("events", (df, o) =>
+    write(copiesOf("events", (df, o, _) =>
       df.withColumn("event_id", $"event_id" + o)
         .withColumn("user_id", $"user_id" + o)), "events")
-    write(copiesOf("documents", (df, o) => {
-      val marked = array_join(
-        transform(split($"text", " "),
-          w => when(o === 0L, w)
-            .otherwise(concat(w, lit("_"), (o / Stride).cast("string")))),
-        " ")
+    write(copiesOf("documents", (df, o, c) => {
+      val marked =
+        if (c == 0L) $"text"
+        else array_join(
+          transform(split($"text", " "), w => concat(w, lit("_" + c))), " ")
       df.withColumn("doc_id", $"doc_id" + o)
         .withColumn("text", marked)
         .withColumn("n_chars", length(marked))
     }), "documents")
-    write(copiesOf("embeddings", (df, o) => {
-      val c = o / Stride // copy index
+    write(copiesOf("embeddings", (df, o, c) => {
+      // rotation r = c mod d and flip count m = ⌊c/d⌋ mod (d+1) in
+      // exact driver-side INTEGER arithmetic; only the (constant) dim
+      // size is read from the data
       val d = size($"embedding")
-      val r = (c % d.cast("long")).cast("int")
+      val r = pmod(lit(c), d.cast("long")).cast("int")
       val rot = concat(
         slice($"embedding", r + 1, d - r),
         slice($"embedding", lit(1), r))
-      val m = ((c / d.cast("long")) % (d.cast("long") + 1)).cast("int")
+      val m = pmod(expr(s"$c div CAST(size(embedding) AS BIGINT)"),
+        d.cast("long") + 1L).cast("int")
       val rotFlip = zip_with(rot, sequence(lit(0), d - 1),
         (v, i) => when(i < m, -v).otherwise(v))
       df.withColumn("vec_id", $"vec_id" + o)
         .withColumn("embedding",
-          when(c === 0L, $"embedding").otherwise(rotFlip))
+          if (c == 0L) $"embedding" else rotFlip)
     }), "embeddings")
 
     spark.stop()

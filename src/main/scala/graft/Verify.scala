@@ -17,6 +17,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warehouse janitor: reclaim state dirs left by crashed/old runs
+    try graft.engine.Scratch.sweepAgedState(spark) catch { case _: Throwable => () }
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset filter (same contract as Bench): a csv of query
     // names restricts the dump; unset = full surface (the driver's mode).
@@ -48,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // graceful-shutdown cleanup: drop this run's own state tables
+    try graft.engine.Scratch.dropOwnState(spark) catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -37,18 +37,45 @@ object Dedup {
         .localCheckpoint()
     }
 
-  /** (doc_id, sh): distinct 3-token shingles per document.
+  /** (doc_id, sh): distinct 3-token shingles per document, as 64-BIT
+    * HASHES (`xxhash64` of the shingle string), not strings.
     *
     * Built map-side with a higher-order array `transform` over the
     * token array — zero shuffles until the `distinct` (the windowed
     * `lead` formulation the oracle uses would shuffle the full token
     * stream; at 100 TB that's the difference between a scan and a
-    * sort). Memoized per (session, dataset) and cached: the LSH,
-    * Jaccard, prefix-join, and edit-distance stages all consume it. */
+    * sort). Memoized per (session, dataset) and persisted: the LSH,
+    * Jaccard, prefix-join, and edit-distance stages all consume it.
+    *
+    * Why hashes: every consumer uses `sh` ONLY for equality — equi-
+    * joins, distinct counts, df ranking — so intersection/union counts
+    * under an injective-in-practice 64-bit hash equal the string
+    * counts (collision odds across a whole 10^8-shingle corpus are
+    * ~10^16/2^64 ≈ 5·10^-4, and ~10^-10 at the oracle sfs; the DuckDB
+    * oracles join the STRINGS, so a collision would fail the hash
+    * gate loudly, not silently). A STRING-keyed spine is what OOMed
+    * the 40 GiB sf30 rung (round 8's honest finding): ~40-byte keys ×
+    * 300M rows in cache blocks AND in every downstream join/shuffle
+    * buffer. 8-byte keys shrink the spine and all derived shuffles
+    * ~5×, and the distinct now shuffles longs instead of strings.
+    * Consumers that need the actual string (q126's bloom bit
+    * positions are md5 of the shingle TEXT) recompute it map-side via
+    * [[shingleStrings]] — one extra scan, zero resident state. */
   private val shingleCache = new SessionMemo[String]
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s, dir)(shinglesUncached(s, dir))
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleStrings(s, dir)
+      .select($"doc_id", xxhash64($"sh").as("sh")) // map-side, pre-distinct
+      .distinct()
+      .persist() // MEMORY_AND_DISK: spills instead of killing the JVM
+  }
+
+  /** The raw (doc_id, shingle STRING) stream — map-side only, NEVER
+    * cached (string shingles are the round-8 sf30 OOM shape; anything
+    * resident must be the hashed [[shingles]] view). */
+  private def shingleStrings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T.spread(T.documents(s, dir))
       .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
@@ -57,8 +84,6 @@ object Dedup {
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
           |                 element_at(ws, i + 2)))""".stripMargin)).as("sh"))
-      .distinct()
-      .cache()
   }
 
   /** LSH candidate pairs (doc1 < doc2, distinct): MinHash signatures
@@ -152,7 +177,7 @@ object Dedup {
       import s.implicits._
       val sh = shingles(s, dir)
       val allDocs = sh.select($"doc_id").distinct()
-      var covered = s.emptyDataset[String].toDF("sh").localCheckpoint()
+      var covered = s.emptyDataset[Long].toDF("sh").localCheckpoint()
       var excluded = Seq.empty[Long]
       var total = 0L
       val picks = Seq.newBuilder[(Long, Long, Long, Long)]
@@ -383,7 +408,11 @@ object Dedup {
       import s.implicits._
       val mBits = 4096
       val bloomAgg = udaf(new Sketches.BloomBits(mBits / 64))
-      val sh = shingles(s, dir)
+      // bit positions are md5 of the shingle TEXT (the oracle replays
+      // them), so this query rides the map-side STRING stream — the
+      // memoized spine is hashed and can't serve it. One distinct
+      // (strings shuffle once, nothing stays resident).
+      val sh = shingleStrings(s, dir).distinct()
       def posCol(sfx: Column): Column =
         conv(substring(md5(concat($"sh", lit(":bf"), sfx)), 1, 13), 16, 10)
           .cast("long") % mBits

@@ -38,6 +38,65 @@ object Scratch {
   def stateKey(s: SparkSession, k: String): String =
     s"${appTag(s)}_${key(k)}"
 
+  /** Resolved warehouse directory of the session (file path). */
+  private def warehouseDir(s: SparkSession): java.io.File = {
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    new java.io.File(
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf).getCanonicalFile
+  }
+
+  private def wipeTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(wipeTree)
+    }
+    f.delete(); ()
+  }
+
+  /** Warehouse JANITOR — the unbounded-growth backstop appId-keyed
+    * state names created: [[sweepStaleState]] can only ever reclaim
+    * THIS application's directories, so `graft_state_*` dirs left by
+    * crashed or completed applications accumulated forever in a
+    * shared warehouse. Called at Bench/Verify startup: removes every
+    * warehouse-resident `graft_state_*` directory that (a) does NOT
+    * carry this application's tag and (b) was last modified more than
+    * `maxAgeHours` ago — old enough that no legitimately concurrent
+    * session (parallel test forks, an overlapping bench) can still be
+    * using it. Scoped like the stale sweep: only names matching the
+    * state pattern, only directly under the warehouse. */
+  def sweepAgedState(s: SparkSession, maxAgeHours: Double = 6.0): Int = {
+    val wh = warehouseDir(s)
+    val cutoff = System.currentTimeMillis() - (maxAgeHours * 3600 * 1000).toLong
+    val tag = appTag(s)
+    val kids = wh.listFiles()
+    if (kids == null) return 0
+    val stale = kids.filter { f =>
+      f.isDirectory && f.getName.matches("graft_state_[a-z0-9_]+") &&
+        !f.getName.contains(tag) && f.lastModified() < cutoff &&
+        f.getParentFile == wh
+    }
+    stale.foreach(wipeTree)
+    stale.length
+  }
+
+  /** Drop THIS application's state tables (catalog entries + warehouse
+    * dirs) — graceful-shutdown cleanup so a completed bench/verify run
+    * leaves no disk residue. Only names carrying this app's tag ever
+    * match, so concurrent sessions are untouchable by construction. */
+  def dropOwnState(s: SparkSession): Unit = {
+    val tag = appTag(s)
+    s.catalog.listTables().collect()
+      .map(_.name).filter(n => n.startsWith("graft_state_") && n.contains(tag))
+      .foreach(n =>
+        try s.sql(s"DROP TABLE IF EXISTS $n") catch { case _: Throwable => () })
+    val wh = warehouseDir(s)
+    val kids = wh.listFiles()
+    if (kids != null)
+      kids.filter(f => f.isDirectory && f.getParentFile == wh &&
+          f.getName.matches("graft_state_[a-z0-9_]+") && f.getName.contains(tag))
+        .foreach(wipeTree)
+  }
+
   /** Delete the stale warehouse directory of a catalog-unknown state
     * table (this application crashed or re-ran between a physical
     * write and catalog registration; with appId-keyed names no OTHER
