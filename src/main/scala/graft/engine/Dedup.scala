@@ -536,6 +536,16 @@ object Dedup {
     "q85_edit_distance" -> ((s, dir) => {
       import s.implicits._
       val cand = sharedShinglePairs(s, dir).select($"doc1", $"doc2")
+      // Join strategy note (round-9 isolated audit): work is linear in
+      // the pair spine — 33.9M pairs at sf3 → 113.1M at sf10, exactly
+      // ×3.33 — and Spark's own strategy choice is the right one at
+      // both rungs: broadcast of the text dimension below the cliff
+      // (sf≤3), SMJ past it (sf10's 500k-doc × ~350 B dimension).
+      // The measured warm step ×6.5 at ×3.33 data is the broadcast→SMJ
+      // cliff CONSTANT (the spine pays its two sorts), not a
+      // complexity change; an explicit shuffle_hash hint was measured
+      // SLOWER at both rungs (2.3 s vs 0.6 s at sf3, 6.3 s vs 3.9 s at
+      // sf10), so the default plan stands.
       val docs = T.documents(s, dir).select($"doc_id", trim($"text").as("t"))
       cand
         .join(docs.select($"doc_id".as("doc1"), $"t".as("t1")), "doc1")
