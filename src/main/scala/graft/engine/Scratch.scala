@@ -69,14 +69,31 @@ object Scratch {
     val cutoff = System.currentTimeMillis() - (maxAgeHours * 3600 * 1000).toLong
     val tag = appTag(s)
     val kids = wh.listFiles()
-    if (kids == null) return 0
-    val stale = kids.filter { f =>
-      f.isDirectory && f.getName.matches("graft_state_[a-z0-9_]+") &&
-        !f.getName.contains(tag) && f.lastModified() < cutoff &&
-        f.getParentFile == wh
-    }
+    val stale =
+      if (kids == null) Array.empty[java.io.File]
+      else kids.filter { f =>
+        f.isDirectory && f.getName.matches("graft_state_[a-z0-9_]+") &&
+          !f.getName.contains(tag) && f.lastModified() < cutoff &&
+          f.getParentFile == wh
+      }
     stale.foreach(wipeTree)
-    stale.length
+    // Same janitor for /tmp REPLAY-STAGING roots (`dir` above):
+    // appId-keyed scratch of crashed/completed runs otherwise
+    // accumulates until legitimate shuffle spill hits ENOSPC — the
+    // round-9 sf30 incident: ~26 GB of dead-app staging left 8 GB for
+    // a 180M-row sort's spill. Scoped identically: the fixed
+    // graft_scratch_ prefix, never this application's own root, only
+    // dirs old enough that no concurrent session can be live in them.
+    val tmpKids = new java.io.File("/tmp").listFiles()
+    val staleTmp =
+      if (tmpKids == null) Array.empty[java.io.File]
+      else tmpKids.filter { f =>
+        f.isDirectory && f.getName.startsWith("graft_scratch_") &&
+          f.getName != s"graft_scratch_${s.sparkContext.applicationId}" &&
+          f.lastModified() < cutoff
+      }
+    staleTmp.foreach(wipeTree)
+    stale.length + staleTmp.length
   }
 
   /** Drop THIS application's state tables (catalog entries + warehouse
@@ -95,6 +112,9 @@ object Scratch {
       kids.filter(f => f.isDirectory && f.getParentFile == wh &&
           f.getName.matches("graft_state_[a-z0-9_]+") && f.getName.contains(tag))
         .foreach(wipeTree)
+    // and this run's /tmp replay-staging root
+    wipeTree(new java.io.File(
+      s"/tmp/graft_scratch_${s.sparkContext.applicationId}"))
   }
 
   /** Delete the stale warehouse directory of a catalog-unknown state

@@ -145,7 +145,14 @@ object Streams {
     val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
     def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$stage/tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // repartition(1), not coalesce(1): coalesce folds the whole
+      // upstream scan/filter into the single write task — a one-task
+      // stage per repeat that the round-9 stall audit found dominating
+      // replay medians. The one-partition shuffle keeps the compute
+      // parallel; within-batch row order is immaterial to every replay
+      // (windowed counts, dedup, interval join are order-free within a
+      // micro-batch).
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet")).head
@@ -213,10 +220,20 @@ object Streams {
     // anything. Three batches: bulk on-time → a 1-row heartbeat (the
     // latest on-time row) → the late file, which now meets an
     // already-advanced late-event watermark and is dropped in full.
-    val wHb = Window.orderBy($"ts".desc, $"event_id".desc)
-    val withRn = ontime.withColumn("rn", row_number().over(wHb))
-    val bulk = withRn.filter($"rn" > 1).drop("rn")
-    val heartbeat = withRn.filter($"rn" === 1).drop("rn")
+    //
+    // The heartbeat is picked with a parallel top-1
+    // (TakeOrderedAndProject) + a filter, NOT a global row_number
+    // window: the window form sorted the whole on-time corpus in ONE
+    // task per repeat (10M+ rows at sf10), which both dominated the
+    // replay's median and was the round-8 stall site — a single
+    // straggler task is exactly where a GC/spill hiccup multiplies.
+    val hbRow = ontime.orderBy($"ts".desc, $"event_id".desc).limit(1)
+      .select(unix_micros($"ts").as("us"), $"event_id").head()
+    val (hbUs, hbId) = (hbRow.getLong(0), hbRow.getLong(1))
+    val bulk = ontime.filter(
+      !(unix_micros($"ts") === hbUs && $"event_id" === hbId))
+    val heartbeat = ontime.filter(
+      unix_micros($"ts") === hbUs && $"event_id" === hbId)
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(wipe) }
       f.delete(); ()
@@ -225,7 +242,14 @@ object Streams {
     val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
     def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$stage/tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // repartition(1), not coalesce(1): coalesce folds the whole
+      // upstream scan/filter into the single write task — a one-task
+      // stage per repeat that the round-9 stall audit found dominating
+      // replay medians. The one-partition shuffle keeps the compute
+      // parallel; within-batch row order is immaterial to every replay
+      // (windowed counts, dedup, interval join are order-free within a
+      // micro-batch).
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet")).head
@@ -304,7 +328,8 @@ object Streams {
         ("b3", unix_micros($"ts") > t2)).zipWithIndex.foreach {
         case ((name, cond), i) =>
           val tmp = s"$stage/tmp_${sub}_$name"
-          df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+          // repartition(1): see stageBatch — keep the scan parallel
+          df.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .filter(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet")).head
