@@ -453,11 +453,19 @@ object TextOps {
       // Per-doc distinct-gram counts fold MAP-SIDE in one native
       // expression pass (functions/NgramCounts — codepoint-exact
       // mirror of the split/pad/substring built-ins): no
-      // row-per-character explode ever exists, the lang-profile
-      // shuffle carries per-doc DISTINCT grams, and the per-doc top-40
-      // is array_sort+slice on the in-row array — the per-doc window
-      // shuffle is gone. Both profile branches feed from the one scan.
+      // row-per-character explode ever exists and the lang-profile
+      // shuffle carries per-doc DISTINCT grams. Scoring is the FUSED
+      // functions/LangIdScore pass: the trained profile (≤ |langs|·100
+      // rows — a model) and the candidate list collapse to 1-row
+      // broadcast arrays (the q76 stats idiom), and each doc's top-40
+      // selection + out-of-place distances + argmin all run inside one
+      // expression — the old posexplode / ×|langs| fan-out / grouped
+      // re-agg / per-doc rank window (two shuffles of 40·n and
+      // |langs|·n rows) are gone. Post-scan the scoring stage has NO
+      // shuffle: at 100 TB it is a single map stage over a broadcast
+      // model, the production langid shape.
       val gcf = graft.functions.NgramCounts.gramCounts(s) _
+      val scf = graft.functions.LangIdScore.langidScore(s) _
       val ga = T.documents(s, dir)
         .select($"doc_id", $"lang", gcf($"text").as("ga"))
       val gc = ga.select($"doc_id", $"lang", explode($"ga").as("x"))
@@ -467,27 +475,15 @@ object TextOps {
           Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")).cast("long"))
         .filter($"lang_rank" <= 100L)
         .select($"lang".as("lcand"), $"g".as("lg"), $"lang_rank")
-      // (count desc, gram) — the same total order the old per-doc
-      // rank window used; lambda string compares are UTF8-binary like
-      // the window's orderBy
-      val top40 = expr("""slice(array_sort(ga, (l, r) ->
-          CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
-               WHEN l.g < r.g THEN -1 WHEN l.g > r.g THEN 1
-               ELSE 0 END), 1, 40)""")
-      val dp = ga.select($"doc_id", $"lang",
-          posexplode(top40).as(Seq("p", "x")))
-        .select($"doc_id", $"lang", $"x.g".as("g"),
-          ($"p" + 1).cast("long").as("doc_rank"))
-      val langs = T.documents(s, dir).select($"lang".as("cand")).distinct()
-      dp.join(broadcast(langs))
-        .join(broadcast(lp), $"cand" === $"lcand" && $"g" === $"lg", "left")
-        .drop("lcand", "lg")
-        .groupBy($"doc_id", $"lang", $"cand")
-        .agg(sum(coalesce(abs($"doc_rank" - $"lang_rank"), lit(100L))).as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"dist", $"cand")))
-        .filter($"rn" === 1).drop("rn")
-        .select($"doc_id", $"lang", $"cand".as("pred_lang"), $"dist")
+      val prof = lp.groupBy()
+        .agg(collect_list(struct($"lcand", $"lg", $"lang_rank")).as("prof"))
+      val cands = T.documents(s, dir).select($"lang".as("cand")).distinct()
+        .groupBy().agg(collect_list($"cand").as("cands"))
+      ga.crossJoin(broadcast(prof)).crossJoin(broadcast(cands))
+        .select($"doc_id", $"lang", scf($"ga", $"prof", $"cands").as("sc"))
+        .filter($"sc".isNotNull) // empty-gram docs: the old posexplode drop
+        .select($"doc_id", $"lang", $"sc.pred_lang".as("pred_lang"),
+          $"sc.dist".as("dist"))
         .orderBy($"doc_id")
     }),
 

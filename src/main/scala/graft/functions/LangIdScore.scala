@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused Cavnar–Trenkle rank-profile scorer — the map-side tail of
+  * language ID (q142). Input per document is the `gram_counts` array
+  * (NgramCounts), plus two 1-row broadcast model columns: the trained
+  * language profile as `array<struct<lcand string, lg string,
+  * lang_rank long>>` (≤ |langs|·100 entries — a MODEL, not data) and
+  * the candidate-language list as `array<string>`. One pass per doc
+  * (a) takes the top-40 grams by (count desc, gram asc — UTF-8 binary,
+  * the same total order the SQL lambda sort used), (b) sums each
+  * candidate's out-of-place distance Σ|doc_rank − lang_rank| with the
+  * classic 100 penalty for grams absent from the profile, and (c)
+  * returns `struct(pred_lang, dist)` for the (dist asc, lang asc)
+  * argmin. This replaces the composed pipeline the query otherwise
+  * runs — posexplode to 40 rows/doc, a ×|langs| fan-out join, a
+  * grouped re-aggregation, and a per-doc rank window (two shuffles of
+  * 40·n and |langs|·n rows) — with zero post-scan shuffles: at
+  * cluster scale the scoring stage becomes embarrassingly parallel,
+  * which is exactly how a production langid pass over 100 TB runs
+  * (model broadcast, one map stage).
+  *
+  * Bit-exactness contract (the engine-side refactor must not move
+  * values): ranks are 1-based positions in the (c desc, g asc) order;
+  * ties in the argmin break to the lexicographically first language
+  * (langs are scored in ascending UTF-8 order and only a strictly
+  * smaller distance replaces the incumbent) — identical to the old
+  * `row_number().over(orderBy(dist, cand))` tail. A document with an
+  * empty gram array returns NULL (the old posexplode emitted no rows
+  * for it); callers filter nulls to preserve that drop.
+  *
+  * The model map is memoized per-instance keyed on the incoming
+  * ArrayData reference: the 1-row broadcast feeds every row the same
+  * backing object, so the ≤500-entry hash map is built once per task
+  * (a reference miss just rebuilds — correctness never depends on the
+  * memo). CodegenFallback: one megamorphic dispatch per DOCUMENT; the
+  * scoring loop itself is tight JVM code (the NgramCounts argument).
+  */
+case class LangIdScore(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  private val TopK = 40
+  private val MissPenalty = 100L
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "langid_score"
+
+  // (profile ref, cands ref) → (per-lang gram→rank maps, langs asc)
+  @transient private var memoProf: AnyRef = _
+  @transient private var memoCands: AnyRef = _
+  // values are BOXED java.lang.Long/Integer deliberately: with a Scala
+  // primitive value type, HashMap.get on a missing key unboxes null to
+  // 0 and the null check can never fire — the miss penalty silently
+  // becomes |doc_rank − 0|
+  @transient private var memoLangs: Array[UTF8String] = _
+  @transient private var memoMaps: Array[java.util.HashMap[String, java.lang.Long]] = _
+
+  private def model(prof: ArrayData, cands: ArrayData): Unit = {
+    if ((prof eq memoProf) && (cands eq memoCands)) return
+    val nl = cands.numElements()
+    // materialize (broadcast rows may reuse buffers) and sort asc by
+    // UTF-8 binary order — the old tail's orderBy($"cand") collation
+    val langs = new Array[UTF8String](nl)
+    var i = 0
+    while (i < nl) {
+      langs(i) = UTF8String.fromString(cands.getUTF8String(i).toString)
+      i += 1
+    }
+    java.util.Arrays.sort(langs, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val maps = Array.fill(nl)(new java.util.HashMap[String, java.lang.Long]())
+    val idx = new java.util.HashMap[String, java.lang.Integer]()
+    i = 0
+    while (i < nl) { idx.put(langs(i).toString, i); i += 1 }
+    val np = prof.numElements()
+    i = 0
+    while (i < np) {
+      val r = prof.getStruct(i, 3)
+      val li = idx.get(r.getUTF8String(0).toString)
+      if (li != null) maps(li.intValue()).put(r.getUTF8String(1).toString, r.getLong(2))
+      i += 1
+    }
+    memoLangs = langs; memoMaps = maps; memoProf = prof; memoCands = cands
+  }
+
+  override def nullSafeEval(gaAny: Any, profAny: Any, candsAny: Any): Any = {
+    val ga = gaAny.asInstanceOf[ArrayData]
+    val m = ga.numElements()
+    if (m == 0) return null
+    model(profAny.asInstanceOf[ArrayData], candsAny.asInstanceOf[ArrayData])
+    if (memoLangs.isEmpty) return null
+    // top-k by (count desc, gram asc); grams are unique per doc so the
+    // order is total
+    val entries = new Array[(UTF8String, Long)](m)
+    var i = 0
+    while (i < m) {
+      val r = ga.getStruct(i, 2)
+      entries(i) = (r.getUTF8String(0), r.getLong(1))
+      i += 1
+    }
+    java.util.Arrays.sort(entries, (a: (UTF8String, Long), b: (UTF8String, Long)) =>
+      if (a._2 != b._2) java.lang.Long.compare(b._2, a._2) else a._1.compareTo(b._1))
+    val k = math.min(TopK, m)
+    val gs = new Array[String](k)
+    i = 0
+    while (i < k) { gs(i) = entries(i)._1.toString; i += 1 }
+    var bestLang: UTF8String = null
+    var bestDist = Long.MaxValue
+    var li = 0
+    while (li < memoLangs.length) {
+      val pm = memoMaps(li)
+      var d = 0L
+      i = 0
+      while (i < k) {
+        val rank = pm.get(gs(i))
+        d += (if (rank == null) MissPenalty else math.abs((i + 1).toLong - rank))
+        i += 1
+      }
+      if (d < bestDist) { bestDist = d; bestLang = memoLangs(li) }
+      li += 1
+    }
+    InternalRow(bestLang, bestDist)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LangIdScore {
+  /** Register in the session's function registry and return a Column
+    * builder (the CosineSimilarity pattern). */
+  def langidScore(s: SparkSession)(ga: Column, prof: Column, cands: Column): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "langid_score", exprs => LangIdScore(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    call_function("langid_score", ga, prof, cands)
+  }
+}

@@ -31,9 +31,10 @@ class PlanLintSpec extends AnyFunSuite {
   val allowed = Set("q09_cross_join", "q60_cosine_topk", "q63_ivf_ann",
     "q22_scalar_subquery", "q76_bm25", "q95_histogram",
     "q126_bloom_decontamination", "q127_kmv_set_algebra",
-    // q142 fans each doc profile out over the ≤5-row broadcast
-    // candidate-language list (the q60 bounded-query-set shape); the
-    // trained profile join itself is a broadcast equi-join.
+    // q142 crosses each doc against TWO 1-row broadcast model
+    // aggregates (the collected ≤|langs|·100-row rank profile and the
+    // candidate list — the q76 1-row stats shape); the fused
+    // LangIdScore pass scores entirely map-side.
     "q142_langid_ngram",
     // q144/q145 route vectors over the broadcast k=8 codebook — the
     // q63 bounded-codebook shape (the candidate scan itself is an
