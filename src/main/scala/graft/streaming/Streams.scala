@@ -143,16 +143,22 @@ object Streams {
     }
     wipe(new java.io.File(stage))
     val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
-    def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+    def stageBatch(df: DataFrame, name: String, mtime: Long,
+                   fullCopy: Boolean): Unit = {
       val tmp = s"$stage/tmp_$name"
-      // repartition(1), not coalesce(1): coalesce folds the whole
-      // upstream scan/filter into the single write task — a one-task
-      // stage per repeat that the round-9 stall audit found dominating
-      // replay medians. The one-partition shuffle keeps the compute
-      // parallel; within-batch row order is immaterial to every replay
-      // (windowed counts, dedup, interval join are order-free within a
-      // micro-batch).
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      // The single-file write's shape follows the batch's DATA
+      // REDUCTION (measured at sf3, round 9): a batch that filters the
+      // source down uses repartition(1) — the scan/filter stays
+      // parallel and the one-partition shuffle carries only the kept
+      // rows; a (near-)full COPY uses coalesce(1) — there the shuffle
+      // would materialize the whole table a second time (row-format
+      // shuffle bytes ≫ the parquet it just read), which tripled the
+      // q257 replay median when staging rode repartition(1)
+      // unconditionally. Within-batch row order is immaterial to every
+      // replay (windowed counts, dedup, interval join are order-free
+      // within a micro-batch), so either shape is correct.
+      val shaped = if (fullCopy) df.coalesce(1) else df.repartition(1)
+      shaped.write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet")).head
@@ -161,8 +167,9 @@ object Streams {
       dst.setLastModified(mtime); ()
     }
     val t0 = System.currentTimeMillis() - 600000L
-    stageBatch(ev, "b1", t0)
-    stageBatch(ev.filter($"event_id" % 5 === 0), "b2", t0 + 60000L)
+    stageBatch(ev, "b1", t0, fullCopy = true)
+    stageBatch(ev.filter($"event_id" % 5 === 0), "b2", t0 + 60000L,
+      fullCopy = false)
     // Width stays the SESSION width here (the tumblingCounts rule cuts
     // the other way): dedup state is ~|events| KEYS — corpus-sized,
     // not rollup-sized — so per-partition state serialization dominates
@@ -240,16 +247,17 @@ object Streams {
     }
     wipe(new java.io.File(stage))
     val inDir = new java.io.File(s"$stage/in"); inDir.mkdirs()
-    def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+    def stageBatch(df: DataFrame, name: String, mtime: Long,
+                   fullCopy: Boolean): Unit = {
       val tmp = s"$stage/tmp_$name"
-      // repartition(1), not coalesce(1): coalesce folds the whole
-      // upstream scan/filter into the single write task — a one-task
-      // stage per repeat that the round-9 stall audit found dominating
-      // replay medians. The one-partition shuffle keeps the compute
-      // parallel; within-batch row order is immaterial to every replay
-      // (windowed counts, dedup, interval join are order-free within a
-      // micro-batch).
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      // coalesce(1) for (near-)full copies, repartition(1) for
+      // reducing filters — see streamingDedupPlanted.stageBatch for
+      // the measured rule. The heartbeat/late batches keep their full
+      // SCAN parallel under repartition(1) and shuffle only the kept
+      // rows; the bulk batch is ~the whole on-time corpus, where the
+      // one-partition shuffle would double the staging I/O.
+      val shaped = if (fullCopy) df.coalesce(1) else df.repartition(1)
+      shaped.write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet")).head
@@ -258,9 +266,9 @@ object Streams {
       dst.setLastModified(mtime); ()
     }
     val t0 = System.currentTimeMillis() - 600000L
-    stageBatch(bulk, "b1", t0)
-    stageBatch(heartbeat, "b2", t0 + 60000L)
-    stageBatch(ev.filter(late), "b3", t0 + 120000L)
+    stageBatch(bulk, "b1", t0, fullCopy = true)
+    stageBatch(heartbeat, "b2", t0 + 60000L, fullCopy = false)
+    stageBatch(ev.filter(late), "b3", t0 + 120000L, fullCopy = false)
     // state width 8 (the tumblingCounts sizing rule): 3 micro-batches
     // each pay one state-store commit per partition, and the aggregate
     // holds ~100s of keys — width is for the state, not the CPUs
