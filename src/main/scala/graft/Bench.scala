@@ -81,6 +81,35 @@ object Bench {
     * SPARK_GRAFT_IDLE_WAIT_MAX=0 to skip. The start loadavg is
     * re-read AFTER the wait, so the emitted loadavg_start reflects
     * the run that was actually timed. */
+  /** Fixed CPU microbenchmark (million integer ops/sec, single thread
+    * then all cores): a machine-speed constant that ships INSIDE every
+    * bench line. Round 9's official sf0.1 record regressed ~9% with an
+    * idle start and no in-round cause; an idle round-10 re-run of the
+    * unchanged code reproduced the slower level (154.1 s at loadavg
+    * 0.16) with a uniform ~+5% per-query ratio — the environment each
+    * round lands on is simply not the same machine-speed. These two
+    * numbers make that drift measurable instead of arguable: compare
+    * host_st_mops across rounds before comparing totals. */
+  private def hostProbe(): (Double, Double) = {
+    def burn(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < iters) { x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L + i; i += 1 }
+      x
+    }
+    burn(10000000L) // JIT warm-up
+    val n = 300000000L
+    val t0 = System.nanoTime(); val s = burn(n); val stNs = System.nanoTime() - t0
+    val threads = Runtime.getRuntime.availableProcessors()
+    val t1 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => { burn(n); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val mtNs = System.nanoTime() - t1
+    val st = n * 1000.0 / stNs                 // M ops/sec, one thread
+    val mt = n * threads * 1000.0 / mtNs       // M ops/sec, all cores
+    if (s == 42L) Console.err.println("") // keep the fold un-eliminable
+    (st, mt)
+  }
+
   private def awaitIdle(): Unit = {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MAX", "600").toInt
     val idleMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.0").toDouble
@@ -95,6 +124,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     awaitIdle()
+    val (hostSt, hostMt) = hostProbe()
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -207,7 +237,8 @@ object Bench {
       .map(n => "\"" + n + "\":[" + r4(mn(n)) + "," + r4(med(n)) + "," +
         r4(mx(n)) + "]").mkString("{", ",", "}")
     val loads =
-      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)},"failed":$failedJson""" +
+      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)}""" +
+        s""","host_st_mops":${r4(hostSt)},"host_mt_mops":${r4(hostMt)},"failed":$failedJson""" +
         s""","families":$famJson,"stream_repeats":$SREPEATS,"stream_spread":$spreadJson"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"sf":"$sfDir","repeats":$REPEATS,$loads,"min_total_sec":$totalMin,"total_sec":$total}"""

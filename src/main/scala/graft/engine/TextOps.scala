@@ -468,7 +468,14 @@ object TextOps {
       val scf = graft.functions.LangIdScore.langidScore(s) _
       val ga = T.documents(s, dir)
         .select($"doc_id", $"lang", gcf($"text").as("ga"))
-      val gc = ga.select($"doc_id", $"lang", explode($"ga").as("x"))
+      // NULL lang is not a language: a NULL-labeled doc can train no
+      // profile and be no candidate. Both sides filter it EXPLICITLY —
+      // collect_list would silently drop a NULL candidate anyway, but
+      // the profile groupBy would keep a NULL training group; making
+      // the intent explicit keeps the two sides (and the oracle)
+      // agreeing even if a future fixture carries unlabeled docs.
+      val gc = ga.filter($"lang".isNotNull)
+        .select($"doc_id", $"lang", explode($"ga").as("x"))
         .select($"doc_id", $"lang", $"x.g".as("g"), $"x.c".as("count"))
       val lp = gc.groupBy($"lang", $"g").agg(sum($"count").as("cnt"))
         .withColumn("lang_rank", row_number().over(
@@ -477,7 +484,8 @@ object TextOps {
         .select($"lang".as("lcand"), $"g".as("lg"), $"lang_rank")
       val prof = lp.groupBy()
         .agg(collect_list(struct($"lcand", $"lg", $"lang_rank")).as("prof"))
-      val cands = T.documents(s, dir).select($"lang".as("cand")).distinct()
+      val cands = T.documents(s, dir).select($"lang".as("cand"))
+        .filter($"cand".isNotNull).distinct()
         .groupBy().agg(collect_list($"cand").as("cands"))
       ga.crossJoin(broadcast(prof)).crossJoin(broadcast(cands))
         .select($"doc_id", $"lang", scf($"ga", $"prof", $"cands").as("sc"))
@@ -1593,13 +1601,15 @@ object TextOps {
         |  SELECT lang AS cand, g AS lg,
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY count(*) DESC, g) AS BIGINT) AS lang_rank
-        |  FROM grams GROUP BY lang, g QUALIFY lang_rank <= 100),
+        |  FROM grams WHERE lang IS NOT NULL
+        |  GROUP BY lang, g QUALIFY lang_rank <= 100),
         |dp AS (
         |  SELECT doc_id, lang, g,
         |    CAST(row_number() OVER (PARTITION BY doc_id
         |      ORDER BY count(*) DESC, g) AS BIGINT) AS doc_rank
         |  FROM grams GROUP BY doc_id, lang, g QUALIFY doc_rank <= 40),
-        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents
+        |          WHERE lang IS NOT NULL),
         |d AS (
         |  SELECT dp.doc_id, dp.lang, langs.cand,
         |    CAST(sum(coalesce(abs(dp.doc_rank - lp.lang_rank), 100))

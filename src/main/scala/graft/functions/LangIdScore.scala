@@ -37,11 +37,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty gram array returns NULL (the old posexplode emitted no rows
   * for it); callers filter nulls to preserve that drop.
   *
-  * The model map is memoized per-instance keyed on the incoming
-  * ArrayData reference: the 1-row broadcast feeds every row the same
-  * backing object, so the ≤500-entry hash map is built once per task
-  * (a reference miss just rebuilds — correctness never depends on the
-  * memo). CodegenFallback: one megamorphic dispatch per DOCUMENT; the
+  * The model map is memoized per-instance. The reference-identity
+  * fast path alone is NOT enough: UnsafeRow.getArray (and JoinedRow
+  * delegation in the BroadcastNestedLoopJoin this plan produces)
+  * allocates a fresh UnsafeArrayData per eval, so `eq` on the raw
+  * inputs never holds and the memo would rebuild per DOCUMENT —
+  * rivaling the scoring loop itself. So on a reference miss the memo
+  * falls back to a content check against a retained `.copy()` of the
+  * last model arrays: numElements guard, then `equals` (UnsafeArrayData
+  * compares backing bytes; GenericArrayData compares elements; `copy()`
+  * preserves the concrete class, so same-class equals applies). The
+  * per-doc cost is two O(model-bytes) compares (~10 KB) instead of
+  * rebuilding |langs| HashMaps plus toString copies. A content miss
+  * just rebuilds — correctness never depends on the memo.
+  * CodegenFallback: one megamorphic dispatch per DOCUMENT; the
   * scoring loop itself is tight JVM code (the NgramCounts argument).
   */
 case class LangIdScore(first: Expression, second: Expression, third: Expression)
@@ -55,9 +64,16 @@ case class LangIdScore(first: Expression, second: Expression, third: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "langid_score"
 
-  // (profile ref, cands ref) → (per-lang gram→rank maps, langs asc)
+  // last-seen model references (fast path) + retained content copies
+  // (the real per-task hit path — see the scaladoc)
   @transient private var memoProf: AnyRef = _
   @transient private var memoCands: AnyRef = _
+  @transient private var memoProfCopy: ArrayData = _
+  @transient private var memoCandsCopy: ArrayData = _
+  // observable rebuild count — lets the spec pin "fresh wrapper objects
+  // with equal content do NOT rebuild the model" (the round-9 advice:
+  // UnsafeRow.getArray hands out a new UnsafeArrayData per eval)
+  @transient private[graft] var modelBuilds: Int = 0
   // values are BOXED java.lang.Long/Integer deliberately: with a Scala
   // primitive value type, HashMap.get on a missing key unboxes null to
   // 0 and the null check can never fire — the miss penalty silently
@@ -65,8 +81,19 @@ case class LangIdScore(first: Expression, second: Expression, third: Expression)
   @transient private var memoLangs: Array[UTF8String] = _
   @transient private var memoMaps: Array[java.util.HashMap[String, java.lang.Long]] = _
 
+  private def sameContent(a: ArrayData, copy: ArrayData): Boolean =
+    (copy ne null) && a.numElements() == copy.numElements() && a.equals(copy)
+
   private def model(prof: ArrayData, cands: ArrayData): Unit = {
     if ((prof eq memoProf) && (cands eq memoCands)) return
+    if (memoMaps != null && sameContent(prof, memoProfCopy) &&
+        sameContent(cands, memoCandsCopy)) {
+      // fresh wrapper objects, same model bytes: refresh the reference
+      // keys (helps iterators that DO reuse a buffer) and keep the maps
+      memoProf = prof; memoCands = cands
+      return
+    }
+    modelBuilds += 1
     val nl = cands.numElements()
     // materialize (broadcast rows may reuse buffers) and sort asc by
     // UTF-8 binary order — the old tail's orderBy($"cand") collation
@@ -90,6 +117,7 @@ case class LangIdScore(first: Expression, second: Expression, third: Expression)
       i += 1
     }
     memoLangs = langs; memoMaps = maps; memoProf = prof; memoCands = cands
+    memoProfCopy = prof.copy(); memoCandsCopy = cands.copy()
   }
 
   override def nullSafeEval(gaAny: Any, profAny: Any, candsAny: Any): Any = {

@@ -121,6 +121,50 @@ class LangIdScoreSpec extends AnyFunSuite {
     assert(fused(ga, lp, langs) === Set((2L, "aa", 0L)))
   }
 
+  test("fresh-but-equal model arrays hit the content memo, not a rebuild") {
+    // UnsafeRow.getArray hands out a NEW UnsafeArrayData per eval
+    // (round-9 advice), so the reference fast path never holds in the
+    // BroadcastNestedLoopJoin plan; the content fallback must absorb
+    // those — one model build per instance, not one per document.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // build UnsafeArrayData exactly as the real plan does (UnsafeRow
+    // .getArray): project a generic row to unsafe, then copy() so each
+    // call yields a FRESH object with identical bytes
+    val profType = ArrayType(StructType(Seq(
+      StructField("lcand", StringType), StructField("lg", StringType),
+      StructField("lang_rank", LongType))))
+    val candsType = ArrayType(StringType)
+    val gaType = ArrayType(StructType(Seq(
+      StructField("g", StringType), StructField("c", LongType))))
+    val proj = UnsafeProjection.create(Array[DataType](profType, candsType, gaType))
+    def row(lg: String) = InternalRow(
+      new GenericArrayData(Array[Any](
+        InternalRow(UTF8String.fromString("aa"), UTF8String.fromString(lg), 1L))),
+      new GenericArrayData(Array[Any](UTF8String.fromString("aa"))),
+      new GenericArrayData(Array[Any](
+        InternalRow(UTF8String.fromString("xg"), 1L))))
+    val unsafe = proj(row("xg")).copy()
+    def profArr() = unsafe.getArray(0)
+    def candArr() = unsafe.getArray(1)
+    def gaArr() = unsafe.getArray(2)
+    val e = graft.functions.LangIdScore(null, null, null)
+    (1 to 5).foreach { _ =>
+      // fresh objects every eval — same content
+      val out = e.nullSafeEval(gaArr(), profArr(), candArr())
+      assert(out.asInstanceOf[InternalRow].getLong(1) === 0L)
+    }
+    assert(e.modelBuilds === 1)
+    // a genuinely different model DOES rebuild
+    val unsafe2 = proj(row("yg")).copy()
+    val out2 = e.nullSafeEval(gaArr(), unsafe2.getArray(0), candArr())
+    assert(out2.asInstanceOf[InternalRow].getLong(1) === 100L)
+    assert(e.modelBuilds === 2)
+  }
+
   test("more than 40 distinct grams: only the top-40 by (count desc, gram asc) score") {
     import spark.implicits._
     // 45 grams, counts descending by construction: g00..g44 with
