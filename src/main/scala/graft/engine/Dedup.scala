@@ -64,6 +64,18 @@ object Dedup {
   private val shingleCache = new SessionMemo[String]
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s, dir)(shinglesUncached(s, dir))
+
+  /** Per-document distinct-shingle counts — the tiny (doc_id, sz)
+    * dimension every verification stage joins (q53/q100/q225/q233
+    * divide intersection counts by it). Memoized + persisted: it is
+    * |docs|-sized, and without the memo each consumer re-aggregated
+    * the full spine to rebuild it. */
+  private val sizesCache = new SessionMemo[String]
+  private def docSizes(s: SparkSession, dir: String): DataFrame =
+    sizesCache.getOrElseUpdate(s, dir) {
+      shingles(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz")).persist()
+    }
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     shingleStrings(s, dir)
@@ -576,12 +588,24 @@ object Dedup {
       val t = 0.8
       val sh = shingles(s, dir)
       val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+      // Prefix selection is per-document top-k by (df, sh) — done with
+      // collect_list + one per-doc array_sort/slice, NOT a row_number
+      // window (round-10): the window form sorted the whole df-tagged
+      // spine inside doc-partitioned SortExec (plus a second window for
+      // |d|), where the hash aggregate needs no partition sort at all
+      // and each doc sorts its own ≤|d|-entry array map-side. Same
+      // (rk ≤ |d| − ⌈t·|d|⌉ + 1) arithmetic, same (df asc, sh asc)
+      // total order — struct array_sort compares fields in declaration
+      // order. Per-doc state stays bounded by document size, so the
+      // shape holds on 100 TB doc counts.
       val prefix = sh.join(dfreq, "sh")
-        .withColumn("rk", row_number().over(wDoc))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
-        .filter($"rk" <= $"sz" - ceil($"sz" * t) + 1)
-        .select($"doc_id", $"sh")
+        .groupBy($"doc_id")
+        .agg(collect_list(struct($"df", $"sh")).as("arr"))
+        .select($"doc_id", explode(expr(
+          s"""slice(array_sort(arr), 1,
+             |  CAST(size(arr) - ceil(size(arr) * $t) + 1 AS INT))""".stripMargin))
+          .as("x"))
+        .select($"doc_id", $"x.sh".as("sh"))
       val cand = prefix.alias("a")
         .join(prefix.alias("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -591,7 +615,7 @@ object Dedup {
       // q85 materialized view) instead of re-collecting per-doc shingle
       // ARRAYS and intersecting them per pair — candidates share a
       // prefix shingle by construction, so the inner join loses nothing
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = docSizes(s, dir)
       cand
         .join(sharedShinglePairs(s, dir), Seq("doc1", "doc2"))
         .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
@@ -609,7 +633,7 @@ object Dedup {
     "q53_jaccard_pairs" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = docSizes(s, dir)
       sharedShinglePairs(s, dir)
         .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
         .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
@@ -635,7 +659,7 @@ object Dedup {
     "q225_dedup_pr" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = docSizes(s, dir)
       val truth = sharedShinglePairs(s, dir)
         .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
         .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
@@ -667,7 +691,7 @@ object Dedup {
     "q233_containment" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = docSizes(s, dir)
       sharedShinglePairs(s, dir)
         .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
         .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
