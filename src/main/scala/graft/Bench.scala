@@ -124,8 +124,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     awaitIdle()
-    val (hostSt, hostMt) = hostProbe()
+    // loadavg_start is read BEFORE the host probe: the probe's own
+    // burn threads (1 + all cores for ~3 s) bump the 1-minute load by
+    // ~1–2, which round-10 briefly misread as a contaminated start —
+    // the recorded value must describe the machine the wait delivered,
+    // not the probe measuring it.
     val loadStart = loadavg()
+    val (hostSt, hostMt) = hostProbe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
