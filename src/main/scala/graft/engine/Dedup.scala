@@ -28,13 +28,21 @@ object Dedup {
   private val interCache = new SessionMemo[String]
   private def sharedShinglePairs(s: SparkSession, dir: String): DataFrame =
     interCache.getOrElseUpdate(s, dir) {
+      // SERIALIZED storage (round-10 sf30 finding): the pair list is
+      // the family's biggest resident frame (339M 3-long rows ≈ 11 GB
+      // deserialized at sf30 — over the 40 GiB heap's storage
+      // fraction once the spine and sizes sit beside it, so blocks
+      // evicted and every consumer re-ran the self-join: dedup family
+      // e = 1.44 on the sf10→sf30 step). MEMORY_AND_DISK_SER packs
+      // the rows ~3× denser and an evicted block costs a columnar
+      // re-read, not a join recompute.
       val sh = shingles(s, dir)
       sh.alias("a")
         .join(sh.alias("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("n_common"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** (doc_id, sh): distinct 3-token shingles per document, as 64-BIT
@@ -81,7 +89,9 @@ object Dedup {
     shingleStrings(s, dir)
       .select($"doc_id", xxhash64($"sh").as("sh")) // map-side, pre-distinct
       .distinct()
-      .persist() // MEMORY_AND_DISK: spills instead of killing the JVM
+      // SER (round-10): two fixed-width longs pack ~3× denser
+      // serialized; spills instead of killing the JVM either way
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** The raw (doc_id, shingle STRING) stream — map-side only, NEVER

@@ -41,7 +41,10 @@ object Extended {
       T.lineitem(s, dir)
         .select($"l_orderkey".as("o"), $"l_partkey".as("i"))
         .groupBy($"o").agg(sort_array(collect_set($"i")).as("items"))
-        .persist()
+        // SER (round-10 sf30 finding): long-array rows pack far
+        // denser serialized, and an evicted block re-reads instead of
+        // re-running the corpus groupBy
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Largest item key in the basket spine, once per (app, dataset):
