@@ -100,13 +100,18 @@ object Bench {
     val n = 300000000L
     val t0 = System.nanoTime(); val s = burn(n); val stNs = System.nanoTime() - t0
     val threads = Runtime.getRuntime.availableProcessors()
+    // each thread's burn result lands in a shared sink: a discarded
+    // result inside the lambda is dead code C2 may eliminate, which
+    // would inflate host_mt_mops — the very drift signal the probe
+    // exists to make trustworthy (round-10 advice)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
     val t1 = System.nanoTime()
-    val ts = (1 to threads).map(_ => new Thread(() => { burn(n); () }))
+    val ts = (1 to threads).map(_ => new Thread(() => { sink.addAndGet(burn(n)); () }))
     ts.foreach(_.start()); ts.foreach(_.join())
     val mtNs = System.nanoTime() - t1
     val st = n * 1000.0 / stNs                 // M ops/sec, one thread
     val mt = n * threads * 1000.0 / mtNs       // M ops/sec, all cores
-    if (s == 42L) Console.err.println("") // keep the fold un-eliminable
+    if ((s ^ sink.get()) == 42L) Console.err.println("") // un-eliminable
     (st, mt)
   }
 

@@ -47,21 +47,30 @@ object Extended {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
-  /** Largest item key in the basket spine, once per (app, dataset):
+  /** Item-key RANGE of the basket spine, once per (app, dataset):
     * decides whether the pair shuffle can carry PACKED 64-bit keys
-    * (a·2³² + b — exact iff every key < 2³¹) instead of a
-    * struct<long,long>. One cheap aggregate amortized over a bench
-    * family's repeats; at any key domain the query stays correct, the
-    * packing just switches off past 2³¹ (the adaptiveWidth rule:
-    * physical encodings follow the data, never assume the fixture). */
-  private val maxItemCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private def maxBasketItem(s: SparkSession, dir: String): Long =
-    maxItemCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+    * (a·2³² + b — exact iff every key is in [0, 2³¹)) instead of a
+    * struct<long,long>. Both bounds matter: a NEGATIVE key would pass
+    * a max-only check, and truncating `div` paired with `pmod` would
+    * unpack the wrong (a, b) silently (round-10 advice). One cheap
+    * aggregate amortized over a bench family's repeats; at any key
+    * domain the query stays correct, the packing just switches off
+    * outside the bound (the adaptiveWidth rule: physical encodings
+    * follow the data, never assume the fixture). */
+  private val itemRangeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+  private def basketItemRange(s: SparkSession, dir: String): (Long, Long) =
+    itemRangeCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       import s.implicits._
-      val r = basketSpine(s, dir).agg(max(array_max($"items"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+      val r = basketSpine(s, dir)
+        .agg(min(array_min($"items")), max(array_max($"items"))).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) (0L, 0L)
+      else (r.getLong(0), r.getLong(1))
     })
+  private def packableItems(s: SparkSession, dir: String): Boolean = {
+    val (lo, hi) = basketItemRange(s, dir)
+    lo >= 0L && hi < (1L << 31)
+  }
 
   val queries: Map[String, Q] = Map(
     // Salted skewed join IN THE ORACLE MATRIX: `ops.SkewJoin.salted`
@@ -105,10 +114,10 @@ object Extended {
       // Pair keys travel PACKED (a·2³² + b in one long) when the item
       // domain allows it — half the shuffle bytes and no struct
       // allocation per emitted pair (measured sf3: the pair stage fell
-      // ~40%); the struct pipeline is the verbatim fallback past 2³¹.
-      // Unpack is exact integer div/pmod after the ≥3 filter.
+      // ~40%); the struct pipeline is the verbatim fallback outside
+      // [0, 2³¹). Unpack is exact integer div/pmod after the ≥3 filter.
       val pairsRaw =
-        if (maxBasketItem(s, dir) < (1L << 31)) {
+        if (packableItems(s, dir)) {
           baskets.filter(size($"items") >= 2)
             .select(explode(expr(
               """flatten(transform(sequence(1, size(items) - 1), ii ->

@@ -21,6 +21,33 @@ object Profiling {
 
   private val profCache = new SessionMemo[String]
 
+  /** Memoized deduped price domain of lineitem, once per (session,
+    * dataset): (l_returnflag, cents, cnt, wqty) where cnt is the row
+    * count and wqty the quantity mass at that exact price. Three
+    * rank-walk queries (q152/q164/q216) each re-derived this view from
+    * the raw corpus — and every one of their downstream aggregates
+    * (order-statistic picks, clamped sums, outlier counts, weight
+    * totals) is computable from the domain with `cnt`/`wqty` as the
+    * weight mass, bit-identically to the raw-row pass (integer sums
+    * compose). The domain SATURATES: extendedprice = qty × partprice
+    * has ≤ 50·|price points| distinct values, so it stops growing once
+    * the corpus covers the price grid (measured: 594k rows at sf0.1,
+    * sf3 AND sf30 — a 303× reduction at sf30), and even pre-saturation
+    * the build is one combine-able groupBy. Serialized storage, the
+    * sf30 spine lesson: eviction costs a re-read, not a corpus re-scan. */
+  private val centsDomainMemo = new SessionMemo[String]
+  private def centsDomain(s: SparkSession, dir: String): DataFrame =
+    centsDomainMemo.getOrElseUpdate(s, dir) {
+      import s.implicits._
+      T.lineitem(s, dir)
+        .select($"l_returnflag",
+          round($"l_extendedprice" * 100.0).cast("long").as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        .groupBy($"l_returnflag", $"cents")
+        .agg(count(lit(1)).as("cnt"), sum($"qty").as("wqty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+
   /** Exact per-group order statistics WITHOUT a per-group sort — the
     * distributed rank-pick a 100 TB column needs. A plain
     * `row_number().over(partitionBy(group).orderBy(value))` sorts every
@@ -244,24 +271,38 @@ object Profiling {
     // integer compare — no IEEE op exists until the display division.
     "q164_mad_outliers" -> ((s, dir) => {
       import s.implicits._
-      val li = T.lineitem(s, dir).select($"l_returnflag",
-        round($"l_extendedprice" * 100.0).cast("long").as("cents"))
+      // every pass below runs over the memoized deduped price DOMAIN
+      // ([[centsDomain]], cnt as the weight mass) — the corpus is
+      // scanned once per (session, dataset), not ~5× per call as the
+      // raw-row shape did; picks and counts are bit-identical because
+      // integer weight sums compose.
+      val dom = centsDomain(s, dir)
       // width 1024 (same reasoning as q216): the cents domain spans
       // ~1e7, so the default 65536 leaves ~140 buckets and the walked
       // slice grows linearly with the data; 1024 keeps slices 64×
       // smaller at a still-tiny histogram.
-      val med = bucketedRankPick(li, "l_returnflag", "cents",
-        Seq("medc" -> "(n + 1) div 2"), width = 1024L)
-      val dev = li.join(broadcast(med), "l_returnflag")
-        .select($"l_returnflag", abs($"cents" - $"medc").as("adev"))
+      // med is a |groups|-row frame referenced 3× (dev build + final
+      // join + mad's two internal passes re-deriving dev) — without an
+      // eager cut each reference re-runs the whole two-pass pick
+      val med = bucketedRankPick(dom, "l_returnflag", "cents",
+        Seq("medc" -> "(n + 1) div 2"), width = 1024L, w = $"cnt")
+        .localCheckpoint()
+      // the deviation domain folds |dom| rows → ≤|dom| (abs merges the
+      // two sides of the median); still a domain-sized frame, and
+      // materialized once because the MAD pick walks it twice
+      // (histogram + slice)
+      val dev = dom.join(broadcast(med), "l_returnflag")
+        .groupBy($"l_returnflag", abs($"cents" - $"medc").as("adev"))
+        .agg(sum($"cnt").as("cnt"))
+        .localCheckpoint()
       val mad = bucketedRankPick(dev, "l_returnflag", "adev",
-        Seq("madc" -> "(n + 1) div 2"), width = 1024L)
-      li.join(broadcast(med), "l_returnflag")
+        Seq("madc" -> "(n + 1) div 2"), width = 1024L, w = $"cnt")
+      dom.join(broadcast(med), "l_returnflag")
         .join(broadcast(mad), "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_items"),
+        .agg(sum($"cnt").as("n_items"),
           min($"medc").as("medc"), min($"madc").as("madc"),
-          sum(when(abs($"cents" - $"medc") > lit(3L) * $"madc", 1L)
+          sum(when(abs($"cents" - $"medc") > lit(3L) * $"madc", $"cnt")
             .otherwise(0L)).as("n_outliers"))
         .select($"l_returnflag", $"n_items",
           ($"medc".cast("double") / 100.0).as("median_price"),
@@ -560,17 +601,21 @@ object Profiling {
     // quantile sketch (ε-rank).
     "q152_winsorized_stats" -> ((s, dir) => {
       import s.implicits._
-      val li = T.lineitem(s, dir).select($"l_returnflag",
-        round($"l_extendedprice" * 100.0).cast("long").as("cents"))
-      val th = bucketedRankPick(li, "l_returnflag", "cents",
+      // rides the memoized deduped price domain ([[centsDomain]], cnt
+      // as weight mass): rank picks, the exact-cents sum, and the
+      // clamped sum are all weight-fold-able, so the corpus is scanned
+      // once per (session, dataset) and shared with q164/q216
+      val dom = centsDomain(s, dir)
+      val th = bucketedRankPick(dom, "l_returnflag", "cents",
         Seq("p05c" -> "(n * 5 + 99) div 100",
-            "p95c" -> "(n * 95 + 99) div 100"), width = 1024L)
-      li.join(broadcast(th), "l_returnflag")
+            "p95c" -> "(n * 95 + 99) div 100"), width = 1024L, w = $"cnt")
+      dom.join(broadcast(th), "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n_items"),
+        .agg(sum($"cnt").as("n_items"),
           min($"p05c").as("p05c"), min($"p95c").as("p95c"),
-          sum($"cents").as("sum_c"),
-          sum(greatest($"p05c", least($"p95c", $"cents"))).as("sum_w"))
+          sum($"cents" * $"cnt").as("sum_c"),
+          sum(greatest($"p05c", least($"p95c", $"cents")) * $"cnt")
+            .as("sum_w"))
         .select($"l_returnflag", $"n_items",
           ($"p05c".cast("double") / 100.0).as("p05"),
           ($"p95c".cast("double") / 100.0).as("p95"),
@@ -881,24 +926,21 @@ object Profiling {
     // no domain-sized window.
     "q216_weighted_median" -> ((s, dir) => {
       import s.implicits._
-      val li = T.lineitem(s, dir).select($"l_returnflag",
-        round($"l_extendedprice" * 100.0).cast("long").as("c"),
-        $"l_quantity".cast("long").as("qty"))
-      // extendedprice cents is ~97% distinct (measured) — the deduped
-      // domain GROWS with the data, so the weighted rank walk rides
-      // [[bucketedRankPick]] with qty as the weight mass, never a
-      // 3-partition window over the domain.
+      // rides the memoized deduped price domain ([[centsDomain]]) with
+      // the QUANTITY mass (wqty) as the rank weight — the weighted
+      // walk folds identically over (value, weight-sum) runs.
       // Width 1024, not the 65536 default: the price domain spans ~1e7
       // cents, so 65536-wide buckets leave only ~140 of them and each
       // target SLICE (the only per-(group, pick) sorted walk) holds
       // rows/140 — linear in data (×14.6 sf1→sf3, the q164 class one
       // level down). 1024-wide buckets keep the histogram tiny (~9k
       // rows/group) while shrinking the walked slice 64×.
-      val th = bucketedRankPick(li, "l_returnflag", "c",
+      val dom = centsDomain(s, dir).withColumnRenamed("cents", "c")
+      val th = bucketedRankPick(dom, "l_returnflag", "c",
         Seq("wp50c" -> "(n * 50 + 99) div 100",
-            "wp90c" -> "(n * 90 + 99) div 100"), width = 1024L, w = $"qty")
-      val tot = li.groupBy($"l_returnflag")
-        .agg(sum($"qty").as("total_weight"))
+            "wp90c" -> "(n * 90 + 99) div 100"), width = 1024L, w = $"wqty")
+      val tot = dom.groupBy($"l_returnflag")
+        .agg(sum($"wqty").as("total_weight"))
       tot.join(broadcast(th), "l_returnflag")
         .select($"l_returnflag", $"total_weight", $"wp50c", $"wp90c",
           ($"wp50c".cast("double") / 100.0).as("wp50"),

@@ -139,12 +139,24 @@ object Retrieval {
       val idf = log(($"nd" - dfD + 0.5) / (dfD + 0.5) + 1.0)
       val bm25 = idf * (tfD * 2.2) /
         (tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * dlD / $"avgdl"))
+      // dl is one row per DOCUMENT and dfreq one per TERM — both
+      // CORPUS-sized (|docs| and |vocab| grow linearly with data), so
+      // an unconditional broadcast hint is a driver/executor OOM at
+      // 100× (the SCALE.md rule — broadcast only bounded-by-
+      // construction sides). But the scoring stream they join (tf ×
+      // probe fan-out) is far LARGER, and shuffling it on doc_id/term
+      // costs more than shipping the small sides (measured sf10: 6.5 →
+      // 8.8 s hint-free) — so the hint is GATED on the side's MEASURED
+      // row count (nDocs is already counted for the width decision;
+      // |vocab| is one combine-able count over the cached tf spine).
+      // ≤ 2M rows ≈ tens of MB serialized: broadcast; past the gate the
+      // joins fall back to shuffles co-partitioned with tf's own keys.
+      val nTerms = dfreq.count()
+      val dlJ = if (nDocs <= 2000000L) broadcast(dl) else dl
+      val dfJ = if (nTerms <= 2000000L) broadcast(dfreq) else dfreq
       val sparse = tf.join(broadcast(qterms), Seq("term"))
         .filter($"doc_id" =!= $"qid")
-        // dl is one row per doc, dfreq one per term — both dimension-
-        // sized; broadcast them so the scoring pipeline is one map-side
-        // pass over the tf posting stream with no extra shuffles
-        .join(broadcast(dl), "doc_id").join(broadcast(dfreq), "term")
+        .join(dlJ, "doc_id").join(dfJ, "term")
         .crossJoin(broadcast(stats))
         .select($"qid", $"doc_id".as("cid"),
           floor(bm25 * 1e6 + lit(0.5)).cast("long").as("bm_micro"))

@@ -477,7 +477,24 @@ object TextOps {
       val gc = ga.filter($"lang".isNotNull)
         .select($"doc_id", $"lang", explode($"ga").as("x"))
         .select($"doc_id", $"lang", $"x.g".as("g"), $"x.c".as("count"))
-      val lp = gc.groupBy($"lang", $"g").agg(sum($"count").as("cnt"))
+      // Two-level EXACT top-100 per lang: a row_number window
+      // partitioned by lang alone sorts the whole (lang, gram) count
+      // domain at |langs|-way parallelism — and that domain grows with
+      // the corpus until the gram grid saturates (ScaleUp's injective
+      // token rename makes the growth linear, the worst case). Level 1
+      // ranks inside (lang, hash(g) mod 32) buckets — 32× the
+      // parallelism — and keeps each bucket's local top-100; the global
+      // top-100 by the SAME total order (cnt desc, g) is necessarily a
+      // subset of the union of bucket-local top-100s, so level 2 ranks
+      // ≤ 3200 survivors per lang. Bit-identical model, no
+      // domain-sized single-lang sort anywhere.
+      val gagg = gc.groupBy($"lang", $"g").agg(sum($"count").as("cnt"))
+        .withColumn("__b", pmod(xxhash64($"g"), lit(32L)))
+      val wLoc = Window.partitionBy($"lang", $"__b")
+        .orderBy($"cnt".desc, $"g")
+      val lp = gagg
+        .withColumn("__lr", row_number().over(wLoc))
+        .filter($"__lr" <= 100)
         .withColumn("lang_rank", row_number().over(
           Window.partitionBy($"lang").orderBy($"cnt".desc, $"g")).cast("long"))
         .filter($"lang_rank" <= 100L)

@@ -35,11 +35,21 @@ object Streams {
     * rewriting. */
   private val stagedOk =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val stageLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
   private def stageOnce(stageRoot: String)(build: => Unit): Unit = {
-    val marker = new java.io.File(stageRoot)
-    if (stagedOk.contains(stageRoot) && marker.isDirectory) return
-    build
-    stagedOk.put(stageRoot, true); ()
+    // builds are serialized PER stage root (round-10 advice): two
+    // threads racing the same root would both run build, and the
+    // second build's wipe() could delete files the first replay is
+    // mid-read on. The memo check re-runs under the lock so the loser
+    // of the race sees the winner's completed staging and returns.
+    val lock = stageLocks.getOrElseUpdate(stageRoot, new Object)
+    lock.synchronized {
+      val marker = new java.io.File(stageRoot)
+      if (stagedOk.contains(stageRoot) && marker.isDirectory) return
+      build
+      stagedOk.put(stageRoot, true); ()
+    }
   }
 
   /** Raw event-typed record (ts in epoch micros for the typed demo). */
