@@ -19,6 +19,49 @@ import graft.engine.{Tables => T}
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Storage tier for the corpus-scale dedup spines, decided by the
+    * MEASURED corpus (the adaptiveWidth rule: physical encodings
+    * follow the data). Three tiers were measured at the 40 GiB sf30
+    * rung across rounds 10–11:
+    *
+    *   - deserialized MEMORY_AND_DISK: fastest per access and fine
+    *     while everything fits (≤ sf10 / 500k docs), but past the
+    *     storage fraction blocks evict and every consumer re-runs the
+    *     spine self-join — dedup family e = 1.44 (round 10).
+    *   - MEMORY_AND_DISK_SER: packs ~3× denser, which is exactly the
+    *     problem at the ceiling — the denser blocks stay RESIDENT,
+    *     squeezing execution memory under 32 concurrent tasks whose
+    *     deserialization buffers and join state spike the heap: the
+    *     round-11 sf30 attempt died in q53 with GCLocker retry
+    *     failures on multi-hundred-MB allocations. Serialized-in-heap
+    *     is the worst of both at this tier.
+    *   - DISK_ONLY: the spine never occupies managed memory at all;
+    *     consumers stream it back through the OS page cache (the
+    *     sandbox holds 128 GiB — the 3–4 GB serialized spine stays
+    *     hot), execution gets the whole heap, and eviction is
+    *     structurally impossible. On a production cluster this tier
+    *     is the same decision as checkpointing the spine to local
+    *     SSD/HDFS.
+    *
+    * The gate estimates the resident spine mass from the doc count
+    * (~8 KB/doc deserialized across pair list + shingle spine,
+    * measured at these fixtures: ~16 GB at 1.5M docs) and takes
+    * DISK_ONLY once that estimate crosses a quarter of the heap —
+    * data- AND heap-driven, so a bigger heap extends the fast path
+    * instead of hardcoding a scale factor. */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def corpusDocs(s: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      T.documents(s, dir).count())
+  private def spineLevel(s: SparkSession, dir: String)
+      : org.apache.spark.storage.StorageLevel = {
+    val estBytes = corpusDocs(s, dir) * 8192L
+    if (estBytes > Runtime.getRuntime.maxMemory / 4)
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
+
   /** Shared-shingle candidate pairs WITH intersection counts — the
     * spine both verification stages consume (q53 divides the counts
     * into Jaccard, q85 runs the Levenshtein kernel over the pair
@@ -28,21 +71,19 @@ object Dedup {
   private val interCache = new SessionMemo[String]
   private def sharedShinglePairs(s: SparkSession, dir: String): DataFrame =
     interCache.getOrElseUpdate(s, dir) {
-      // SERIALIZED storage (round-10 sf30 finding): the pair list is
-      // the family's biggest resident frame (339M 3-long rows ≈ 11 GB
-      // deserialized at sf30 — over the 40 GiB heap's storage
-      // fraction once the spine and sizes sit beside it, so blocks
-      // evicted and every consumer re-ran the self-join: dedup family
-      // e = 1.44 on the sf10→sf30 step). MEMORY_AND_DISK_SER packs
-      // the rows ~3× denser and an evicted block costs a columnar
-      // re-read, not a join recompute.
+      // the pair list is the family's biggest resident frame (339M
+      // 3-long rows ≈ 11 GB deserialized at sf30) — its storage tier
+      // follows the measured corpus ([[spineLevel]]): in-memory while
+      // it fits, DISK_ONLY past the heap gate so an access costs a
+      // page-cached columnar re-read, never a join recompute and
+      // never an execution-memory squeeze.
       val sh = shingles(s, dir)
       sh.alias("a")
         .join(sh.alias("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("n_common"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(spineLevel(s, dir))
     }
 
   /** (doc_id, sh): distinct 3-token shingles per document, as 64-BIT
@@ -89,9 +130,10 @@ object Dedup {
     shingleStrings(s, dir)
       .select($"doc_id", xxhash64($"sh").as("sh")) // map-side, pre-distinct
       .distinct()
-      // SER (round-10): two fixed-width longs pack ~3× denser
-      // serialized; spills instead of killing the JVM either way
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // corpus-scale frame: storage tier follows the measured corpus
+      // ([[spineLevel]]) — in-memory deserialized while it fits,
+      // DISK_ONLY past the heap gate
+      .persist(spineLevel(s, dir))
   }
 
   /** The raw (doc_id, shingle STRING) stream — map-side only, NEVER

@@ -41,10 +41,14 @@ object Extended {
       T.lineitem(s, dir)
         .select($"l_orderkey".as("o"), $"l_partkey".as("i"))
         .groupBy($"o").agg(sort_array(collect_set($"i")).as("items"))
-        // SER (round-10 sf30 finding): long-array rows pack far
-        // denser serialized, and an evicted block re-reads instead of
-        // re-running the corpus groupBy
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // deserialized MEMORY_AND_DISK (round-11): the round-10 SER
+        // tier taxed every consumer's reads at sf3/sf10 for nothing —
+        // this frame is ~16 B per lineitem row (≈ 2.9 GB at sf30),
+        // comfortably in-heap at every rung this sandbox can hold,
+        // and in-heap-serialized proved the WORST tier at the ceiling
+        // (the dedup-spine sf30 OOM): past the heap the right tier is
+        // DISK_ONLY (the Dedup.spineLevel gate), not denser packing.
+        .persist()
     }
 
   /** Item-key RANGE of the basket spine, once per (app, dataset):

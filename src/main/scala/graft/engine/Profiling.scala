@@ -33,8 +33,8 @@ object Profiling {
     * has ≤ 50·|price points| distinct values, so it stops growing once
     * the corpus covers the price grid (measured: 594k rows at sf0.1,
     * sf3 AND sf30 — a 303× reduction at sf30), and even pre-saturation
-    * the build is one combine-able groupBy. Serialized storage, the
-    * sf30 spine lesson: eviction costs a re-read, not a corpus re-scan. */
+    * the build is one combine-able groupBy. ~19 MB deserialized —
+    * plain in-memory persist, nowhere near any storage ceiling. */
   private val centsDomainMemo = new SessionMemo[String]
   private def centsDomain(s: SparkSession, dir: String): DataFrame =
     centsDomainMemo.getOrElseUpdate(s, dir) {
@@ -45,7 +45,7 @@ object Profiling {
           $"l_quantity".cast("long").as("qty"))
         .groupBy($"l_returnflag", $"cents")
         .agg(count(lit(1)).as("cnt"), sum($"qty").as("wqty"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist()
     }
 
   /** Exact per-group order statistics WITHOUT a per-group sort — the
