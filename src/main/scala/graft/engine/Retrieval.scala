@@ -30,6 +30,20 @@ import graft.functions.CosineSimilarity
 object Retrieval {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Corpus vocabulary size, once per (app, dataset) — the measured
+    * bound q176's broadcast gate needs (the basketItemRange pattern:
+    * one statistics aggregate amortized over a family's repeats).
+    * Computing it per CALL was measured at sf30 to re-run the whole
+    * tf build whenever the cached tf spine had been evicted — the
+    * round-11 full-rung q176 row carries that (+25 s); this memo is
+    * the fix. */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def vocabSize(s: SparkSession, dir: String,
+      dfreq: DataFrame): Long =
+    vocabCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), dfreq.count())
+
   /** Per-rank DCG gain 1/log2(k+1) for k = 1..10, in micro units,
     * folded once here and interpolated into both engines (no runtime
     * libm). dcgTermMicro(k-1) is the gain of a relevant hit at rank k. */
@@ -151,7 +165,8 @@ object Retrieval {
       // |vocab| is one combine-able count over the cached tf spine).
       // ≤ 2M rows ≈ tens of MB serialized: broadcast; past the gate the
       // joins fall back to shuffles co-partitioned with tf's own keys.
-      val nTerms = dfreq.count()
+      // |vocab| is memoized per (app, dataset) — see [[vocabSize]].
+      val nTerms = vocabSize(s, dir, dfreq)
       val dlJ = if (nDocs <= 2000000L) broadcast(dl) else dl
       val dfJ = if (nTerms <= 2000000L) broadcast(dfreq) else dfreq
       val sparse = tf.join(broadcast(qterms), Seq("term"))
