@@ -43,47 +43,126 @@ object Dedup {
     *     is the same decision as checkpointing the spine to local
     *     SSD/HDFS.
     *
-    * The gate estimates the resident spine mass from the doc count
-    * (~8 KB/doc deserialized across pair list + shingle spine,
-    * measured at these fixtures: ~16 GB at 1.5M docs) and takes
-    * DISK_ONLY once that estimate crosses a quarter of the heap —
-    * data- AND heap-driven, so a bigger heap extends the fast path
-    * instead of hardcoding a scale factor. */
+    * Round 12 refines the gate from one all-or-nothing decision to a
+    * PER-FRAME budget: the round-11 whole-family DISK_ONLY flip fixed
+    * the single-scan consumers (q53 61.8→19.3 s at sf30) but made the
+    * repeated-scan ones pay a deserialization pass per re-read
+    * (q167's greedy rounds, q233/q225's spine scans). The two spines
+    * have very different mass — the shingle spine is ~32 B/row ×
+    * docs·shingles-per-doc (~2.5 GB at sf30) while the pair list is
+    * quadratic-in-overlap (339M rows ≈ 11 GB at sf30) — so they are
+    * charged against the budget in consumer-count order: the shingle
+    * spine (5 consumer families, small) claims memory first, the pair
+    * list takes what's left or goes to disk. At sf30/40 GiB that
+    * yields shingles in memory + pairs on disk; at ≤sf10 both fit; at
+    * sf100 both spill — each frame degrades independently instead of
+    * the family cliffing as one.
+    *
+    * The mass estimate is measured, not assumed: shingles-per-doc is
+    * SAMPLED from the corpus once per (app, dataset) (≤1024 docs,
+    * map-side — the fixture constant drifted silently when doc shape
+    * changed, ADVICE r11), at 32 B/row deserialized (the round-11
+    * sf30 block-manager reading: 339M pair rows ≈ 11 GB). The pair
+    * mass uses the fixture-measured pairs≈2.2×shingle-mass ratio —
+    * honest only to order of magnitude (it depends on shingle
+    * collision density), which suffices for a 4× budget gate; a
+    * production deployment would persist the Σc·(c−1)/2 census next
+    * to the spine and reuse it here. The budget is a quarter of the
+    * CLUSTER storage pool — executor memory × instances from the conf
+    * when set, this JVM's heap in local mode — so a bigger cluster
+    * extends the fast path instead of hardcoding a scale factor. */
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
   private def corpusDocs(s: SparkSession, dir: String): Long =
     docCountCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       T.documents(s, dir).count())
-  private def spineLevel(s: SparkSession, dir: String)
+  private val shPerDocCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+  private def sampledShinglesPerDoc(s: SparkSession, dir: String): Double =
+    shPerDocCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      import s.implicits._
+      val r = T.documents(s, dir).select($"text").limit(1024)
+        .select(expr(
+          """size(array_distinct(transform(
+            |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 0)),
+            |  i -> concat_ws(' ',
+            |    element_at(split(trim(text), '\\s+'), i),
+            |    element_at(split(trim(text), '\\s+'), i + 1),
+            |    element_at(split(trim(text), '\\s+'), i + 2)))))"""
+            .stripMargin).cast("double").as("n"))
+        .agg(avg($"n")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    })
+  private def clusterHeapBytes(s: SparkSession): Long = {
+    val conf = s.sparkContext.getConf
+    if (conf.get("spark.master", "local[*]").startsWith("local"))
+      Runtime.getRuntime.maxMemory
+    else
+      conf.getSizeAsBytes("spark.executor.memory", "4g") *
+        math.max(1, conf.getInt("spark.executor.instances", 1))
+  }
+  private def shingleMassBytes(s: SparkSession, dir: String): Long =
+    (corpusDocs(s, dir) * sampledShinglesPerDoc(s, dir) * 32.0).toLong
+  private def shingleSpineLevel(s: SparkSession, dir: String)
       : org.apache.spark.storage.StorageLevel = {
-    val estBytes = corpusDocs(s, dir) * 8192L
-    if (estBytes > Runtime.getRuntime.maxMemory / 4)
+    if (shingleMassBytes(s, dir) > clusterHeapBytes(s) / 4)
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
+  private def pairSpineLevel(s: SparkSession, dir: String)
+      : org.apache.spark.storage.StorageLevel = {
+    val budget = clusterHeapBytes(s) / 4
+    val shMass = shingleMassBytes(s, dir)
+    val charged = if (shMass > budget) 0L else shMass // shingles claim first
+    val pairMass = (shMass * 2.2).toLong // fixture-measured ratio, see above
+    if (charged + pairMass > budget)
       org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   }
 
-  /** Shared-shingle candidate pairs WITH intersection counts — the
-    * spine both verification stages consume (q53 divides the counts
-    * into Jaccard, q85 runs the Levenshtein kernel over the pair
-    * list). The shingle equi-join is the one expensive pass in this
-    * family, so it is a memoized materialized view like the LSH pair
-    * list: work ∝ true shingle overlap, computed once per dataset. */
+  /** Shared-shingle candidate pairs WITH intersection counts AND both
+    * documents' distinct-shingle sizes — the spine every verification
+    * stage consumes (q53 divides the counts into Jaccard, q233 into
+    * directed containments, q225 into the ground-truth gate, q100
+    * verifies prefix candidates, q85 runs the Levenshtein kernel over
+    * the pair list). The shingle equi-join is the one expensive pass
+    * in this family, so it is a memoized materialized view like the
+    * LSH pair list: work ∝ true shingle overlap, computed once per
+    * dataset.
+    *
+    * sz1/sz2 are DENORMALIZED INTO the spine at build time (round
+    * 12): every consumer needs them, and joining the |docs|-sized
+    * [[docSizes]] dimension per query re-shuffled the full 339M-row
+    * spine TWICE per consumer once |docs| outgrew the 10 MB
+    * auto-broadcast threshold (~600k docs) — four consumers × two
+    * spine shuffles at sf30, the dedup family's super-linear term.
+    * Paid once here instead, with the size side broadcast under the
+    * measured-count gate (the q176 rule: hint only what a measured
+    * bound says fits; past it, fall back to a shuffle that is still
+    * amortized across all consumers). Two extra longs widen the
+    * persisted spine ~25% — bought back on the first avoided
+    * re-shuffle. */
   private val interCache = new SessionMemo[String]
   private def sharedShinglePairs(s: SparkSession, dir: String): DataFrame =
     interCache.getOrElseUpdate(s, dir) {
       // the pair list is the family's biggest resident frame (339M
-      // 3-long rows ≈ 11 GB deserialized at sf30) — its storage tier
-      // follows the measured corpus ([[spineLevel]]): in-memory while
-      // it fits, DISK_ONLY past the heap gate so an access costs a
-      // page-cached columnar re-read, never a join recompute and
-      // never an execution-memory squeeze.
+      // rows ≈ 11 GB deserialized at sf30) — its storage tier follows
+      // the measured corpus ([[pairSpineLevel]]): in-memory while it
+      // fits AFTER the shingle spine's claim, DISK_ONLY past the heap
+      // gate so an access costs a page-cached columnar re-read, never
+      // a join recompute and never an execution-memory squeeze.
       val sh = shingles(s, dir)
+      val sizes = docSizes(s, dir)
+      val szJ =
+        if (corpusDocs(s, dir) <= 2000000L) broadcast(sizes) else sizes
       sh.alias("a")
         .join(sh.alias("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .agg(count(lit(1)).as("n_common"))
-        .persist(spineLevel(s, dir))
+        .join(szJ.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+        .join(szJ.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+        .persist(pairSpineLevel(s, dir))
     }
 
   /** (doc_id, sh): distinct 3-token shingles per document, as 64-BIT
@@ -131,9 +210,11 @@ object Dedup {
       .select($"doc_id", xxhash64($"sh").as("sh")) // map-side, pre-distinct
       .distinct()
       // corpus-scale frame: storage tier follows the measured corpus
-      // ([[spineLevel]]) — in-memory deserialized while it fits,
-      // DISK_ONLY past the heap gate
-      .persist(spineLevel(s, dir))
+      // ([[shingleSpineLevel]]) — in-memory deserialized while it
+      // fits (this spine claims budget FIRST: it is the smaller of
+      // the two and feeds five consumer families), DISK_ONLY past
+      // the heap gate
+      .persist(shingleSpineLevel(s, dir))
   }
 
   /** The raw (doc_id, shingle STRING) stream — map-side only, NEVER
@@ -666,12 +747,10 @@ object Dedup {
       // verification rides the memoized shared-shingle spine (the q53/
       // q85 materialized view) instead of re-collecting per-doc shingle
       // ARRAYS and intersecting them per pair — candidates share a
-      // prefix shingle by construction, so the inner join loses nothing
-      val sizes = docSizes(s, dir)
+      // prefix shingle by construction, so the inner join loses
+      // nothing; sz1/sz2 ride the spine (denormalized at build)
       cand
         .join(sharedShinglePairs(s, dir), Seq("doc1", "doc2"))
-        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
         .select($"doc1", $"doc2", $"n_common",
           ($"n_common".cast("double") / ($"sz1" + $"sz2" - $"n_common").cast("double"))
             .as("jaccard"))
@@ -684,11 +763,9 @@ object Dedup {
     // intersection/union counts → bit-exact division.
     "q53_jaccard_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val sizes = docSizes(s, dir)
+      // one map-side pass over the enriched spine — sz1/sz2 were
+      // denormalized in at build, so no per-query sizes join remains
       sharedShinglePairs(s, dir)
-        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
         .select($"doc1", $"doc2", $"n_common",
           ($"n_common".cast("double") / ($"sz1" + $"sz2" - $"n_common").cast("double"))
             .as("jaccard"))
@@ -710,21 +787,22 @@ object Dedup {
     // engines.
     "q225_dedup_pr" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val sizes = docSizes(s, dir)
+      // map-side truth gate over the enriched spine (sz1/sz2 ride it);
+      // n_truth and n_hit fold in ONE spine scan via a left-join
+      // marker — the two-aggregate form scanned the 339M-row spine
+      // twice per call (round-12 sf30 fix)
       val truth = sharedShinglePairs(s, dir)
-        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
         .withColumn("j_micro",
           expr("(n_common * 1000000) div (sz1 + sz2 - n_common)"))
         .filter($"j_micro" >= 500000L)
         .select($"doc1", $"doc2")
       val cand = lshPairs(s, dir)
-      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
-      val nHit = cand.join(truth, Seq("doc1", "doc2"))
-        .agg(count(lit(1)).as("n_hit"))
-      nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+      val th = truth
+        .join(cand.withColumn("hit", lit(1L)), Seq("doc1", "doc2"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      th.crossJoin(broadcast(nCand))
         .withColumn("precision_micro",
           when($"n_cand" > 0L, expr("(n_hit * 1000000) div n_cand")))
         .withColumn("recall_micro",
@@ -742,11 +820,8 @@ object Dedup {
     // integer micro ratios, pairs kept when EITHER direction ≥ 0.9.
     "q233_containment" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val sizes = docSizes(s, dir)
+      // one map-side pass over the enriched spine (sz1/sz2 ride it)
       sharedShinglePairs(s, dir)
-        .join(sizes.select($"doc_id".as("doc1"), $"sz".as("sz1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"sz".as("sz2")), "doc2")
         .withColumn("cont12_micro", expr("(n_common * 1000000) div sz1"))
         .withColumn("cont21_micro", expr("(n_common * 1000000) div sz2"))
         .filter($"cont12_micro" >= 900000L || $"cont21_micro" >= 900000L)

@@ -36,13 +36,20 @@ object Retrieval {
     * Computing it per CALL was measured at sf30 to re-run the whole
     * tf build whenever the cached tf spine had been evicted — the
     * round-11 full-rung q176 row carries that (+25 s); this memo is
-    * the fix. */
+    * the fix. SELF-CONTAINED on purpose (ADVICE r11): the count is
+    * derived here from the canonical whitespace tokenization, not
+    * from a caller-supplied term frame, so the (app, dir) cache key
+    * can never hand one definition's count to another. The distinct
+    * is map-side partial — one cheap scan, paid once per dataset. */
   private val vocabCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private def vocabSize(s: SparkSession, dir: String,
-      dfreq: DataFrame): Long =
-    vocabCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir), dfreq.count())
+  private def vocabSize(s: SparkSession, dir: String): Long =
+    vocabCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      import s.implicits._
+      T.documents(s, dir)
+        .select(explode(split(trim($"text"), "\\s+")).as("term"))
+        .agg(count_distinct($"term")).head().getLong(0)
+    })
 
   /** Per-rank DCG gain 1/log2(k+1) for k = 1..10, in micro units,
     * folded once here and interpolated into both engines (no runtime
@@ -166,7 +173,7 @@ object Retrieval {
       // ≤ 2M rows ≈ tens of MB serialized: broadcast; past the gate the
       // joins fall back to shuffles co-partitioned with tf's own keys.
       // |vocab| is memoized per (app, dataset) — see [[vocabSize]].
-      val nTerms = vocabSize(s, dir, dfreq)
+      val nTerms = vocabSize(s, dir)
       val dlJ = if (nDocs <= 2000000L) broadcast(dl) else dl
       val dfJ = if (nTerms <= 2000000L) broadcast(dfreq) else dfreq
       val sparse = tf.join(broadcast(qterms), Seq("term"))
