@@ -81,14 +81,15 @@ object Dedup {
   private def sampledShinglesPerDoc(s: SparkSession, dir: String): Double =
     shPerDocCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       import s.implicits._
+      // same size ≥ 3 pre-filter as [[shingleStrings]]: sequence(1, 0)
+      // runs descending and ANSI element_at throws past the array end
       val r = T.documents(s, dir).select($"text").limit(1024)
+        .select(split(trim($"text"), "\\s+").as("ws"))
+        .filter(size($"ws") >= 3)
         .select(expr(
-          """size(array_distinct(transform(
-            |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 0)),
-            |  i -> concat_ws(' ',
-            |    element_at(split(trim(text), '\\s+'), i),
-            |    element_at(split(trim(text), '\\s+'), i + 1),
-            |    element_at(split(trim(text), '\\s+'), i + 2)))))"""
+          """size(array_distinct(transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))))"""
             .stripMargin).cast("double").as("n"))
         .agg(avg($"n")).head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
