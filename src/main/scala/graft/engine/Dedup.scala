@@ -58,19 +58,17 @@ object Dedup {
     * sf100 both spill — each frame degrades independently instead of
     * the family cliffing as one.
     *
-    * The mass estimate is measured, not assumed: shingles-per-doc is
-    * SAMPLED from the corpus once per (app, dataset) (≤1024 docs,
+    * The mass estimates are measured, not assumed: shingles-per-doc
+    * is SAMPLED from the corpus once per (app, dataset) (≤1024 docs,
     * map-side — the fixture constant drifted silently when doc shape
     * changed, ADVICE r11), at 32 B/row deserialized (the round-11
-    * sf30 block-manager reading: 339M pair rows ≈ 11 GB). The pair
-    * mass uses the fixture-measured pairs≈2.2×shingle-mass ratio —
-    * honest only to order of magnitude (it depends on shingle
-    * collision density), which suffices for a 4× budget gate; a
-    * production deployment would persist the Σc·(c−1)/2 census next
-    * to the spine and reuse it here. The budget is a quarter of the
-    * CLUSTER storage pool — executor memory × instances from the conf
-    * when set, this JVM's heap in local mode — so a bigger cluster
-    * extends the fast path instead of hardcoding a scale factor. */
+    * sf30 block-manager reading: 339M pair rows ≈ 11 GB); the pair
+    * mass comes from the Σc·(c−1)/2 collision census over the
+    * shingle spine ([[pairSlotUpperBound]] — an exact upper bound,
+    * 1.12× at sf30). The budget is a quarter of the CLUSTER storage
+    * pool — executor memory × instances from the conf when set, this
+    * JVM's heap in local mode — so a bigger cluster extends the fast
+    * path instead of hardcoding a scale factor. */
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
   private def corpusDocs(s: SparkSession, dir: String): Long =
@@ -110,12 +108,32 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   }
+  /** Upper bound on the pair spine's row count: Σ_sh c·(c−1)/2 over
+    * the shingle document frequencies — every candidate pair occupies
+    * at least one slot, pairs sharing k shingles occupy k (measured
+    * at sf30: 380M slots vs 339M actual rows, a 1.12× overestimate —
+    * tight because most colliding pairs share few shingles). ONE
+    * combine-able aggregate over the (already persisted) shingle
+    * spine, memoized per (app, dataset): this replaces round 12's
+    * first attempt at a fixture-measured pairs/shingles ratio, which
+    * under-read the 11 GB sf30 pair list ~2× and let it claim memory
+    * — the measured result was the round-10 squeeze all over again
+    * (q167 back to 65 s). Counting beats ratios. */
+  private val pairSlotsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def pairSlotUpperBound(s: SparkSession, dir: String): Long =
+    pairSlotsCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val r = shingles(s, dir).groupBy(col("sh"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
   private def pairSpineLevel(s: SparkSession, dir: String)
       : org.apache.spark.storage.StorageLevel = {
     val budget = clusterHeapBytes(s) / 4
     val shMass = shingleMassBytes(s, dir)
     val charged = if (shMass > budget) 0L else shMass // shingles claim first
-    val pairMass = (shMass * 2.2).toLong // fixture-measured ratio, see above
+    val pairMass = pairSlotUpperBound(s, dir) * 32L // B/row, measured sf30
     if (charged + pairMass > budget)
       org.apache.spark.storage.StorageLevel.DISK_ONLY
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
