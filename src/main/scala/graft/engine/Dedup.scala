@@ -1282,19 +1282,31 @@ object Dedup {
   def simhashOfW(s: SparkSession, dir: String, w: Int): DataFrame = {
     require(w % 4 == 0 && w >= 4 && w <= 60, s"simhash width $w")
     import s.implicits._
+    // ONE doc-keyed aggregate computes every bit's majority lean as a
+    // conditional sum over the token stream. The previous (doc, bit)
+    // explode form shuffled w× the token volume into a key domain w×
+    // wider, and the per-task partial-aggregate hash map covered an
+    // ever-smaller fraction of that domain as the corpus grew —
+    // measured isolated sf10→sf30 exponent ≈ 1.45 (round 12). Here
+    // the shuffle carries |docs| keys × w combine-able longs and the
+    // fingerprint folds from the leans in the same projection, so the
+    // pre-shuffle volume is the token stream itself, at any width and
+    // any corpus size. Bit shifts are Scala-folded literals (w ≤ 60
+    // keeps every 1L<<b and the fingerprint positive in a BIGINT).
+    val leans = (0 until w).map { b =>
+      sum(when(expr(s"(v div ${1L << b}) % 2") === 1, 1L).otherwise(-1L))
+        .as(s"lean$b")
+    }
+    val fp = (0 until w).map { b =>
+      when(col(s"lean$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     T.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
       .withColumn("v",
         conv(substring(md5($"tok"), 1, w / 4), 16, 10).cast("long"))
-      .withColumn("bit", explode(sequence(lit(0), lit(w - 1))))
-      .withColumn("contrib",
-        when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
-          .otherwise(-1L))
-      .groupBy($"doc_id", $"bit")
-      .agg(sum($"contrib").as("lean"))
       .groupBy($"doc_id")
-      .agg(sum(when($"lean" > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+      .agg(leans.head, leans.tail: _*)
+      .select($"doc_id", fp.as("simhash"))
   }
 
   /** (doc_id, simhash): 16-bit md5-majority SimHash per document. */
@@ -1303,21 +1315,8 @@ object Dedup {
 
   /** (doc_id, simhash): 60-bit md5-majority SimHash — [[simhashOf]]
     * at the production width (see q124). */
-  def simhash64Of(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    T.documents(s, dir)
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
-      .withColumn("v", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
-      .withColumn("bit", explode(sequence(lit(0), lit(59))))
-      .withColumn("contrib",
-        when(expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") === 1, 1L)
-          .otherwise(-1L))
-      .groupBy($"doc_id", $"bit")
-      .agg(sum($"contrib").as("lean"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"lean" > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
-  }
+  def simhash64Of(s: SparkSession, dir: String): DataFrame =
+    simhashOfW(s, dir, 60)
 
   /** 60-bit variant of [[simhashCte]] (q124): token value = first 15
     * md5 hex chars via hex cast (both engines parse the same 60-bit
