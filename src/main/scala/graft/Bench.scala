@@ -115,6 +115,28 @@ object Bench {
     (st, mt)
   }
 
+  /** Code identity stamp for every bench line (r11 VERDICT #9): the
+    * round-11 rung ladder mixed records from different code SHAs and
+    * every recomputed exponent became cross-code guesswork. `sha` is
+    * `git rev-parse HEAD` and `dirty` whether tracked files are
+    * modified, read via git at run start (empty/false if git is
+    * unavailable — the stamp must never fail a bench run). */
+  private def gitStamp(): (String, Boolean) = {
+    def run(cmd: String*): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else ""
+      } catch { case _: Throwable => "" }
+    val sha = run("git", "rev-parse", "HEAD")
+    // -uno: untracked scratch never counts; bench_last.json is excluded
+    // because Bench ITSELF rewrites it every run — a prior run's output
+    // must not mark the next run's code dirty.
+    val dirty = run("git", "status", "--porcelain", "-uno",
+      "--", ".", ":!bench_last.json").nonEmpty
+    (sha, dirty)
+  }
+
   private def awaitIdle(): Unit = {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MAX", "600").toInt
     val idleMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.0").toDouble
@@ -135,6 +157,7 @@ object Bench {
     // the recorded value must describe the machine the wait delivered,
     // not the probe measuring it.
     val loadStart = loadavg()
+    val (gitSha, gitDirty) = gitStamp()
     val (hostSt, hostMt) = hostProbe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -247,7 +270,8 @@ object Bench {
       .map(n => "\"" + n + "\":[" + r4(mn(n)) + "," + r4(med(n)) + "," +
         r4(mx(n)) + "]").mkString("{", ",", "}")
     val loads =
-      s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)}""" +
+      s""""sha":"$gitSha","dirty":$gitDirty,""" +
+        s""""loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadEnd)}""" +
         s""","host_st_mops":${r4(hostSt)},"host_mt_mops":${r4(hostMt)},"failed":$failedJson""" +
         s""","families":$famJson,"stream_repeats":$SREPEATS,"stream_spread":$spreadJson"""
     val line =

@@ -204,17 +204,30 @@ object Commission {
       // DuckDB parses /*+ … */ as a plain comment, but the hint is
       // Spark-side-only anyway.
       //
-      // Shuffle width 8, not the session's CPU-count default: the
-      // recursion runs ~10 iterations over sub-MB frontiers plus a
-      // count(DISTINCT) expand, and every iteration pays scheduling for
-      // the full shuffle width (measured 2× total-time at width 32 vs
-      // 8). Width is a plan-time conf, so the recursion is executed
-      // eagerly (localCheckpoint) while the narrow setting is active —
+      // Join strategy and shuffle width both follow the MEASURED edge
+      // count (round 12; edgeCount is already computed below for the
+      // recursion-limit assert, so the gate is free):
+      //
+      //   - Small edge sets (fixture scale): BROADCAST the edges and
+      //     run the ~10 iterations at width 8 — sub-MB frontiers pay
+      //     scheduling per iteration, and the broadcast build is
+      //     trivial (measured 2× total-time at width 32 vs 8, round 9).
+      //   - Corpus-sized edge sets: UnionLoopExec re-executes the
+      //     recursive member's plan EVERY iteration, and a BROADCAST
+      //     hint there means TEN fresh broadcast builds of a
+      //     |customers|-sized relation (ReusedExchange cannot cross
+      //     iteration boundaries) — the round-11 "q67 e=1.16"
+      //     mechanism. SHUFFLE_HASH instead shuffles the thin frontier
+      //     and edge set per iteration at full width: measured sf30
+      //     43.6 → 8.5 s, sf10 11.2 → 5.6 s, crossover near sf3
+      //     (450k edges; 4.2 vs 5.0 s).
+      //
+      // Width is a plan-time conf, so the recursion is executed
+      // eagerly (localCheckpoint) while the setting is active —
       // appropriate for an operator whose execution model is iterative
-      // materialization anyway. Iteration width ≠ CPU count; size it to
-      // the frontier (cf. Streams.tumblingCounts on state width).
+      // materialization anyway. Iteration width ≠ CPU count; size it
+      // to the frontier (cf. Streams.tumblingCounts on state width).
       val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       // The closure materializes ~10·|customers| rows; Spark's default
       // cteRecursionRowLimit (1e6) trips at ~100k customers (the sf10
       // rung's "failed" field caught it). The limit is a guard against
@@ -234,6 +247,12 @@ object Commission {
           s"raised cteRecursionRowLimit $raisedLimit - refusing to raise")
       val savedLimit = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
       s.conf.set("spark.sql.cteRecursionRowLimit", raisedLimit.toString)
+      // the measured-count gate (see the strategy comment above); the
+      // hint changes the join's physical strategy only, never a row
+      val smallEdges = edgeCount <= 200000L
+      val hint = if (smallEdges) "BROADCAST" else "SHUFFLE_HASH"
+      s.conf.set("spark.sql.shuffle.partitions",
+        if (smallEdges) "8" else saved)
       try s.sql(
         s"""WITH RECURSIVE
            |edges AS (SELECT c_custkey AS referred, CAST(floor(c_custkey/2) AS BIGINT) AS referrer
@@ -241,7 +260,7 @@ object Commission {
            |anc(descendant, ancestor, lvl) AS (
            |  SELECT referred, referrer, CAST(1 AS BIGINT) FROM edges
            |  UNION ALL
-           |  SELECT /*+ BROADCAST(e) */ a.descendant, e.referrer, a.lvl + 1
+           |  SELECT /*+ $hint(e) */ a.descendant, e.referrer, a.lvl + 1
            |  FROM anc a JOIN edges e ON e.referred = a.ancestor
            |  WHERE a.lvl < 10)
            |SELECT lvl AS level, count(*) AS n_pairs,

@@ -92,7 +92,7 @@ object Dedup {
         .agg(avg($"n")).head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     })
-  private def clusterHeapBytes(s: SparkSession): Long = {
+  private[engine] def clusterHeapBytes(s: SparkSession): Long = {
     val conf = s.sparkContext.getConf
     if (conf.get("spark.master", "local[*]").startsWith("local"))
       Runtime.getRuntime.maxMemory

@@ -41,6 +41,18 @@ object Retrieval {
     * from a caller-supplied term frame, so the (app, dir) cache key
     * can never hand one definition's count to another. The distinct
     * is map-side partial — one cheap scan, paid once per dataset. */
+  /** Broadcast a join side only when its MEASURED row count is under
+    * the gate (≤ 2M rows ≈ tens of MB serialized): corpus-sized sides
+    * (|docs|-sized dl, |vocab|-sized dfreq) must never ride an
+    * unconditional hint — the SCALE.md broadcast rule. Past the gate
+    * the join falls back to a shuffle co-partitioned with the scoring
+    * stream's own keys. Extracted as a function so the FALLBACK plan
+    * shape is unit-assertable (PlanLintSpec) without materializing a
+    * >2M-row fixture — the r11 VERDICT #2 ask. */
+  private[graft] val BroadcastGateRows = 2000000L
+  private[graft] def gateBroadcast(df: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= BroadcastGateRows) broadcast(df) else df
+
   private val vocabCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
   private def vocabSize(s: SparkSession, dir: String): Long =
@@ -174,8 +186,8 @@ object Retrieval {
       // joins fall back to shuffles co-partitioned with tf's own keys.
       // |vocab| is memoized per (app, dataset) — see [[vocabSize]].
       val nTerms = vocabSize(s, dir)
-      val dlJ = if (nDocs <= 2000000L) broadcast(dl) else dl
-      val dfJ = if (nTerms <= 2000000L) broadcast(dfreq) else dfreq
+      val dlJ = gateBroadcast(dl, nDocs)
+      val dfJ = gateBroadcast(dfreq, nTerms)
       val sparse = tf.join(broadcast(qterms), Seq("term"))
         .filter($"doc_id" =!= $"qid")
         .join(dlJ, "doc_id").join(dfJ, "term")

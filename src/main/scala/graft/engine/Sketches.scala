@@ -581,24 +581,47 @@ object Sketches {
     // IEEE division for the ratio.
     "q166_join_size_cms" -> ((s, dir) => {
       import s.implicits._
-      def slots(df: DataFrame, key: String): DataFrame =
+      // ONE corpus pass per table builds BOTH CMS depths (round 12):
+      // the two per-depth passes each re-computed their own md5 slot
+      // projection over the full table — grouping sets ((s0), (s1))
+      // computes both slots in one projection and partial-aggregates
+      // map-side into ≤ 2·64 cells per table (§2.3 aggregate before
+      // the shuffle; §2.4 share one exchange). Per-depth counts are
+      // IDENTICAL to the separate groupBys — grouping sets is exactly
+      // the union of those groupings.
+      def cms(df: DataFrame, key: String): DataFrame =
         df.select(col(key).cast("string").as("k")).select(
           expr("CAST(conv(substr(md5(concat(k, ':cms0')), 1, 13), 16, 10) " +
             "AS BIGINT) % 64").as("s0"),
           expr("CAST(conv(substr(md5(concat(k, ':cms1')), 1, 13), 16, 10) " +
             "AS BIGINT) % 64").as("s1"))
-      val li = slots(T.lineitem(s, dir), "l_orderkey")
-      val od = slots(T.orders(s, dir), "o_orderkey")
-      def est(d: String): DataFrame =
-        li.groupBy(col(d)).agg(count(lit(1)).as("ca"))
-          .join(od.groupBy(col(d)).agg(count(lit(1)).as("cb")), d)
-          .agg(sum($"ca" * $"cb").as("est" + d.drop(1)))
-      val exact = T.lineitem(s, dir).groupBy($"l_orderkey".as("k"))
-        .agg(count(lit(1)).as("cl"))
-        .join(T.orders(s, dir).groupBy($"o_orderkey".as("k"))
-          .agg(count(lit(1)).as("co")), "k")
+          .groupingSets(Seq(Seq($"s0"), Seq($"s1")), $"s0", $"s1")
+          .agg(count(lit(1)).as("c"))
+          .select(when($"s0".isNotNull, lit(0)).otherwise(lit(1)).as("d"),
+            coalesce($"s0", $"s1").as("slot"), $"c")
+      // est_d = Σ_slot cA[d][slot]·cB[d][slot]: a 128-row × 128-row
+      // equi-join on (d, slot), folded to one row per depth.
+      val ests = cms(T.lineitem(s, dir), "l_orderkey").as("a")
+        .join(cms(T.orders(s, dir), "o_orderkey").as("b"), Seq("d", "slot"))
+        .agg(sum(when($"d" === 0, $"a.c" * $"b.c")).as("est0"),
+          sum(when($"d" === 1, $"a.c" * $"b.c")).as("est1"))
+      // Exact size Σ_k cl(k)·co(k) WITHOUT the two-groupBy + SMJ
+      // (round 12): tag each table's keys (cl, co) = (1,0)/(0,1),
+      // union, ONE groupBy(k) folding both counts, then the scalar
+      // fold. A join on k and a union-groupBy on k move the same
+      // rows; the union needs one exchange and no sorts (before: 2
+      // pre-aggregate exchanges + SMJ sorts — §2.4). Keys missing
+      // from either side contribute cl·co = 0, exactly like the
+      // inner join dropping them (lineitem⋈orders is never empty —
+      // FK-shaped data — so the SUM's null-vs-0 edge cannot differ).
+      val tagged = T.lineitem(s, dir)
+        .select($"l_orderkey".as("k"), lit(1L).as("cl"), lit(0L).as("co"))
+        .unionByName(T.orders(s, dir)
+          .select($"o_orderkey".as("k"), lit(0L).as("cl"), lit(1L).as("co")))
+      val exact = tagged.groupBy($"k")
+        .agg(sum($"cl").as("cl"), sum($"co").as("co"))
         .agg(sum($"cl" * $"co").as("exact_size"))
-      exact.crossJoin(broadcast(est("s0"))).crossJoin(broadcast(est("s1")))
+      exact.crossJoin(broadcast(ests))
         .select($"exact_size", $"est0", $"est1",
           least($"est0", $"est1").as("est"),
           Exact.trunc6(least($"est0", $"est1").cast("double") /

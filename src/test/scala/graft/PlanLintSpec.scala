@@ -186,4 +186,31 @@ class PlanLintSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate pair:\n$p")
   }
+
+  test("q176's broadcast gate: hint under the 2M-row gate, shuffle fallback past it") {
+    // The gate decision rides a MEASURED count, so the >2M branch can
+    // be asserted without materializing a >2M-row fixture: hand
+    // gateBroadcast the measurement each side of the gate and check
+    // the join strategy that plans. Auto-broadcast is disabled so the
+    // fallback's shape is the gate's doing, not the planner's own
+    // size estimate of the tiny test frame.
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (1 to 64).map(i => (i.toLong, s"t$i")).toDF("doc_id", "term")
+      val side = (1 to 16).map(i => (i.toLong, i * 10L)).toDF("doc_id", "dl")
+      def planOf(measured: Long): String =
+        big.join(graft.engine.Retrieval.gateBroadcast(side, measured), "doc_id")
+          .queryExecution.executedPlan.toString
+      val under = planOf(graft.engine.Retrieval.BroadcastGateRows)
+      assert(under.contains("BroadcastHashJoin"),
+        s"measured<=gate must broadcast:\n$under")
+      val over = planOf(graft.engine.Retrieval.BroadcastGateRows + 1)
+      assert(!over.contains("BroadcastHashJoin"),
+        s"measured>gate must NOT broadcast:\n$over")
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        s"fallback must be a co-partitioned shuffle join:\n$over")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
